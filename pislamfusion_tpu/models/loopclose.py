@@ -1,0 +1,166 @@
+"""Loop detection and closing.
+
+Equivalents of the reference's LoopDetectorGPS (zhaoyong/LoopDetectorGPS.cpp:
+candidates = keyframes within SLAM.MaxLoopDistance of the current position),
+LoopDetectorBoW (inverted-file scoring — lands with the Vocabulary module),
+and LoopCloserSE3Graph (LoopCloserDemo.cpp:253-420: match + PnP to the best
+candidate, whole-map SE3 pose graph with the reference side fixed, rigid
+update of frames and points).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import LOOP_DETECTORS, LOOP_CLOSERS
+from ..ops import ba, lie, matching, ransac
+from .frame import Frame
+from .worldmap import WorldMap
+
+
+@LOOP_DETECTORS.register("GPS")
+@LOOP_DETECTORS.register("distance")
+class LoopDetectorDistance:
+    """Distance-based candidates (LoopDetectorGPS.cpp:28-56): keyframes whose
+    camera center lies within max_distance of the query, excluding the
+    query's own covisibility neighborhood and recent frames."""
+
+    def __init__(self, wmap: WorldMap, cfg):
+        self.map = wmap
+        self.max_distance = cfg.get_double("SLAM.MaxLoopDistance", 400.0)
+        self.min_gap = cfg.get_int("SLAM.LoopMinFrameGap", 20)
+
+    def candidates(self, frame: Frame) -> List[int]:
+        out = []
+        excluded = set(frame.connections) | {frame.id}
+        for kf in self.map.keyframes():
+            if kf.id in excluded or frame.id - kf.id < self.min_gap:
+                continue
+            d = np.linalg.norm(kf.pose_c2w[:3] - frame.pose_c2w[:3])
+            if d < self.max_distance:
+                out.append(kf.id)
+        return out
+
+
+@LOOP_CLOSERS.register("se3graph")
+class LoopCloserSE3Graph:
+    def __init__(self, wmap: WorldMap, cfg, detector=None):
+        self.map = wmap
+        self.cfg = cfg
+        self.detector = detector or LoopDetectorDistance(wmap, cfg)
+        self._key = jax.random.PRNGKey(7)
+        self.closed_loops = 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def try_close(self, frame: Frame) -> bool:
+        cands = self.detector.candidates(frame)
+        if not cands:
+            return False
+        best = self._verify(frame, cands)
+        if best is None:
+            return False
+        kf_id, T_rel = best
+        self._close(frame, kf_id, T_rel)
+        self.closed_loops += 1
+        return True
+
+    def _verify(self, frame: Frame, cands: List[int]):
+        """Match + PnP against the best candidate
+        (LoopCloserDemo.cpp:253-320)."""
+        for cid in cands:
+            kf = self.map.frame(cid)
+            if kf is None:
+                continue
+            pos = np.zeros((kf.n_kp, 3), np.float32)
+            has = np.zeros(kf.n_kp, bool)
+            for i in np.nonzero(kf.kp2mp >= 0)[0]:
+                mp = self.map.point(int(kf.kp2mp[i]))
+                if mp is not None and not mp.bad:
+                    pos[i] = mp.position
+                    has[i] = True
+            if has.sum() < 30:
+                continue
+            idx, ok = matching.match_descriptors(
+                jnp.asarray(kf.desc), jnp.asarray(has & kf.valid),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                kf.desc_kind, ratio=0.8)
+            okn = np.asarray(ok)
+            if okn.sum() < 20:
+                continue
+            idxn = np.asarray(idx)
+            n = frame.n_kp
+            p3d = np.zeros((n, 3), np.float32)
+            w = np.zeros(n, bool)
+            sel = np.nonzero(okn & has)[0]
+            p3d[idxn[sel]] = pos[sel]
+            w[idxn[sel]] = True
+            res = ransac.find_pnp(self._next_key(), jnp.asarray(p3d),
+                                  jnp.asarray(frame.rays[:, :2]),
+                                  jnp.asarray(w),
+                                  threshold=3.0 / frame.camera.fx)
+            if bool(res.ok) and float(res.score) >= 25:
+                # loop-corrected pose of `frame` in world coords
+                T_c2w_corr = np.asarray(lie.se3_inv(res.model))
+                return cid, T_c2w_corr
+        return None
+
+    def _close(self, frame: Frame, loop_kf_id: int, T_c2w_corr: np.ndarray):
+        """Whole-map SE3 graph (LoopCloserDemo.cpp:327-420): odometry edges
+        between consecutive/covisible keyframes + the loop edge; reference
+        keyframe (and its parents) fixed; rigid per-refKF update of points."""
+        kfs = self.map.keyframes()
+        ids = [k.id for k in kfs]
+        kidx = {fid: i for i, fid in enumerate(ids)}
+        poses_before = np.stack([k.pose_c2w for k in kfs])
+        ei, ej, meas, wgt = [], [], [], []
+
+        def add_edge(a, b, Ta, Tb, w=1.0):
+            ei.append(kidx[a])
+            ej.append(kidx[b])
+            meas.append(np.asarray(lie.se3_mul(
+                jnp.asarray(Ta), lie.se3_inv(jnp.asarray(Tb)))))
+            wgt.append(w)
+
+        for i in range(len(kfs) - 1):
+            add_edge(ids[i], ids[i + 1],
+                     kfs[i].pose_c2w, kfs[i + 1].pose_c2w)
+        for k in kfs:
+            for cid in k.connections:
+                if cid in kidx and cid > k.id:
+                    c = self.map.frame(cid)
+                    add_edge(k.id, cid, k.pose_c2w, c.pose_c2w, 1.0)
+        # the loop edge uses the PnP-corrected pose
+        add_edge(loop_kf_id, frame.id,
+                 self.map.frame(loop_kf_id).pose_c2w, T_c2w_corr, w=5.0)
+        fixed = np.zeros(len(kfs), bool)
+        fixed[kidx[loop_kf_id]] = True
+        if len(kfs) > 1:
+            fixed[0] = True
+        new_poses, cost = ba.optimize_se3_graph(
+            jnp.asarray(poses_before, jnp.float32), jnp.asarray(fixed),
+            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+            jnp.asarray(np.stack(meas), jnp.float32),
+            jnp.asarray(wgt, jnp.float32),
+            iters=self.cfg.get_int("SLAM.LoopGraphIters", 30))
+        new_poses = np.asarray(new_poses)
+        # rigid update of points via their reference keyframe's correction
+        corrections = {}
+        for fid in ids:
+            i = kidx[fid]
+            old = jnp.asarray(poses_before[i])
+            new = jnp.asarray(new_poses[i])
+            corrections[fid] = lie.se3_mul(new, lie.se3_inv(old))
+        for mp in self.map.points():
+            ref = mp.ref_frame if mp.ref_frame in corrections else ids[0]
+            C = corrections[ref]
+            mp.position = np.asarray(lie.se3_apply(
+                C, jnp.asarray(mp.position))).astype(np.float32)
+        for fid in ids:
+            self.map.frame(fid).pose_c2w = new_poses[kidx[fid]].astype(
+                np.float32)

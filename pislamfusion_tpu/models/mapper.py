@@ -1,0 +1,433 @@
+"""Keyframe mapper: triangulation, fusion, culling, local bundle adjustment,
+ground-plane estimation for the mosaic.
+
+Equivalent of the reference's default mapper `demo`
+(GSLAM-DIYSLAM/src/zhaoyong/MapperDemo.cpp): handleCurrentFrame pipeline
+(:311) — mapPointCulling (:464-490), makeKeyFrame/connections (:366-432),
+createNewMapPoints (BoW variant :492-650 — including the `ransac.solve(p3d)`
+plane feed for Map2DFusion at :617-620), dataAssociation/fuse (:809-1011),
+localOptimization with GPS edges and bad-edge pruning (:1286-1555), and
+updateNormAndDes (:1883-1910).
+
+The mosaic glue matches src/RANSAC.cpp:103-116: buffer triangulated points
+until 2000, fit the dominant plane once, publish it to the `trans_plane`
+queue.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.messenger import trans_plane
+from ..core.registry import MAPPERS
+from ..core.timer import timer
+from ..ops import ba, lie, matching, ransac
+from ..utils.padding import pad_to
+from .frame import Frame, MapPoint
+from .worldmap import WorldMap
+
+# default static BA capacities (re-jit only if a window exceeds them);
+# override with SLAM.BAFrameCap / BAPointCap / BAObsCap
+BA_F, BA_P, BA_O = 16, 4096, 16384
+PLANE_MIN_POINTS = 2000   # src/RANSAC.cpp:103
+
+
+@MAPPERS.register("demo")
+class Mapper:
+    def __init__(self, wmap: WorldMap, cfg):
+        self.map = wmap
+        self.cfg = cfg
+        self._kf_count = 0
+        self._recent_points: List[int] = []   # for culling
+        self._plane_buffer: List[np.ndarray] = []
+        self._plane_sent = False
+        self._key = jax.random.PRNGKey(cfg.get_int("SLAM.Seed", 0) + 1)
+        self.plane_se3: Optional[np.ndarray] = None
+        self.ba_f = cfg.get_int("SLAM.BAFrameCap", BA_F)
+        self.ba_p = cfg.get_int("SLAM.BAPointCap", BA_P)
+        self.ba_o = cfg.get_int("SLAM.BAObsCap", BA_O)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------ API
+    def on_map_initialized(self, kf0: Frame, kf1: Frame):
+        self._kf_count = 2
+        for mp in self.map.points():
+            self._recent_points.append(mp.id)
+            self._plane_buffer.append(mp.position)
+        self._feed_plane()
+
+    def insert_keyframe(self, frame: Frame):
+        with timer.scope("Mapper::insertKeyFrame"):
+            self._kf_count += 1
+            self._register_observations(frame)
+            self._make_connections(frame)
+            self._cull_map_points(frame)
+            with timer.scope("Mapper::createNewMapPoints"):
+                self._create_new_points(frame)
+            with timer.scope("Mapper::dataAssociation"):
+                self._fuse(frame)
+            with timer.scope("Mapper::localOptimization"):
+                self._local_ba(frame)
+            self._update_normals_descriptors(frame)
+            self._feed_plane()
+
+    # ------------------------------------------------------------ pipeline
+    def _register_observations(self, frame: Frame):
+        for ci in np.nonzero(frame.kp2mp >= 0)[0]:
+            self.map.add_observation(int(frame.kp2mp[ci]), frame.id, int(ci))
+
+    def _make_connections(self, frame: Frame, min_shared: int = 10):
+        """FrameConnections from shared map points (makeKeyFrame:366-432)."""
+        counts = {}
+        for pid in frame.kp2mp[frame.kp2mp >= 0]:
+            mp = self.map.point(int(pid))
+            if mp is None:
+                continue
+            for fid in mp.observations:
+                if fid != frame.id:
+                    counts[fid] = counts.get(fid, 0) + 1
+        frame.connections = {fid: c for fid, c in counts.items()
+                             if c >= min_shared}
+        if not frame.connections and counts:
+            best = max(counts, key=counts.get)
+            frame.connections = {best: counts[best]}
+        for fid, c in frame.connections.items():
+            other = self.map.frame(fid)
+            if other is not None:
+                other.connections[frame.id] = c
+
+    def _cull_map_points(self, frame: Frame):
+        """Recent points must gather >= 2 observations within 3 keyframes
+        (mapPointCulling:464-490)."""
+        keep = []
+        for pid in self._recent_points:
+            mp = self.map.point(pid)
+            if mp is None:
+                continue
+            age = self._kf_count - mp.created_at_kf
+            if mp.n_obs() >= 3 or age < 3:
+                if mp.n_obs() < 3:
+                    keep.append(pid)
+            elif mp.n_obs() < 2:
+                self.map.erase_point(pid)
+        self._recent_points = keep
+
+    def _create_new_points(self, frame: Frame):
+        """Triangulate unmatched keypoints against top connected keyframes
+        (createNewMapPointsBow:492-650)."""
+        top = sorted(frame.connections.items(), key=lambda kv: -kv[1])[:4]
+        cam = frame.camera
+        sigma = 1.0 / cam.fx
+        created = 0
+        for fid, _ in top:
+            kf = self.map.frame(fid)
+            if kf is None:
+                continue
+            # baseline check (:518-525): baseline / median depth > 0.01
+            base = np.linalg.norm(frame.pose_c2w[:3] - kf.pose_c2w[:3])
+            ids, pos, _ = self.map.point_arrays(
+                [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
+            med = kf.median_depth(pos) if len(ids) else 1.0
+            if base / max(med, 1e-9) < 0.01:
+                continue
+            free_a = frame.valid & (frame.kp2mp < 0)
+            free_b = kf.valid & (kf.kp2mp < 0)
+            idx, ok = matching.match_descriptors(
+                jnp.asarray(frame.desc), jnp.asarray(free_a),
+                jnp.asarray(kf.desc), jnp.asarray(free_b),
+                frame.desc_kind, ratio=0.8)
+            okn = np.asarray(ok)
+            if okn.sum() < 5:
+                continue
+            idxn = np.asarray(idx)
+            sel = np.nonzero(okn)[0]
+            ra = frame.rays[sel]
+            rb = kf.rays[idxn[sel]]
+            Ta = jnp.asarray(frame.pose_c2w)
+            Tb = jnp.asarray(kf.pose_c2w)
+            X, da = ransac.triangulate(Ta, Tb, jnp.asarray(ra),
+                                       jnp.asarray(rb))
+            X = np.asarray(X)
+            da = np.asarray(da)
+            pb = np.asarray(lie.se3_apply(lie.se3_inv(Tb),
+                                          jnp.asarray(X, jnp.float32)))
+            db = pb[:, 2]
+            cosp = np.asarray(ransac.parallax_cos(
+                Ta, Tb, jnp.asarray(X, jnp.float32)))
+            # reprojection checks in both views (:577-616)
+            pa_c = np.asarray(lie.se3_apply(lie.se3_inv(Ta),
+                                            jnp.asarray(X, jnp.float32)))
+            ea = np.linalg.norm(pa_c[:, :2] / np.maximum(pa_c[:, 2:], 1e-9)
+                                - ra[:, :2], axis=1)
+            eb = np.linalg.norm(pb[:, :2] / np.maximum(pb[:, 2:], 1e-9)
+                                - rb[:, :2], axis=1)
+            th = 2.0 * sigma * np.sqrt(5.991)
+            good = ((da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
+                    & (ea < th) & (eb < th) & np.isfinite(X).all(1))
+            color_img = frame.color if frame.color is not None else frame.image
+            for j in np.nonzero(good)[0]:
+                ka = int(sel[j])
+                kb = int(idxn[sel[j]])
+                if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
+                    continue
+                pid = self.map.get_pid()
+                color = np.full(3, 128, np.uint8)
+                if color_img is not None:
+                    x, y = frame.xy[ka].astype(int)
+                    if 0 <= y < color_img.shape[0] and \
+                            0 <= x < color_img.shape[1]:
+                        c = color_img[y, x]
+                        color = (np.full(3, int(c), np.uint8)
+                                 if np.ndim(c) == 0 else c.astype(np.uint8))
+                mp = MapPoint(id=pid, position=X[j].astype(np.float32),
+                              descriptor=np.asarray(frame.desc[ka]),
+                              color=color, ref_frame=frame.id,
+                              created_at_kf=self._kf_count)
+                view = X[j] - frame.pose_c2w[:3]
+                mp.normal = (view / max(np.linalg.norm(view), 1e-9)).astype(
+                    np.float32)
+                self.map.insert_point(mp)
+                self.map.add_observation(pid, frame.id, ka)
+                self.map.add_observation(pid, kf.id, kb)
+                self._recent_points.append(pid)
+                self._plane_buffer.append(mp.position)
+                created += 1
+        return created
+
+    def _fuse(self, frame: Frame):
+        """Project neighbors' points into this KF; bind to free keypoints,
+        merge duplicates (dataAssociation:809-1011)."""
+        pids = set()
+        for fid in frame.connections:
+            kf = self.map.frame(fid)
+            if kf is None:
+                continue
+            pids.update(int(p) for p in kf.kp2mp[kf.kp2mp >= 0])
+        own = set(int(p) for p in frame.kp2mp[frame.kp2mp >= 0])
+        pids -= own
+        if not pids:
+            return
+        ids, pos, desc = self.map.point_arrays(sorted(pids))
+        if not ids:
+            return
+        cap = max(256, 1 << int(np.ceil(np.log2(len(ids)))))
+        pos_p, maskp = pad_to(pos, cap)
+        desc_p, _ = pad_to(np.asarray(desc), cap)
+        Tw2c = lie.se3_inv(jnp.asarray(frame.pose_c2w))
+        pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos_p)))
+        infront = pc[:, 2] > 1e-3
+        uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
+        pix = np.asarray(frame.camera.project(
+            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
+        inview = np.asarray(frame.camera.in_view(jnp.asarray(pix)))
+        pvalid = maskp & infront & inview
+        wmask = matching.window_mask(jnp.asarray(pix), jnp.asarray(frame.xy),
+                                     4.0)
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(desc_p), jnp.asarray(pvalid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            frame.desc_kind, window=wmask)
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        for pi in np.nonzero(okn)[0]:
+            ci = int(idxn[pi])
+            pid = ids[pi]
+            existing = int(frame.kp2mp[ci])
+            if existing < 0:
+                self.map.add_observation(pid, frame.id, ci)
+            elif existing != pid:
+                # merge: keep the point with more observations
+                a = self.map.point(existing)
+                b = self.map.point(pid)
+                if a is None or b is None:
+                    continue
+                keep, drop = (a, b) if a.n_obs() >= b.n_obs() else (b, a)
+                for fid, kp in list(drop.observations.items()):
+                    fr = self.map.frame(fid)
+                    if fr is None:
+                        continue
+                    if fid not in keep.observations:
+                        self.map.add_observation(keep.id, fid, kp)
+                    else:
+                        fr.kp2mp[kp] = (keep.id
+                                        if keep.observations[fid] == kp
+                                        else -1)
+                self.map.erase_point(drop.id)
+
+    # --------------------------------------------------------------- BA
+    def _local_ba(self, frame: Frame):
+        """Local bundle: current + connected KFs free, their neighbors fixed
+        (localOptimization:1286-1555). Fixed-capacity padded problem."""
+        free_ids = [frame.id] + sorted(frame.connections,
+                                       key=frame.connections.get,
+                                       reverse=True)[:self.ba_f - 2]
+        free_set = set(free_ids)
+        # anchor frames: neighbors of free frames, held fixed
+        anchor = set()
+        for fid in free_ids:
+            fr = self.map.frame(fid)
+            if fr is not None:
+                anchor.update(fr.connections.keys())
+        anchor -= free_set
+        anchor = sorted(anchor)[:self.ba_f - len(free_ids)]
+        frame_ids = free_ids + list(anchor)
+        if len(frame_ids) < 2:
+            return
+        fidx = {fid: i for i, fid in enumerate(frame_ids)}
+        frames = [self.map.frame(fid) for fid in frame_ids]
+        # points observed by free frames
+        pids = []
+        seen = set()
+        for fid in free_ids:
+            fr = self.map.frame(fid)
+            for p in fr.kp2mp[fr.kp2mp >= 0]:
+                p = int(p)
+                if p not in seen:
+                    seen.add(p)
+                    # kp2mp may hold stale ids for points culled while a
+                    # non-keyframe still referenced them
+                    if self.map.point(p) is not None:
+                        pids.append(p)
+        pids = pids[:self.ba_p]
+        pidx = {pid: i for i, pid in enumerate(pids)}
+        if len(pids) < 10:
+            return
+        obs_f, obs_p, obs_uv = [], [], []
+        for pid in pids:
+            mp = self.map.point(pid)
+            for fid, kp in mp.observations.items():
+                if fid in fidx:
+                    fr = self.map.frame(fid)
+                    obs_f.append(fidx[fid])
+                    obs_p.append(pidx[pid])
+                    obs_uv.append(fr.rays[kp][:2])
+        if len(obs_f) < 30:
+            return
+        obs_f = np.asarray(obs_f[:self.ba_o], np.int32)
+        obs_p = np.asarray(obs_p[:self.ba_o], np.int32)
+        obs_uv = np.asarray(obs_uv[:self.ba_o], np.float32)
+        poses = np.stack([np.asarray(lie.se3_inv(jnp.asarray(f.pose_c2w)))
+                          for f in frames])
+        fixed = np.array([fid not in free_set for fid in frame_ids])
+        # gauge: with < 3 frames total keep the oldest free frame fixed too
+        if fixed.sum() == 0:
+            fixed[np.argmin(frame_ids)] = True
+        pts = np.stack([self.map.point(p).position for p in pids])
+        # pad to capacities
+        F = min(self.ba_f, max(4, len(frame_ids)))
+        poses_p, fmask = pad_to(poses, F)
+        poses_p[~fmask] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        fixed_p, _ = pad_to(fixed, F, True)
+        fixed_p[~fmask] = True
+        P = self.ba_p
+        pts_p, pmask = pad_to(pts, P)
+        O = self.ba_o
+        obs_fp, omask = pad_to(obs_f, O)
+        obs_pp, _ = pad_to(obs_p, O)
+        obs_uvp, _ = pad_to(obs_uv, O)
+        weight = omask.astype(np.float32)
+        # GPS priors (when frames carry ENU fixes and GPS is fitted)
+        use_gps = self.cfg.get_bool("GPS.LocalOptimize", False)
+        prior_kw = {}
+        if use_gps:
+            gps_f, gps_pose, gps_info = [], [], []
+            for fid in free_ids:
+                fr = self.map.frame(fid)
+                if fr.gps_enu is not None:
+                    T_prior_c2w = fr.pose_c2w.copy()
+                    T_prior_c2w[:3] = fr.gps_enu
+                    gps_f.append(fidx[fid])
+                    gps_pose.append(np.asarray(
+                        lie.se3_inv(jnp.asarray(T_prior_c2w))))
+                    info = np.zeros(6, np.float32)
+                    info[:3] = 1.0 / max(fr.gps_acc, 0.1) ** 2
+                    gps_info.append(info)
+            if gps_f:
+                prior_kw = dict(prior_frame=np.asarray(gps_f, np.int32),
+                                prior_pose=np.stack(gps_pose),
+                                prior_info=np.stack(gps_info))
+        prob = ba.make_problem(
+            poses=poses_p, pose_fixed=fixed_p, points=pts_p,
+            point_fixed=~pmask, obs_frame=obs_fp, obs_point=obs_pp,
+            obs_uv=obs_uvp, obs_weight=weight, **prior_kw)
+        sigma = 1.0 / frame.camera.fx
+        new_poses, new_points, cost = ba.optimize(
+            prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
+            huber_delta=float(np.sqrt(5.991)) * sigma)
+        new_poses = np.asarray(new_poses)
+        new_points = np.asarray(new_points)
+        for fid in free_ids:
+            i = fidx[fid]
+            self.map.frame(fid).pose_c2w = np.asarray(
+                lie.se3_inv(jnp.asarray(new_poses[i]))).astype(np.float32)
+        for pid in pids:
+            self.map.point(pid).position = new_points[pidx[pid]].astype(
+                np.float32)
+        # prune high-error observations (:1504-1549)
+        self._prune_observations(frame_ids, pids, sigma)
+
+    def _prune_observations(self, frame_ids, pids, sigma):
+        th = 5.991 * sigma * sigma * 4.0
+        for pid in list(pids):
+            mp = self.map.point(pid)
+            if mp is None:
+                continue
+            for fid in list(mp.observations.keys()):
+                if fid not in frame_ids:
+                    continue
+                fr = self.map.frame(fid)
+                kp = mp.observations[fid]
+                pc = np.asarray(lie.se3_apply(
+                    lie.se3_inv(jnp.asarray(fr.pose_c2w)),
+                    jnp.asarray(mp.position)))
+                if pc[2] <= 0:
+                    self.map.erase_observation(pid, fid)
+                    continue
+                e = np.linalg.norm(pc[:2] / pc[2] - fr.rays[kp][:2])
+                if e * e > th:
+                    self.map.erase_observation(pid, fid)
+            if mp.n_obs() < 2:
+                self.map.erase_point(pid)
+
+    def _update_normals_descriptors(self, frame: Frame):
+        """Mean viewing normal (updateNormAndDes:1883-1910). The descriptor
+        stays the creating frame's — for binary descriptors the reference's
+        Vocabulary::meanValue medoid adds little; revisit with BoW."""
+        for ci in np.nonzero(frame.kp2mp >= 0)[0]:
+            mp = self.map.point(int(frame.kp2mp[ci]))
+            if mp is None:
+                continue
+            normals = []
+            for fid in mp.observations:
+                fr = self.map.frame(fid)
+                if fr is None:
+                    continue
+                v = mp.position - fr.pose_c2w[:3]
+                n = np.linalg.norm(v)
+                if n > 1e-9:
+                    normals.append(v / n)
+            if normals:
+                m = np.mean(normals, 0)
+                mp.normal = (m / max(np.linalg.norm(m), 1e-9)).astype(
+                    np.float32)
+
+    # -------------------------------------------------------------- plane
+    def _feed_plane(self):
+        """Dominant ground plane for the mosaic (src/RANSAC.cpp:103-116)."""
+        if self._plane_sent or len(self._plane_buffer) < PLANE_MIN_POINTS:
+            return
+        pts = np.stack(self._plane_buffer[:PLANE_MIN_POINTS * 2])
+        res = ransac.find_plane(self._next_key(),
+                                jnp.asarray(pts, jnp.float32),
+                                jnp.ones(len(pts), bool),
+                                sigma=0.15)
+        if bool(res.ok):
+            self.plane_se3 = np.asarray(res.model)
+            trans_plane.product(self.plane_se3)
+            self._plane_sent = True

@@ -1,0 +1,184 @@
+"""The SLAM system: feature extraction + tracker + mapper + loop closing,
+behind the reference's SLAM plugin surface.
+
+Equivalent of GSLAM-DIYSLAM/src/DIYSLAM.cpp: lazy module creation from config
+names on the first frame (:239-260), per-frame feature extraction (:279) and
+frame wrapping, the tracking queue (here: synchronous by default, optional
+worker thread like the reference's depth-2 queue :346-363), and the
+(image, pose) push into the mosaic queue done by the tracker.
+
+Config keys match the reference (Default.cfg): Map?=Hash, Tracker?=opt,
+Mapper?=demo, FeatureDetector?=Sift|ORB, SLAM.nFeature, SLAM.MaxOverlap,
+SLAM.isOnline, ...
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.messenger import trans
+from ..core.registry import (FEATURE_DETECTORS, LOOP_CLOSERS, MAPPERS, MAPS,
+                             TRACKERS)
+from ..core.svar import Svar
+from ..core.timer import timer
+from ..ops import image as im
+from ..ops.features import orb
+from .frame import Frame
+from .loopclose import LoopCloserSE3Graph
+from .mapper import Mapper
+from .tracker import Tracker
+from .worldmap import WorldMap
+
+
+@FEATURE_DETECTORS.register("ORB")
+class OrbDetector:
+    def __init__(self, cfg):
+        self.params = orb.OrbParams(
+            n_features=cfg.get_int("SLAM.nFeature", 1000),
+            n_levels=cfg.get_int("ORB.nLevels", 8),
+            scale_factor=cfg.get_double("ORB.ScaleFactor", 1.2))
+        self.kind = "orb"
+
+    def __call__(self, gray):
+        return orb.orb_detect(jnp.asarray(gray, jnp.float32), self.params)
+
+
+@FEATURE_DETECTORS.register("Sift")
+class SiftDetector:
+    def __init__(self, cfg):
+        from ..ops.features import sift
+        self.params = sift.SiftParams(
+            n_features=cfg.get_int("SLAM.nFeature", 1000))
+        self.kind = "sift"
+
+    def __call__(self, gray):
+        from ..ops.features import sift
+        return sift.sift_detect(jnp.asarray(gray, jnp.float32), self.params)
+
+
+class SLAM:
+    """DIYSLAM equivalent. Use `track(image, timestamp, gps_lla=None)`."""
+
+    def __init__(self, cfg: Optional[Svar] = None, camera=None):
+        self.cfg = cfg if cfg is not None else Svar()
+        self.camera = camera
+        self.map: Optional[WorldMap] = None
+        self.tracker: Optional[Tracker] = None
+        self.mapper: Optional[Mapper] = None
+        self.loop_closer: Optional[LoopCloserSE3Graph] = None
+        self.detector = None
+        self._local_frame = None    # gps.LocalFrame once first fix arrives
+        self._online = False
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self.frames_tracked = 0
+        self.frames_total = 0
+
+    # lazy init on first frame (DIYSLAM.cpp:239-260)
+    def _ensure_modules(self):
+        if self.tracker is not None:
+            return
+        cfg = self.cfg
+        self.map = MAPS.create(cfg.get_string("Map", "Hash"), cfg)
+        self.mapper = MAPPERS.create(cfg.get_string("Mapper", "demo"),
+                                     self.map, cfg)
+        self.tracker = TRACKERS.create(cfg.get_string("Tracker", "opt"),
+                                       self.map, cfg, self.mapper)
+        self.loop_closer = LOOP_CLOSERS.create(
+            cfg.get_string("LoopCloser", "se3graph"), self.map, cfg)
+        feat = cfg.get_string("FeatureDetector",
+                              cfg.get_string("SLAM.Feature", "ORB"))
+        self.detector = FEATURE_DETECTORS.create(feat, cfg)
+        self._online = cfg.get_bool("SLAM.isOnline", False) and \
+            not cfg.get_bool("SLAM.forceOffline", False)
+        if self._online:
+            self._queue = queue.Queue(maxsize=2)   # DIYSLAM.cpp:346-353
+            self._worker = threading.Thread(target=self._tracking_loop,
+                                            daemon=True)
+            self._worker.start()
+
+    # ------------------------------------------------------------------ API
+    def track(self, image: np.ndarray, timestamp: float,
+              gps_lla=None, gps_acc: float = 5.0) -> Optional[Frame]:
+        """Feed one frame. image: [H, W] gray or [H, W, 3] RGB uint8/f32."""
+        self._ensure_modules()
+        if self.camera is None:
+            p = self.cfg.get_vec("Camera.Paraments")
+            if p:
+                from ..core.camera import Camera
+                self.camera = Camera.from_parameters(p)
+            else:
+                raise ValueError("no camera configured")
+        image = np.asarray(image)
+        color = image if image.ndim == 3 else None
+        gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image, jnp.float32)))
+                if image.ndim == 3 else image.astype(np.float32))
+        with timer.scope("SLAM::extract"):
+            feats = self.detector(gray)
+        frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
+                      camera=self.camera, image=gray, color=color)
+        frame.set_features({k: np.asarray(v) for k, v in feats.items()},
+                           self.detector.kind)
+        if gps_lla is not None:
+            from ..core import gps as gpsmod
+            if self._local_frame is None:
+                self._local_frame = gpsmod.LocalFrame(*gps_lla)
+                self.cfg.set("GPS.Origin", " ".join(str(v) for v in gps_lla))
+            frame.gps_lla = np.asarray(gps_lla, np.float64)
+            frame.gps_enu = self._local_frame.to_local(*gps_lla).astype(
+                np.float32)
+            frame.gps_acc = gps_acc
+        if self._online:
+            try:
+                self._queue.put_nowait(frame)
+            except queue.Full:
+                pass  # drop (depth-2 backpressure like the reference)
+        else:
+            self._track_one(frame)
+        return frame
+
+    def _track_one(self, frame: Frame):
+        self.frames_total += 1
+        ok = self.tracker.track(frame)
+        if ok:
+            self.frames_tracked += 1
+            # feed the mosaic queue (TrackerOpt.cpp:374-384)
+            img = frame.color if frame.color is not None else frame.image
+            trans.product((img, frame.pose_c2w.copy()))
+            if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",
+                                                       True):
+                self.loop_closer.try_close(frame)
+        return ok
+
+    def _tracking_loop(self):
+        while True:
+            frame = self._queue.get()
+            if frame is None:
+                return
+            self._track_one(frame)
+
+    def finish(self):
+        """Flush the online queue (call("Finish") in the reference)."""
+        if self._online and self._queue is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=30)
+
+    # convenience accessors
+    @property
+    def plane(self):
+        return None if self.mapper is None else self.mapper.plane_se3
+
+    def trajectory(self):
+        frames = sorted(self.map.frames(), key=lambda f: f.timestamp)
+        return (np.asarray([f.timestamp for f in frames]),
+                np.stack([f.pose_c2w for f in frames]) if frames else
+                np.zeros((0, 7)))
+
+
+def create_slam(cfg: Optional[Svar] = None, camera=None) -> SLAM:
+    """createSLAMInstance equivalent (DIYSLAM.cpp:507)."""
+    return SLAM(cfg, camera)

@@ -1,0 +1,388 @@
+"""Pose tracker: the per-frame state machine.
+
+Equivalent of the reference's default tracker `opt`
+(GSLAM-DIYSLAM/src/zhaoyong/TrackerOpt.cpp): Init/Track/Lost states (:52-57),
+two-view bootstrap with baseline check (:508-634), motion-model
+trackLastFrame with window matches + pose-only LM (:636-793), PnP-RANSAC
+relocalization against keyframes (:795-902, 1307-1350), trackLocalMap
+(:1107-1305), and the FOV-overlap keyframe decision vs SLAM.MaxOverlap
+(:1420-1502). Every tracked frame's (image, pose) is pushed to the mosaic
+queue (:374-384).
+
+Host code does bookkeeping; all per-keypoint work (descriptor distance
+matrices, windowed matching, pose LM, PnP RANSAC, two-view init) runs as
+fixed-shape jitted kernels from ops/.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import TRACKERS
+from ..core.timer import timer
+from ..ops import ba, init2view, lie, matching, ransac
+from ..utils.padding import pad_to
+from .frame import Frame, MapPoint
+from .worldmap import WorldMap
+
+LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
+
+
+class Status(enum.Enum):
+    INIT = 0
+    TRACKING = 1
+    LOST = 2
+
+
+@TRACKERS.register("opt")
+class Tracker:
+    def __init__(self, wmap: WorldMap, cfg, mapper=None):
+        self.map = wmap
+        self.cfg = cfg
+        self.mapper = mapper
+        self.status = Status.INIT
+        self.ref_frame: Optional[Frame] = None    # init reference
+        self.ref_kf_id: int = -1
+        self.last_frame: Optional[Frame] = None
+        self.motion = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        self.lost_count = 0
+        self._key = jax.random.PRNGKey(cfg.get_int("SLAM.Seed", 0))
+        self.max_overlap = cfg.get_double("SLAM.MaxOverlap", 0.95)
+        self.min_inliers = cfg.get_int("SLAM.MinTrackInliers", 30)
+        # matching thresholds (MatcherBoW.cpp:133-174)
+        self.chi2_px = cfg.get_double("SLAM.Chi2Threshold", 5.991)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------ API
+    def track(self, frame: Frame) -> bool:
+        with timer.scope("Tracker::track"):
+            if self.status == Status.INIT:
+                ok = self._initialize(frame)
+            else:
+                ok = self._track_frame(frame)
+            self.last_prev = self.last_frame
+            if ok and self.last_frame is not None:
+                Ti = lie.se3_inv(jnp.asarray(self.last_frame.pose_c2w))
+                self.motion = np.asarray(
+                    lie.se3_mul(Ti, jnp.asarray(frame.pose_c2w)))
+            self.last_frame = frame
+            return ok
+
+    # ----------------------------------------------------------- bootstrap
+    def _initialize(self, frame: Frame) -> bool:
+        if self.ref_frame is None or self.ref_frame.n_kp == 0:
+            self.ref_frame = frame
+            return False
+        ref = self.ref_frame
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            ref.desc_kind, ratio=0.8)
+        ok = matching.rotation_consistency_mask(
+            jnp.asarray(ref.angle), jnp.asarray(frame.angle), idx, ok)
+        n_match = int(jnp.sum(ok))
+        if n_match < self.cfg.get_int("SLAM.MinInitMatches", 100):
+            self.ref_frame = frame
+            return False
+        idxn = np.asarray(idx)
+        okn = np.asarray(ok)
+        ra = ref.rays[:, :2]
+        rb = frame.rays[np.where(okn, idxn, 0)][:, :2]
+        sigma = 1.0 / ref.camera.fx
+        res = init2view.initialize_two_view(
+            self._next_key(), jnp.asarray(ra), jnp.asarray(rb),
+            jnp.asarray(okn), sigma=max(sigma, 1e-4))
+        if not bool(res.ok):
+            return False
+        # monocular gauge: scale so median depth == 1
+        mask = np.asarray(res.mask)
+        pts = np.asarray(res.points)
+        depths = pts[mask][:, 2]
+        med = float(np.median(depths[depths > 0])) if (depths > 0).any() else 1.0
+        scale = 1.0 / max(med, 1e-6)
+        pts = pts * scale
+        T_c2w = np.array(res.T_c2w)
+        T_c2w[:3] *= scale
+
+        # build the map: two keyframes + triangulated points
+        ref.pose_c2w = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        ref.is_keyframe = True
+        frame.pose_c2w = T_c2w.astype(np.float32)
+        frame.is_keyframe = True
+        self.map.insert_frame(ref)
+        self.map.insert_frame(frame)
+        color_img = ref.color if ref.color is not None else ref.image
+        for i in np.nonzero(mask)[0]:
+            pid = self.map.get_pid()
+            kp_ref = int(i)
+            kp_cur = int(idxn[i])
+            color = np.full(3, 128, np.uint8)
+            if color_img is not None:
+                x, y = ref.xy[kp_ref].astype(int)
+                if 0 <= y < color_img.shape[0] and 0 <= x < color_img.shape[1]:
+                    c = color_img[y, x]
+                    color = (np.full(3, int(c), np.uint8) if np.ndim(c) == 0
+                             else c.astype(np.uint8))
+            mp = MapPoint(id=pid, position=pts[i].astype(np.float32),
+                          descriptor=np.asarray(frame.desc[kp_cur]),
+                          color=color, ref_frame=frame.id)
+            view = pts[i] / max(np.linalg.norm(pts[i]), 1e-9)
+            mp.normal = -view.astype(np.float32)
+            self.map.insert_point(mp)
+            self.map.add_observation(pid, ref.id, kp_ref)
+            self.map.add_observation(pid, frame.id, kp_cur)
+        ref.connections[frame.id] = int(mask.sum())
+        frame.connections[ref.id] = int(mask.sum())
+        self.ref_kf_id = frame.id
+        self.status = Status.TRACKING
+        if self.mapper is not None:
+            self.mapper.on_map_initialized(ref, frame)
+        return True
+
+    # ------------------------------------------------------------ tracking
+    def _track_frame(self, frame: Frame) -> bool:
+        ok = False
+        if self.status == Status.TRACKING and self.last_frame is not None:
+            ok = self._track_last_frame(frame)
+        if not ok:
+            ok = self._track_ref_kf(frame)
+        if ok:
+            ok = self._track_local_map(frame)
+        if ok:
+            self.status = Status.TRACKING
+            self.lost_count = 0
+            self._maybe_keyframe(frame)
+        else:
+            self.status = Status.LOST
+            self.lost_count += 1
+            if self.lost_count > self.cfg.get_int("SLAM.LostRestart", 10) \
+                    and self.cfg.get_bool("SLAM.RestartWhenLost", False):
+                self.status = Status.INIT
+                self.ref_frame = None
+        return ok
+
+    def _gather_frame_points(self, src: Frame):
+        """Map points assigned to src's keypoints, aligned to kp index."""
+        pos = np.zeros((src.n_kp, 3), np.float32)
+        has = np.zeros(src.n_kp, bool)
+        for i in np.nonzero(src.kp2mp >= 0)[0]:
+            mp = self.map.point(int(src.kp2mp[i]))
+            if mp is not None and not mp.bad:
+                pos[i] = mp.position
+                has[i] = True
+        return pos, has
+
+    def _track_last_frame(self, frame: Frame) -> bool:
+        last = self.last_frame
+        if last.n_tracked() < 20:
+            return False
+        T_pred = np.asarray(lie.se3_mul(jnp.asarray(last.pose_c2w),
+                                        jnp.asarray(self.motion)))
+        pos, has = self._gather_frame_points(last)
+        # project into predicted view
+        Tw2c = lie.se3_inv(jnp.asarray(T_pred))
+        pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos)))
+        infront = pc[:, 2] > 1e-3
+        uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
+        pix = np.asarray(frame.camera.project(
+            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
+        radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
+        wmask = matching.window_mask(jnp.asarray(pix),
+                                     jnp.asarray(frame.xy), radius)
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(last.desc), jnp.asarray(has & infront & last.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            last.desc_kind, window=wmask)
+        okn = np.asarray(ok)
+        if okn.sum() < 20:
+            return False
+        idxn = np.asarray(idx)
+        return self._solve_pose(frame, T_pred, pos, has, idxn, okn, last)
+
+    def _solve_pose(self, frame, T_init_c2w, pos, has, idxn, okn, src_frame):
+        """Pose-only LM from (src kp -> cur kp) matches; assigns kp2mp."""
+        n = frame.n_kp
+        p3d = np.zeros((n, 3), np.float32)
+        w = np.zeros(n, np.float32)
+        src_of_cur = np.full(n, -1, np.int64)
+        sel = np.nonzero(okn & has)[0]
+        cur_idx = idxn[sel]
+        p3d[cur_idx] = pos[sel]
+        w[cur_idx] = 1.0
+        src_of_cur[cur_idx] = sel
+        p2n = frame.rays[:, :2]
+        T, cost, chi2 = ba.optimize_pose(
+            lie.se3_inv(jnp.asarray(T_init_c2w, jnp.float32)),
+            jnp.asarray(p3d), jnp.asarray(p2n), jnp.asarray(w),
+            iters=12, huber_delta=float(np.sqrt(self.chi2_px))
+            / frame.camera.fx)
+        chi2 = np.asarray(chi2)
+        th = self.chi2_px / frame.camera.fx ** 2
+        inl = (w > 0) & (chi2 < th)
+        if inl.sum() < self.min_inliers:
+            return False
+        frame.pose_c2w = np.asarray(lie.se3_inv(T)).astype(np.float32)
+        frame.kp2mp[:] = -1
+        for ci in np.nonzero(inl)[0]:
+            frame.kp2mp[ci] = src_frame.kp2mp[src_of_cur[ci]]
+        self._n_inliers = int(inl.sum())
+        return True
+
+    def _track_ref_kf(self, frame: Frame) -> bool:
+        """PnP-RANSAC against the reference keyframe
+        (trackRefKeyframeRansac, :795-902); doubles as relocalization when
+        we also scan recent keyframes."""
+        kfs = self.map.keyframes()
+        candidates = []
+        ref = self.map.frame(self.ref_kf_id)
+        if ref is not None:
+            candidates.append(ref)
+        if self.status == Status.LOST:
+            # relocalization sweep (relocalize(), :1307-1350): recent
+            # keyframes first, then a strided sample over the whole map
+            recent = kfs[-3:]
+            stride = max(1, len(kfs) // 17)
+            spread = kfs[::stride][:17]
+            seen = set()
+            candidates = []
+            for kf in recent + spread:
+                if kf.id not in seen:
+                    seen.add(kf.id)
+                    candidates.append(kf)
+        for kf in candidates:
+            pos, has = self._gather_frame_points(kf)
+            idx, ok = matching.match_descriptors(
+                jnp.asarray(kf.desc), jnp.asarray(has & kf.valid),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                kf.desc_kind, ratio=0.8)
+            okn = np.asarray(ok)
+            if okn.sum() < 15:
+                continue
+            idxn = np.asarray(idx)
+            n = frame.n_kp
+            p3d = np.zeros((n, 3), np.float32)
+            w = np.zeros(n, bool)
+            src_of_cur = np.full(n, -1, np.int64)
+            sel = np.nonzero(okn & has)[0]
+            p3d[idxn[sel]] = pos[sel]
+            w[idxn[sel]] = True
+            src_of_cur[idxn[sel]] = sel
+            res = ransac.find_pnp(self._next_key(), jnp.asarray(p3d),
+                                  jnp.asarray(frame.rays[:, :2]),
+                                  jnp.asarray(w),
+                                  threshold=3.0 / frame.camera.fx)
+            if not bool(res.ok):
+                continue
+            T_c2w = np.asarray(lie.se3_inv(res.model))
+            if self._solve_pose(frame, T_c2w, pos, has, idxn, okn, kf):
+                return True
+        return False
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """Project the local map into the frame and refine
+        (trackLocalMap, :1107-1305)."""
+        ref = self.map.frame(self.ref_kf_id)
+        local_ids = {self.ref_kf_id}
+        if ref is not None:
+            top = sorted(ref.connections.items(), key=lambda kv: -kv[1])
+            local_ids.update(k for k, _ in top[:10])
+        pids = set()
+        for fid in local_ids:
+            fr = self.map.frame(fid)
+            if fr is None or fr.kp2mp is None:
+                continue
+            pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
+        ids, pos, desc = self.map.point_arrays(sorted(pids))
+        if len(ids) < 30:
+            return frame.n_tracked() >= self.min_inliers
+        pos_p, maskp = pad_to(pos, LOCAL_POINT_CAP)
+        desc_p, _ = pad_to(np.asarray(desc), LOCAL_POINT_CAP)
+        ids_p, _ = pad_to(np.asarray(ids, np.int64), LOCAL_POINT_CAP, -1)
+        # project with current pose
+        Tw2c = lie.se3_inv(jnp.asarray(frame.pose_c2w))
+        pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos_p)))
+        infront = pc[:, 2] > 1e-3
+        uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
+        pix = np.asarray(frame.camera.project(
+            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
+        inview = np.asarray(frame.camera.in_view(jnp.asarray(pix)))
+        pvalid = maskp & infront & inview
+        radius = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
+        wmask = matching.window_mask(jnp.asarray(pix), jnp.asarray(frame.xy),
+                                     radius)
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(desc_p), jnp.asarray(pvalid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            frame.desc_kind, window=wmask)
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        # merge: point -> cur kp assignments (keep existing from track_last)
+        n = frame.n_kp
+        p3d = np.zeros((n, 3), np.float32)
+        w = np.zeros(n, np.float32)
+        newmp = np.full(n, -1, np.int64)
+        for pi in np.nonzero(okn)[0]:
+            ci = idxn[pi]
+            if frame.kp2mp[ci] < 0 and newmp[ci] < 0:
+                p3d[ci] = pos_p[pi]
+                w[ci] = 1.0
+                newmp[ci] = ids_p[pi]
+        # existing assignments
+        for ci in np.nonzero(frame.kp2mp >= 0)[0]:
+            mp = self.map.point(int(frame.kp2mp[ci]))
+            if mp is not None and not mp.bad:
+                p3d[ci] = mp.position
+                w[ci] = 1.0
+        if (w > 0).sum() < self.min_inliers:
+            return False
+        T, cost, chi2 = ba.optimize_pose(
+            lie.se3_inv(jnp.asarray(frame.pose_c2w)),
+            jnp.asarray(p3d), jnp.asarray(frame.rays[:, :2]), jnp.asarray(w),
+            iters=10,
+            huber_delta=float(np.sqrt(self.chi2_px)) / frame.camera.fx)
+        chi2 = np.asarray(chi2)
+        th = self.chi2_px / frame.camera.fx ** 2
+        inl = (w > 0) & (chi2 < th)
+        if inl.sum() < self.min_inliers:
+            return False
+        frame.pose_c2w = np.asarray(lie.se3_inv(T)).astype(np.float32)
+        for ci in np.nonzero(inl)[0]:
+            if frame.kp2mp[ci] < 0 and newmp[ci] >= 0:
+                frame.kp2mp[ci] = newmp[ci]
+        for ci in np.nonzero(~inl)[0]:
+            frame.kp2mp[ci] = -1
+        self._n_inliers = int(inl.sum())
+        return True
+
+    # ------------------------------------------------------------ keyframe
+    def _maybe_keyframe(self, frame: Frame):
+        """FOV-overlap heuristic (TrackerOpt::addKeyframeIfNeeded,
+        :1420-1502): insert when the view has shifted by more than
+        (1 - MaxOverlap) of the field of view."""
+        ref = self.map.frame(self.ref_kf_id)
+        if ref is None:
+            return
+        ids, pos, _ = self.map.point_arrays(
+            [int(p) for p in frame.kp2mp[frame.kp2mp >= 0]])
+        med_depth = frame.median_depth(pos) if len(ids) else 1.0
+        rel = np.asarray(lie.se3_mul(lie.se3_inv(jnp.asarray(ref.pose_c2w)),
+                                     jnp.asarray(frame.pose_c2w)))
+        t_shift = float(np.linalg.norm(rel[:3]))
+        ang = 2.0 * np.arccos(min(abs(float(rel[6])), 1.0))
+        fov = 2.0 * np.arctan(0.5 * frame.camera.width / frame.camera.fx)
+        view_extent = 2.0 * np.tan(fov / 2.0) * max(med_depth, 1e-6)
+        change = t_shift / view_extent + ang / fov
+        if change > (1.0 - self.max_overlap):
+            frame.is_keyframe = True
+            self.map.insert_frame(frame)
+            # observations are registered by the mapper
+            if self.mapper is not None:
+                self.mapper.insert_keyframe(frame)
+            self.ref_kf_id = frame.id

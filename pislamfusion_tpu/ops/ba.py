@@ -1,0 +1,358 @@
+"""Bundle adjustment: Schur-complement Levenberg-Marquardt on TPU.
+
+Replaces the reference's vendored g2o stack (GSLAM-DIYSLAM/src/zhaoyong/
+optimizerG2O/Optimizer.cpp — LM over BlockSolverX + LinearSolverEigen, ~21
+kLoC) with a fixed-shape dense-block solver built for the MXU:
+
+  * `BAProblem` mirrors GSLAM's BundleGraph (GSLAM/GSLAM/core/Optimizer.h:
+    150-172): keyframe poses with fixed masks, map points, reprojection
+    edges, SE3 relative edges (se3Graph), and SE3 pose priors (gpsGraph,
+    Optimizer.cpp EdgeSE3GPS with 6x6 information).
+  * Jacobians come from forward-mode autodiff of the residual at a zero
+    local delta (left-multiplied se3 retraction), vmapped over edges.
+  * The normal equations use the Schur trick: per-point 3x3 blocks are
+    inverted in closed form, the reduced camera system (6F x 6F, F <= ~64
+    for local windows — TrackerOpt.cpp:1121 caps local KFs) is assembled
+    densely with scatter-adds and one einsum, then solved with Cholesky.
+  * LM damping runs a fixed iteration budget with branch-free accept/reject
+    (jnp.where), replacing g2o's data-dependent loop; the reference caps at
+    50 iterations / 0.5 s (Optimizer.cpp:389-392) — here 50 fixed iterations
+    of a compiled program are microseconds-scale.
+
+Residuals are in *normalized* image coordinates (unprojected pixels); Huber
+robustification matches the reference's chi2 = 5.991-pixel kernel scaled by
+focal length.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+
+
+class BAProblem(NamedTuple):
+    """Padded, fixed-shape bundle graph. F frames, P points, O observations,
+    E relative edges, G pose priors."""
+    poses: jnp.ndarray        # [F, 7] SE3 world->camera (g2o inverse pose)
+    pose_fixed: jnp.ndarray   # [F] bool
+    points: jnp.ndarray       # [P, 3]
+    point_fixed: jnp.ndarray  # [P] bool (or padding)
+    obs_frame: jnp.ndarray    # [O] int32
+    obs_point: jnp.ndarray    # [O] int32
+    obs_uv: jnp.ndarray       # [O, 2] normalized image coords
+    obs_weight: jnp.ndarray   # [O] float (0 = invalid/padding)
+    # SE3 relative edges: residual = log(meas^-1 * (Ti * Tj^-1))
+    rel_i: jnp.ndarray        # [E] int32
+    rel_j: jnp.ndarray        # [E] int32
+    rel_meas: jnp.ndarray     # [E, 7]
+    rel_weight: jnp.ndarray   # [E] float (scalar info; 0 = padding)
+    # pose priors (GPS): residual = log(T * prior^-1)
+    prior_frame: jnp.ndarray  # [G] int32
+    prior_pose: jnp.ndarray   # [G, 7]
+    prior_info: jnp.ndarray   # [G, 6] diagonal information
+
+
+def make_problem(poses, pose_fixed, points=None, point_fixed=None,
+                 obs_frame=None, obs_point=None, obs_uv=None, obs_weight=None,
+                 rel_i=None, rel_j=None, rel_meas=None, rel_weight=None,
+                 prior_frame=None, prior_pose=None, prior_info=None):
+    """Convenience constructor filling absent edge families with size-0/1
+    padded placeholders (every family keeps at least one padded row so shapes
+    stay static across problems)."""
+    f32 = jnp.float32
+
+    def arr(x, shape, dtype=f32):
+        return jnp.zeros(shape, dtype) if x is None else jnp.asarray(x, dtype)
+
+    P = 1 if points is None else len(points)
+    O = 1 if obs_uv is None else len(obs_uv)
+    E = 1 if rel_meas is None else len(rel_meas)
+    G = 1 if prior_pose is None else len(prior_pose)
+    poses = jnp.asarray(poses, f32)
+    if point_fixed is None and points is not None:
+        point_fixed = jnp.zeros(P, bool)
+    prior_pose_arr = arr(prior_pose, (G, 7))
+    if prior_pose is None:
+        prior_pose_arr = prior_pose_arr.at[:, 6].set(1.0)
+    rel_meas_arr = arr(rel_meas, (E, 7))
+    if rel_meas is None:
+        rel_meas_arr = rel_meas_arr.at[:, 6].set(1.0)
+    return BAProblem(
+        poses=poses,
+        pose_fixed=jnp.asarray(pose_fixed, bool),
+        points=arr(points, (P, 3)),
+        point_fixed=arr(point_fixed, (P,), bool) if point_fixed is not None
+        else jnp.ones(P, bool),
+        obs_frame=arr(obs_frame, (O,), jnp.int32),
+        obs_point=arr(obs_point, (O,), jnp.int32),
+        obs_uv=arr(obs_uv, (O, 2)),
+        obs_weight=arr(obs_weight, (O,)),
+        rel_i=arr(rel_i, (E,), jnp.int32),
+        rel_j=arr(rel_j, (E,), jnp.int32),
+        rel_meas=rel_meas_arr,
+        rel_weight=arr(rel_weight, (E,)),
+        prior_frame=arr(prior_frame, (G,), jnp.int32),
+        prior_pose=prior_pose_arr,
+        prior_info=arr(prior_info, (G, 6)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# residuals + jacobians
+# ---------------------------------------------------------------------------
+
+def _reproj_residual(delta_pose, delta_point, T_w2c, X, uv):
+    """Residual at local deltas (the autodiff point is delta = 0)."""
+    T = lie.se3_mul(lie.se3_exp(delta_pose), T_w2c)
+    pc = lie.se3_apply(T, X + delta_point)
+    z = pc[2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    r = pc[:2] / zs - uv
+    # behind-camera guard: large constant residual (gradient ~0 via where)
+    return jnp.where(z > 1e-6, r, jnp.zeros_like(r))
+
+
+_reproj_jac = jax.vmap(
+    jax.jacfwd(_reproj_residual, argnums=(0, 1)),
+    in_axes=(None, None, 0, 0, 0))
+_reproj_val = jax.vmap(_reproj_residual, in_axes=(None, None, 0, 0, 0))
+
+
+def _rel_residual(di, dj, Ti, Tj, meas):
+    Ti = lie.se3_mul(lie.se3_exp(di), Ti)
+    Tj = lie.se3_mul(lie.se3_exp(dj), Tj)
+    return lie.se3_log(lie.se3_mul(lie.se3_inv(meas),
+                                   lie.se3_mul(Ti, lie.se3_inv(Tj))))
+
+
+_rel_jac = jax.vmap(jax.jacfwd(_rel_residual, argnums=(0, 1)),
+                    in_axes=(None, None, 0, 0, 0))
+_rel_val = jax.vmap(_rel_residual, in_axes=(None, None, 0, 0, 0))
+
+
+def _prior_residual(d, T, prior):
+    T = lie.se3_mul(lie.se3_exp(d), T)
+    return lie.se3_log(lie.se3_mul(T, lie.se3_inv(prior)))
+
+
+_prior_jac = jax.vmap(jax.jacfwd(_prior_residual, argnums=0),
+                      in_axes=(None, 0, 0))
+_prior_val = jax.vmap(_prior_residual, in_axes=(None, 0, 0))
+
+
+def _huber_weight(r2, delta):
+    """IRLS weight for the Huber kernel at squared residual r2."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+# ---------------------------------------------------------------------------
+# one LM step (Schur complement)
+# ---------------------------------------------------------------------------
+
+def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
+    F = problem.poses.shape[0]
+    P = problem.points.shape[0]
+    z6 = jnp.zeros(6, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    T_obs = problem.poses[problem.obs_frame]
+    X_obs = problem.points[problem.obs_point]
+    r = _reproj_val(z6, z3, T_obs, X_obs, problem.obs_uv)       # [O, 2]
+    Jc, Jp = _reproj_jac(z6, z3, T_obs, X_obs, problem.obs_uv)  # [O,2,6],[O,2,3]
+    r2 = jnp.sum(r * r, -1)
+    w = problem.obs_weight * _huber_weight(r2, huber_delta)
+    # zero out jacobians of fixed frames/points
+    freef = (~problem.pose_fixed[problem.obs_frame]).astype(jnp.float32)
+    freep = (~problem.point_fixed[problem.obs_point]).astype(jnp.float32)
+    Jc = Jc * (w * freef)[:, None, None] ** 0.5
+    Jp = Jp * (w * freep)[:, None, None] ** 0.5
+    rw = r * jnp.sqrt(w)[:, None]
+
+    # per-point blocks
+    Hpp = jnp.zeros((P, 3, 3)).at[problem.obs_point].add(
+        jnp.einsum("oki,okj->oij", Jp, Jp))
+    bp = jnp.zeros((P, 3)).at[problem.obs_point].add(
+        -jnp.einsum("oki,ok->oi", Jp, rw))
+    # camera diag blocks
+    Hcc = jnp.zeros((F, 6, 6)).at[problem.obs_frame].add(
+        jnp.einsum("oki,okj->oij", Jc, Jc))
+    bc = jnp.zeros((F, 6)).at[problem.obs_frame].add(
+        -jnp.einsum("oki,ok->oi", Jc, rw))
+    # cross blocks U[f, p] 6x3
+    U = jnp.zeros((F, P, 6, 3)).at[problem.obs_frame, problem.obs_point].add(
+        jnp.einsum("oki,okj->oij", Jc, Jp))
+
+    # relative SE3 edges -> dense frame-frame coupling
+    Ti = problem.poses[problem.rel_i]
+    Tj = problem.poses[problem.rel_j]
+    rr = _rel_val(z6, z6, Ti, Tj, problem.rel_meas)             # [E, 6]
+    Ji, Jj = _rel_jac(z6, z6, Ti, Tj, problem.rel_meas)
+    wr = problem.rel_weight
+    fi = (~problem.pose_fixed[problem.rel_i]).astype(jnp.float32)
+    fj = (~problem.pose_fixed[problem.rel_j]).astype(jnp.float32)
+    Ji = Ji * (wr * fi)[:, None, None] ** 0.5
+    Jj = Jj * (wr * fj)[:, None, None] ** 0.5
+    rrw = rr * jnp.sqrt(wr)[:, None]
+    S_full = jnp.zeros((F, F, 6, 6))
+    S_full = S_full.at[problem.rel_i, problem.rel_i].add(
+        jnp.einsum("eki,ekj->eij", Ji, Ji))
+    S_full = S_full.at[problem.rel_j, problem.rel_j].add(
+        jnp.einsum("eki,ekj->eij", Jj, Jj))
+    S_full = S_full.at[problem.rel_i, problem.rel_j].add(
+        jnp.einsum("eki,ekj->eij", Ji, Jj))
+    S_full = S_full.at[problem.rel_j, problem.rel_i].add(
+        jnp.einsum("eki,ekj->eij", Jj, Ji))
+    bc = bc.at[problem.rel_i].add(-jnp.einsum("eki,ek->ei", Ji, rrw))
+    bc = bc.at[problem.rel_j].add(-jnp.einsum("eki,ek->ei", Jj, rrw))
+
+    # pose priors (GPS)
+    Tg = problem.poses[problem.prior_frame]
+    rg = _prior_val(z6, Tg, problem.prior_pose)                 # [G, 6]
+    Jg = _prior_jac(z6, Tg, problem.prior_pose)                 # [G, 6, 6]
+    fg = (~problem.pose_fixed[problem.prior_frame]).astype(jnp.float32)
+    # diagonal info: weight each residual row
+    sqrt_info = jnp.sqrt(jnp.maximum(problem.prior_info, 0.0)) * fg[:, None]
+    Jg = Jg * sqrt_info[:, :, None]
+    rgw = rg * sqrt_info
+    Hcc = Hcc.at[problem.prior_frame].add(jnp.einsum("gki,gkj->gij", Jg, Jg))
+    bc = bc.at[problem.prior_frame].add(-jnp.einsum("gki,gk->gi", Jg, rgw))
+
+    # ---------------- Schur complement ----------------
+    eye3 = jnp.eye(3)
+    Hpp_d = Hpp + lam * eye3[None] * jnp.maximum(
+        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6)
+    # guard empty points
+    Vinv = jnp.linalg.inv(Hpp_d + 1e-9 * eye3[None])
+    eye6 = jnp.eye(6)
+    Hcc_d = Hcc + lam * eye6[None] * jnp.maximum(
+        jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6)
+    S_full = S_full.at[jnp.arange(F), jnp.arange(F)].add(Hcc_d)
+    UV = jnp.einsum("fpab,pbc->fpac", U, Vinv)                 # [F,P,6,3]
+    S_full = S_full - jnp.einsum("ipac,jpbc->ijab", UV, U)
+    b_red = bc - jnp.einsum("fpab,pb->fa", UV, bp)
+
+    # fixed frames: identity rows
+    fixed = problem.pose_fixed
+    S_mat = S_full.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
+    mask = jnp.repeat(~fixed, 6).astype(jnp.float32)
+    S_mat = S_mat * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    b_vec = b_red.reshape(-1) * mask
+    dc = jnp.linalg.solve(S_mat + 1e-9 * jnp.eye(6 * F), b_vec)
+    dc = dc.reshape(F, 6)
+    dp = jnp.einsum("pab,pb->pa", Vinv,
+                    bp - jnp.einsum("fpab,fa->pb", U, dc))
+    dp = dp * (~problem.point_fixed)[:, None]
+    return dc, dp
+
+
+def _total_cost(problem: BAProblem, huber_delta: float):
+    z6 = jnp.zeros(6, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+    r = _reproj_val(z6, z3, problem.poses[problem.obs_frame],
+                    problem.points[problem.obs_point], problem.obs_uv)
+    r2 = jnp.sum(r * r, -1)
+    # Huber cost
+    d = huber_delta
+    c = jnp.where(r2 <= d * d, r2, 2 * d * jnp.sqrt(jnp.maximum(r2, 1e-18))
+                  - d * d)
+    cost = jnp.sum(problem.obs_weight * c)
+    rr = _rel_val(z6, z6, problem.poses[problem.rel_i],
+                  problem.poses[problem.rel_j], problem.rel_meas)
+    cost += jnp.sum(problem.rel_weight * jnp.sum(rr * rr, -1))
+    rg = _prior_val(z6, problem.poses[problem.prior_frame],
+                    problem.prior_pose)
+    cost += jnp.sum(jnp.sum(problem.prior_info * rg * rg, -1))
+    return cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
+def optimize(problem: BAProblem, iters: int = 20,
+             huber_delta: float = 0.0061):
+    """Full BA (OptimizerG2O::optimize equivalent). Returns (poses, points,
+    final_cost). huber_delta default = sqrt(5.991)/400 — the reference's
+    chi2 kernel at a nominal 400 px focal length, in normalized coords."""
+
+    def step(state, _):
+        poses, points, lam, cost = state
+        p = problem._replace(poses=poses, points=points)
+        dc, dp = _assemble_and_solve(p, lam, huber_delta)
+        new_poses = lie.se3_mul(lie.se3_exp(dc), poses)
+        new_poses = jnp.where(problem.pose_fixed[:, None], poses, new_poses)
+        new_points = points + dp
+        new_cost = _total_cost(problem._replace(poses=new_poses,
+                                                points=new_points),
+                               huber_delta)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (poses, points, lam, cost), cost
+
+    init_cost = _total_cost(problem, huber_delta)
+    (poses, points, _, cost), _ = jax.lax.scan(
+        step, (problem.poses, problem.points, jnp.float32(1e-4), init_cost),
+        None, length=iters)
+    return poses, points, cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
+def optimize_pose(T_w2c, p3d, p2n, weight, iters: int = 10,
+                  huber_delta: float = 0.0061):
+    """Pose-only LM (OptimizerG2O::optimizePnP, Optimizer.cpp:18-165):
+    6x6 system, points fixed. weight: [N] (0 = invalid). Returns (T, cost,
+    per-point chi2)."""
+    z6 = jnp.zeros(6, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    def residuals(T):
+        Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
+        return _reproj_val(z6, z3, Tb, p3d, p2n)
+
+    def cost_fn(T):
+        r2 = jnp.sum(residuals(T) ** 2, -1)
+        d = huber_delta
+        c = jnp.where(r2 <= d * d, r2,
+                      2 * d * jnp.sqrt(jnp.maximum(r2, 1e-18)) - d * d)
+        return jnp.sum(weight * c)
+
+    def step(state, _):
+        T, lam, cost = state
+        Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
+        r = _reproj_val(z6, z3, Tb, p3d, p2n)
+        Jc, _ = _reproj_jac(z6, z3, Tb, p3d, p2n)
+        r2 = jnp.sum(r * r, -1)
+        w = weight * _huber_weight(r2, huber_delta)
+        H = jnp.einsum("oki,ok,okj->ij", Jc, w[:, None].repeat(2, 1), Jc)
+        b = -jnp.einsum("oki,ok->i", Jc, r * w[:, None])
+        Hd = H + lam * jnp.eye(6) * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
+        d = jnp.linalg.solve(Hd + 1e-9 * jnp.eye(6), b)
+        T_new = lie.se3_mul(lie.se3_exp(d), T)
+        new_cost = cost_fn(T_new)
+        accept = new_cost < cost
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (T, lam, cost), cost
+
+    (T, _, cost), _ = jax.lax.scan(
+        step, (T_w2c, jnp.float32(1e-4), cost_fn(T_w2c)), None, length=iters)
+    chi2 = jnp.sum(residuals(T) ** 2, -1)
+    return T, cost, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_se3_graph(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
+                       iters: int = 30):
+    """SE3 pose-graph optimization (LoopCloserSE3Graph's whole-map graph,
+    LoopCloserDemo.cpp:327-420; Sophus EdgeSE3 in Optimizer.cpp)."""
+    prob = make_problem(
+        poses=poses, pose_fixed=fixed,
+        rel_i=rel_i, rel_j=rel_j, rel_meas=rel_meas, rel_weight=rel_weight)
+    new_poses, _, cost = optimize(prob, iters=iters)
+    return new_poses, cost

@@ -1,0 +1,279 @@
+"""ORB feature extraction as fixed-shape XLA array programs.
+
+TPU-native re-design of the reference's ORB-SLAM-style extractor
+(GSLAM-DIYSLAM/src/zhaoyong/FeatureDetectorORB.cpp): scale pyramid
+(:488-545, 808-851), per-cell adaptive FAST 20->7 (:555-731), intensity
+centroid IC_Angle orientation (:155-183, 546-553), 7x7 Gaussian blur then
+256-bit BRIEF with the learned bit_pattern_31_ (:186-226, 228-487, 733-740).
+
+Re-design decisions (vs the reference's per-cell scalar loops):
+  * FAST scores are computed for EVERY pixel of every level as a dense
+    shifted-image reduction (VPU), then 3x3 NMS; the per-cell adaptive
+    20->7 threshold becomes per-cell top-k selection over the dense score
+    map with the low threshold applied globally — same intent (spatially
+    uniform corners, strong ones first) without data-dependent retries.
+  * All outputs are padded to a static keypoint capacity with a validity
+    mask; downstream matching/BA consume the mask.
+  * Descriptors are returned as [N, 256] {0,1} uint8 "bit-planes" — the MXU
+    matching path computes Hamming distance via dot products; `pack_bits`
+    converts to the reference's 32-byte layout for .gbow / checkpoint compat.
+
+The BRIEF sampling pattern (orb_pattern.npy) is the published ORB pattern
+(Rublee et al. / OpenCV), kept bit-identical so descriptors are comparable
+with the reference's and with its orb vocabulary.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import image as im
+
+PATCH_SIZE = 31        # FeatureDetectorORB.cpp:106
+HALF_PATCH = 15        # :107
+EDGE_THRESHOLD = 16    # :108
+_GATHER_R = 18         # covers rotated BRIEF offsets (|p| <= 13*sqrt(2))
+_GATHER = 2 * _GATHER_R + 1
+
+_PATTERN = np.load(os.path.join(os.path.dirname(__file__), "orb_pattern.npy"))
+
+# FAST-16 circle offsets (dx, dy), OpenCV order
+_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], np.int32)
+
+
+def _umax_mask() -> np.ndarray:
+    """Circular patch mask using the reference's umax quantization
+    (FeatureDetectorORB.cpp:528-545) so IC_Angle matches exactly."""
+    hp = HALF_PATCH
+    umax = np.zeros(hp + 1, np.int32)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    mask = np.zeros((PATCH_SIZE, PATCH_SIZE), bool)
+    for v in range(-hp, hp + 1):
+        u_lim = umax[abs(v)]
+        mask[v + hp, hp - u_lim:hp + u_lim + 1] = True
+    return mask
+
+
+_CIRC_MASK = _umax_mask()
+_IC_U = (np.arange(PATCH_SIZE) - HALF_PATCH)[None, :] * _CIRC_MASK
+_IC_V = (np.arange(PATCH_SIZE) - HALF_PATCH)[:, None] * _CIRC_MASK
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbParams:
+    n_features: int = 1000
+    n_levels: int = 8          # FeatureDetectorORB defaults
+    scale_factor: float = 1.2
+    ini_threshold: float = 20.0
+    min_threshold: float = 7.0
+    cell: int = 32             # selection grid cell (px)
+
+    def level_scales(self):
+        return [self.scale_factor ** i for i in range(self.n_levels)]
+
+    def features_per_level(self):
+        """Geometric allocation (FeatureDetectorORB.cpp:497-516)."""
+        inv = 1.0 / self.scale_factor
+        n = self.n_features * (1 - inv) / (1 - inv ** self.n_levels)
+        out = []
+        acc = 0
+        for i in range(self.n_levels - 1):
+            k = int(round(n * inv ** i))
+            out.append(k)
+            acc += k
+        out.append(max(self.n_features - acc, 0))
+        return out
+
+
+def fast_score_map(img):
+    """Dense FAST-16 corner score (max t such that 9 contiguous circle pixels
+    are all brighter/darker than center by t). img: [H, W] float."""
+    shifted = []
+    for dx, dy in _CIRCLE:
+        shifted.append(jnp.roll(img, (-dy, -dx), (0, 1)))
+    d = jnp.stack(shifted) - img[None]          # [16, H, W]
+    d2 = jnp.concatenate([d, d[:9]], 0)          # wraparound arcs
+    bright_arcs = []
+    dark_arcs = []
+    for s in range(16):
+        arc = d2[s:s + 9]
+        bright_arcs.append(jnp.min(arc, 0))
+        dark_arcs.append(jnp.min(-arc, 0))
+    score = jnp.maximum(jnp.max(jnp.stack(bright_arcs), 0),
+                        jnp.max(jnp.stack(dark_arcs), 0))
+    # kill the 3px circle border (rolled values wrap)
+    H, W = img.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    edge = ((ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3))
+    return jnp.where(edge, score, 0.0)
+
+
+def _nms3(score):
+    m = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                              "SAME")
+    return jnp.where(score >= m, score, 0.0)
+
+
+def select_keypoints(score, k: int, cell: int, min_threshold: float,
+                     border: int = EDGE_THRESHOLD):
+    """Per-cell top-k then global top-k selection over a dense score map.
+
+    Returns (xy [k, 2] int32, response [k], valid [k]).
+    """
+    H, W = score.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    ok = ((ys >= border) & (ys < H - border)
+          & (xs >= border) & (xs < W - border))
+    s = jnp.where(ok & (score > min_threshold), score, 0.0)
+    s = _nms3(s)
+    ncy, ncx = -(-H // cell), -(-W // cell)
+    pad_h, pad_w = ncy * cell - H, ncx * cell - W
+    sp = jnp.pad(s, ((0, pad_h), (0, pad_w)))
+    cells = sp.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(ncy * ncx, cell * cell)
+    per_cell = max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
+    cv, ci = jax.lax.top_k(cells, per_cell)      # [ncells, per_cell]
+    # cell-local -> global pixel coords
+    cyx = jnp.stack([jnp.arange(ncy * ncx) // ncx,
+                     jnp.arange(ncy * ncx) % ncx], -1)   # [ncells, 2]
+    gy = cyx[:, 0:1] * cell + ci // cell
+    gx = cyx[:, 1:2] * cell + ci % cell
+    flat_v = cv.reshape(-1)
+    flat_y = gy.reshape(-1)
+    flat_x = gx.reshape(-1)
+    v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
+    y = flat_y[idx]
+    x = flat_x[idx]
+    valid = v > 0
+    if v.shape[0] < k:
+        pad = k - v.shape[0]
+        v = jnp.pad(v, (0, pad))
+        y = jnp.pad(y, (0, pad))
+        x = jnp.pad(x, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return jnp.stack([x, y], -1).astype(jnp.int32), v, valid
+
+
+def _gather_patches(img, xy_center, radius: int):
+    """Gather (2r+1)^2 patches centered at integer xy. img [H, W].
+
+    With the image padded by r, the patch around center (cx, cy) starts at
+    padded[(cy, cx)] — no origin arithmetic or clamping needed.
+    """
+    r = radius
+    padded = jnp.pad(img, r, mode="edge")
+
+    def one(p):
+        return jax.lax.dynamic_slice(padded, (p[1], p[0]),
+                                     (2 * r + 1, 2 * r + 1))
+    return jax.vmap(one)(xy_center)
+
+
+def ic_angle(patches31):
+    """Intensity-centroid orientation over the umax circle
+    (FeatureDetectorORB.cpp:155-183). patches31: [N, 31, 31]."""
+    m10 = jnp.sum(patches31 * jnp.asarray(_IC_U, patches31.dtype), (-2, -1))
+    m01 = jnp.sum(patches31 * jnp.asarray(_IC_V, patches31.dtype), (-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(patches, angles):
+    """Rotated 256-bit BRIEF (computeOrbDescriptor, :186-226).
+
+    patches: [N, G, G] blurred-image patches (G = 2*_GATHER_R+1);
+    angles: [N] radians. Returns [N, 256] uint8 in {0, 1}.
+    """
+    a = jnp.cos(angles)[:, None]
+    b = jnp.sin(angles)[:, None]
+    px1 = jnp.asarray(_PATTERN[:, 0], jnp.float32)[None]
+    py1 = jnp.asarray(_PATTERN[:, 1], jnp.float32)[None]
+    px2 = jnp.asarray(_PATTERN[:, 2], jnp.float32)[None]
+    py2 = jnp.asarray(_PATTERN[:, 3], jnp.float32)[None]
+    # x' = round(px*a - py*b), y' = round(px*b + py*a)
+    x1 = jnp.round(px1 * a - py1 * b).astype(jnp.int32) + _GATHER_R
+    y1 = jnp.round(px1 * b + py1 * a).astype(jnp.int32) + _GATHER_R
+    x2 = jnp.round(px2 * a - py2 * b).astype(jnp.int32) + _GATHER_R
+    y2 = jnp.round(px2 * b + py2 * a).astype(jnp.int32) + _GATHER_R
+    flat = patches.reshape(patches.shape[0], -1)
+    t1 = jnp.take_along_axis(flat, y1 * _GATHER + x1, axis=1)
+    t2 = jnp.take_along_axis(flat, y2 * _GATHER + x2, axis=1)
+    return (t1 < t2).astype(jnp.uint8)
+
+
+def pack_bits(desc_bits):
+    """[N, 256] {0,1} -> [N, 32] uint8, reference byte/bit order
+    (bit j of byte i is pattern pair 8*i+j)."""
+    n = desc_bits.shape[0]
+    b = desc_bits.reshape(n, 32, 8).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+    return jnp.sum(b * weights[None, None, :], -1, dtype=jnp.uint8)
+
+
+def unpack_bits(desc_bytes):
+    n = desc_bytes.shape[0]
+    bits = (desc_bytes[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return bits.reshape(n, 256).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def orb_detect(img, params: OrbParams = OrbParams()):
+    """Full extractor. img: [H, W] grayscale float32 (0..255).
+
+    Returns dict with static shapes N = params.n_features:
+      xy [N, 2] float32 level-0 pixel coords; response [N]; angle [N] rad;
+      octave [N] int32; size [N] (PATCH_SIZE * level scale);
+      desc [N, 256] uint8 bit-planes; valid [N] bool.
+    """
+    img = img.astype(jnp.float32)
+    H, W = img.shape
+    quotas = params.features_per_level()
+    outs = {k: [] for k in ("xy", "response", "angle", "octave", "size",
+                            "desc", "valid")}
+    level_img = img
+    for lvl in range(params.n_levels):
+        scale = params.scale_factor ** lvl
+        if lvl > 0:
+            lh = max(1, int(round(H / scale)))
+            lw = max(1, int(round(W / scale)))
+            level_img = im.resize_bilinear(level_img[..., None],
+                                           (lh, lw))[..., 0]
+        k = max(quotas[lvl], 1)
+        score = fast_score_map(level_img)
+        xy, resp, valid = select_keypoints(score, k, params.cell,
+                                           params.min_threshold)
+        raw31 = _gather_patches(level_img, xy, HALF_PATCH)
+        ang = ic_angle(raw31)
+        blurred = im.gaussian_blur(level_img[..., None], 2.0, 3)[..., 0]
+        patches = _gather_patches(blurred, xy, _GATHER_R)
+        desc = brief_descriptors(patches, ang)
+        outs["xy"].append(xy.astype(jnp.float32) * scale)
+        outs["response"].append(resp)
+        outs["angle"].append(ang)
+        outs["octave"].append(jnp.full((k,), lvl, jnp.int32))
+        outs["size"].append(jnp.full((k,), PATCH_SIZE * scale, jnp.float32))
+        outs["desc"].append(desc)
+        outs["valid"].append(valid)
+    feats = {kk: jnp.concatenate(v, 0) for kk, v in outs.items()}
+    # truncate/pad to exactly n_features, strongest first
+    order = jnp.argsort(jnp.where(feats["valid"], -feats["response"], jnp.inf))
+    keep = order[:params.n_features]
+    return {kk: v[keep] for kk, v in feats.items()}

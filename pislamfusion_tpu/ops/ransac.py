@@ -1,0 +1,463 @@
+"""Robust geometric estimators as fixed-budget vmapped RANSAC.
+
+TPU-native equivalent of the reference's Estimator plugin
+(GSLAM/GSLAM/core/Estimator.h API; OpenCV-backed implementation
+GSLAM-DIYSLAM/src/zhaoyong/EstimatorOpenCV.cpp) plus the two-view RANSAC
+machinery in InitializerSVD.cpp:150-520 and the 3-point plane RANSAC the
+fusion glue adds (src/RANSAC.cpp:52-101).
+
+Design: the reference's adaptive-iteration scalar RANSAC loops become a
+*batch of hypotheses solved simultaneously* — sample [iters, k] minimal sets,
+solve all models with one batched SVD/eigh, score all models against all
+points with one [iters, N] residual matrix (an MXU-sized broadcast), then
+argmax inlier count. Everything is padded + masked; iteration counts are
+static compile-time budgets (SURVEY.md "hard parts": adaptive counts ->
+fixed budgets with equal-or-better inlier stats).
+
+All point arguments are [N, ...] padded arrays with a [N] bool mask.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray      # model parameters (shape depends on estimator)
+    inliers: jnp.ndarray    # [N] bool
+    score: jnp.ndarray      # scalar: inlier count (or chi-square score)
+    ok: jnp.ndarray         # scalar bool
+
+
+def _sample_indices(key, n_pts: int, valid, iters: int, k: int):
+    """[iters, k] indices drawn (approximately) uniformly from valid points."""
+    # gumbel-top-k trick per hypothesis: uniform without replacement
+    g = jax.random.gumbel(key, (iters, n_pts))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, k)
+    return idx
+
+
+def _normalize_2d(pts, valid):
+    """Hartley normalization over valid points: T s.t. mean 0, rms sqrt(2)."""
+    n = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid[:, None], pts, 0.0), 0) / n
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, -1))
+    md = jnp.sum(jnp.where(valid, d, 0.0)) / n
+    s = jnp.sqrt(2.0) / jnp.maximum(md, 1e-9)
+    T = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]) * s
+    T = T.at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1]).at[2, 2].set(1.0)
+    return (pts - mean) * s, T
+
+
+def _h_from_4pt(pa, pb):
+    """DLT homography from 4 correspondences. pa, pb: [4, 2] -> [3, 3]."""
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], -1)
+    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], -1)
+    A = jnp.concatenate([r1, r2], 0)          # [8, 9]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    h = vt[-1]
+    return h.reshape(3, 3)
+
+
+def _h_dlt_weighted(pa, pb, w):
+    """All-point weighted DLT homography (inlier refit)."""
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    wf = w.astype(pa.dtype)[:, None]
+    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], -1) * wf
+    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], -1) * wf
+    A = jnp.concatenate([r1, r2], 0)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    return vt[-1].reshape(3, 3)
+
+
+def _f_dlt_weighted(pa, pb, w):
+    """All-point weighted 8-point refit with rank-2 projection."""
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    o = jnp.ones_like(x)
+    wf = w.astype(pa.dtype)[:, None]
+    A = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, o], -1) * wf
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    F = vt[-1].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    return U @ jnp.diag(S.at[2].set(0.0)) @ Vt
+
+
+def _f_from_8pt(pa, pb):
+    """8-point fundamental. pa, pb: [8, 2] -> rank-2 [3, 3]."""
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    o = jnp.ones_like(x)
+    A = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, o], -1)  # [8, 9]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    F = vt[-1].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return U @ jnp.diag(S) @ Vt
+
+
+def _h_transfer_err(H, pa, pb):
+    """Symmetric transfer error of H (a->b), [N]."""
+    def fwd(H, p, q):
+        d = H @ jnp.concatenate([p, jnp.ones_like(p[..., :1])], -1).T
+        w = jnp.where(jnp.abs(d[2]) < 1e-12, 1e-12, d[2])
+        return jnp.sum((d[:2] / w - q.T) ** 2, 0)
+    Hinv = jnp.linalg.inv(H)
+    return fwd(H, pa, pb) + fwd(Hinv, pb, pa)
+
+
+def _f_epipolar_err(F, pa, pb):
+    """Symmetric epipolar (Sampson-style per-direction) distance^2, [N]."""
+    ones = jnp.ones_like(pa[:, :1])
+    A = jnp.concatenate([pa, ones], -1)      # [N, 3]
+    B = jnp.concatenate([pb, ones], -1)
+    l_b = A @ F.T                             # line in b for each a: F a
+    l_a = B @ F                               # line in a for each b: F^T b
+    num = jnp.sum(B * l_b, -1) ** 2
+    d_b = num / jnp.maximum(l_b[:, 0] ** 2 + l_b[:, 1] ** 2, 1e-12)
+    d_a = num / jnp.maximum(l_a[:, 0] ** 2 + l_a[:, 1] ** 2, 1e-12)
+    return d_a + d_b
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def find_homography(key, pa, pb, valid, threshold: float = 3.0,
+                    iters: int = 256):
+    """RANSAC H: pa -> pb (pixels). threshold in px (symmetric transfer)."""
+    na, Ta = _normalize_2d(pa, valid)
+    nb, Tb = _normalize_2d(pb, valid)
+    idx = _sample_indices(key, pa.shape[0], valid, iters, 4)
+    Hs = jax.vmap(lambda i: _h_from_4pt(na[i], nb[i]))(idx)   # [iters, 3, 3]
+    errs = jax.vmap(lambda H: _h_transfer_err(H, na, nb))(Hs)  # [iters, N]
+    # threshold in normalized units: scale by Tb[0,0]*Ta[0,0] approx — use
+    # average of both scales for the symmetric error
+    s2 = 0.5 * (Ta[0, 0] ** 2 + Tb[0, 0] ** 2)
+    th = 2.0 * threshold ** 2 * s2
+    inl = (errs < th) & valid[None, :]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    # two rounds of all-inlier refit
+    inliers = inl[best]
+    Hn = Hs[best]
+    for _ in range(2):
+        Hn = _h_dlt_weighted(na, nb, inliers)
+        err = _h_transfer_err(Hn, na, nb)
+        inliers = (err < th) & valid
+    H = jnp.linalg.inv(Tb) @ Hn @ Ta
+    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+    count = jnp.sum(inliers)
+    ok = count >= 8
+    return RansacResult(H, inliers, count.astype(jnp.float32), ok)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def find_fundamental(key, pa, pb, valid, threshold: float = 3.0,
+                     iters: int = 256):
+    """RANSAC F (8-point): pb^T F pa = 0. threshold in px."""
+    na, Ta = _normalize_2d(pa, valid)
+    nb, Tb = _normalize_2d(pb, valid)
+    idx = _sample_indices(key, pa.shape[0], valid, iters, 8)
+    Fs = jax.vmap(lambda i: _f_from_8pt(na[i], nb[i]))(idx)
+    errs = jax.vmap(lambda F: _f_epipolar_err(F, na, nb))(Fs)
+    s2 = 0.5 * (Ta[0, 0] ** 2 + Tb[0, 0] ** 2)
+    th = 2.0 * threshold ** 2 * s2
+    inl = (errs < th) & valid[None, :]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    inliers = inl[best]
+    Fn = Fs[best]
+    for _ in range(2):
+        Fn = _f_dlt_weighted(na, nb, inliers)
+        err = _f_epipolar_err(Fn, na, nb)
+        inliers = (err < th) & valid
+    F = Tb.T @ Fn @ Ta
+    nrm = jnp.linalg.norm(F)
+    F = F / jnp.where(nrm < 1e-12, 1e-12, nrm)
+    count = jnp.sum(inliers)
+    ok = count >= 12
+    return RansacResult(F, inliers, count.astype(jnp.float32), ok)
+
+
+# ---------------------------------------------------------------------------
+# PnP
+# ---------------------------------------------------------------------------
+
+def _pnp_dlt(p3d, p2n):
+    """DLT camera pose from 6 points. p3d [6, 3] world, p2n [6, 2] normalized
+    image coords. Returns SE3 [7] (world->camera)."""
+    X, Y, Z = p3d[:, 0], p3d[:, 1], p3d[:, 2]
+    u, v = p2n[:, 0], p2n[:, 1]
+    o = jnp.ones_like(X)
+    z = jnp.zeros_like(X)
+    r1 = jnp.stack([X, Y, Z, o, z, z, z, z, -u * X, -u * Y, -u * Z, -u], -1)
+    r2 = jnp.stack([z, z, z, z, X, Y, Z, o, -v * X, -v * Y, -v * Z, -v], -1)
+    A = jnp.concatenate([r1, r2], 0)          # [12, 12]
+    _, _, vt = jnp.linalg.svd(A)
+    P = vt[-1].reshape(3, 4)
+    return _pose_from_projection(P)
+
+
+def _pose_from_projection(P):
+    """P ~ s[R|t] up to sign -> SE3. Normalizing by s = cbrt(det M) makes
+    the result invariant to the DLT's P/-P ambiguity and keeps det(R) = +1."""
+    M = P[:, :3]
+    detM = jnp.linalg.det(M)
+    s = jnp.sign(detM) * jnp.abs(detM) ** (1.0 / 3.0)
+    s = jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+    U, S, Vt = jnp.linalg.svd(M / s)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(
+        jnp.linalg.det(U @ Vt))
+    R = U @ D @ Vt
+    t = P[:, 3] / s
+    return lie.se3(t, lie.quat_from_matrix(R))
+
+
+def _pnp_planar_h(p3d, p2n):
+    """Pose from 4 (near-)coplanar points via homography decomposition
+    (Zhang's method): fit the points' plane, map plane coords -> normalized
+    image with a 4-pt DLT homography H = lam * [R e1 | R e2 | R o + t],
+    then read off R and t. Complements the 6-pt DLT, which is degenerate
+    exactly when the scene is planar (the common case for aerial mapping).
+    p3d: [4, 3], p2n: [4, 2]. Returns SE3 [7] world->camera."""
+    c = jnp.mean(p3d, 0)
+    X = p3d - c
+    _, _, Vt = jnp.linalg.svd(X, full_matrices=True)
+    e1, e2 = Vt[0], Vt[1]
+    uv = jnp.stack([X @ e1, X @ e2], -1)
+    H = _h_from_4pt(uv, p2n)
+    lam = 1.0 / jnp.maximum(jnp.linalg.norm(H[:, 0]), 1e-12)
+    # resolve the sign so the plane origin sits in front of the camera
+    lam = lam * jnp.sign(H[2, 2] + 1e-30)
+    a1 = lam * H[:, 0]
+    a2 = lam * H[:, 1]
+    a3 = lam * H[:, 2]
+    r1 = a1 / jnp.maximum(jnp.linalg.norm(a1), 1e-12)
+    a2o = a2 - jnp.dot(r1, a2) * r1
+    r2 = a2o / jnp.maximum(jnp.linalg.norm(a2o), 1e-12)
+    r3 = jnp.cross(r1, r2)
+    R_we = jnp.stack([r1, r2, r3], -1)        # R @ [e1 e2 n]
+    B = jnp.stack([e1, e2, jnp.cross(e1, e2)], -1)
+    R = R_we @ B.T
+    t = a3 - R @ c
+    # flip if the points land behind the camera
+    z = p3d @ R[2] + t[2]
+    flip = jnp.sum(z < 0) > jnp.sum(z >= 0)
+    # -lam flips a1, a2, a3 -> r1, r2 flip, r3 = r1 x r2 stays
+    R_flip = jnp.stack([-r1, -r2, r3], -1) @ B.T
+    t_flip = -a3 - R_flip @ c
+    R = jnp.where(flip, R_flip, R)
+    t = jnp.where(flip, t_flip, t)
+    return lie.se3(t, lie.quat_from_matrix(R))
+
+
+def _reproj_err_norm(T_w2c, p3d, p2n):
+    """Squared reprojection error in normalized image coords, [N]."""
+    pc = lie.se3_apply(T_w2c, p3d)
+    zc = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+    proj = pc[..., :2] / zc[..., None]
+    err = jnp.sum((proj - p2n) ** 2, -1)
+    return jnp.where(pc[..., 2] > 0, err, jnp.inf)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "refine_iters", "threshold"))
+def find_pnp(key, p3d, p2n, valid, threshold: float = 0.01,
+             iters: int = 256, refine_iters: int = 2):
+    """PnP RANSAC (EstimatorOpenCV::findPnPRansac equivalent).
+
+    p3d [N, 3] world points; p2n [N, 2] *normalized* image coords
+    (unprojected pixels); threshold in normalized units (~px/f).
+    Returns RansacResult with model = SE3 [7] world->camera.
+
+    Hypotheses are split between the 6-pt DLT (general scenes) and the
+    4-pt planar-homography solver (aerial/planar scenes where the DLT is
+    degenerate); all are scored together.
+    """
+    k1, k2 = jax.random.split(key)
+    idx6 = _sample_indices(k1, p3d.shape[0], valid, iters // 2, 6)
+    idx4 = _sample_indices(k2, p3d.shape[0], valid, iters - iters // 2, 4)
+    Ts6 = jax.vmap(lambda i: _pnp_dlt(p3d[i], p2n[i]))(idx6)
+    Ts4 = jax.vmap(lambda i: _pnp_planar_h(p3d[i], p2n[i]))(idx4)
+    Ts = jnp.concatenate([Ts6, Ts4], 0)
+    errs = jax.vmap(lambda T: _reproj_err_norm(T, p3d, p2n))(Ts)
+    th = threshold ** 2
+    inl = (errs < th) & valid[None, :]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    T = Ts[best]
+    inliers = inl[best]
+    # LM pose refinement on all inliers (DLT refit is planar-degenerate)
+    from . import ba as _ba
+    for _ in range(refine_iters):
+        T, _, _ = _ba.optimize_pose(T, p3d, p2n,
+                                    inliers.astype(jnp.float32), iters=6,
+                                    huber_delta=threshold)
+        err = _reproj_err_norm(T, p3d, p2n)
+        inliers = (err < th) & valid
+    ok = jnp.sum(inliers) >= 10
+    return RansacResult(T, inliers, jnp.sum(inliers).astype(jnp.float32), ok)
+
+
+# ---------------------------------------------------------------------------
+# SIM3 (Horn) — EstimatorOpenCV::findSIM3 (:94-160)
+# ---------------------------------------------------------------------------
+
+def sim3_horn(pa, pb, w=None):
+    """Closed-form similarity aligning pa -> pb (Horn, quaternion method).
+
+    pa, pb: [N, 3]; w: optional [N] weights/mask. Returns SIM3 [8].
+    """
+    if w is None:
+        w = jnp.ones(pa.shape[0], pa.dtype)
+    w = w.astype(pa.dtype)
+    sw = jnp.maximum(jnp.sum(w), 1e-9)
+    ca = jnp.sum(pa * w[:, None], 0) / sw
+    cb = jnp.sum(pb * w[:, None], 0) / sw
+    A = pa - ca
+    B = pb - cb
+    # cross-covariance
+    M = (A * w[:, None]).T @ B                 # [3, 3] sum a_i b_i^T
+    Sxx, Sxy, Sxz = M[0, 0], M[0, 1], M[0, 2]
+    Syx, Syy, Syz = M[1, 0], M[1, 1], M[1, 2]
+    Szx, Szy, Szz = M[2, 0], M[2, 1], M[2, 2]
+    N = jnp.array([
+        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+    ])
+    evals, evecs = jnp.linalg.eigh(N)
+    qwxyz = evecs[:, -1]                        # largest eigenvalue
+    q = jnp.array([qwxyz[1], qwxyz[2], qwxyz[3], qwxyz[0]])  # -> (x,y,z,w)
+    q = q * jnp.where(q[3] < 0, -1.0, 1.0)
+    Ra = lie.quat_rotate(jnp.broadcast_to(q, (pa.shape[0], 4)), A)
+    s = jnp.sum(w[:, None] * B * Ra) / jnp.maximum(
+        jnp.sum(w[:, None] * Ra * Ra), 1e-12)
+    t = cb - s * lie.quat_rotate(q, ca)
+    return lie.sim3(t, q, jnp.asarray(s))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def find_sim3(key, pa, pb, valid, threshold: float = 0.1, iters: int = 128):
+    """RANSAC SIM3 from 3-point Horn hypotheses + all-inlier refit."""
+    idx = _sample_indices(key, pa.shape[0], valid, iters, 3)
+    Ss = jax.vmap(lambda i: sim3_horn(pa[i], pb[i]))(idx)
+    errs = jax.vmap(lambda S: jnp.sum((lie.sim3_apply(S, pa) - pb) ** 2, -1))(Ss)
+    inl = (errs < threshold ** 2) & valid[None, :]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    S = sim3_horn(pa, pb, inl[best].astype(pa.dtype))
+    err = jnp.sum((lie.sim3_apply(S, pa) - pb) ** 2, -1)
+    inliers = (err < threshold ** 2) & valid
+    ok = jnp.sum(inliers) >= 3
+    return RansacResult(S, inliers, jnp.sum(inliers).astype(jnp.float32), ok)
+
+
+# ---------------------------------------------------------------------------
+# plane RANSAC — src/RANSAC.cpp:52-116 (the SLAM->mosaic glue)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def find_plane(key, pts, valid, sigma: float = 0.15, iters: int = 256):
+    """3-point plane RANSAC + inlier least-squares refit.
+
+    Returns RansacResult with model = SE3 [7] "plane pose": origin at the
+    inlier centroid projected on the plane, z-axis = plane normal (the
+    convention Map2DFusion expects for its `plane` input).
+    """
+    idx = _sample_indices(key, pts.shape[0], valid, iters, 3)
+    p0, p1, p2 = pts[idx[:, 0]], pts[idx[:, 1]], pts[idx[:, 2]]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    d = -jnp.sum(n * p0, -1)
+    dist = jnp.abs(pts @ n.T + d[None, :]).T   # [iters, N]
+    inl = (dist < sigma) & valid[None, :]
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(pts.dtype)
+    # least-squares refit: smallest eigenvector of covariance
+    sw = jnp.maximum(jnp.sum(w), 1e-9)
+    c = jnp.sum(pts * w[:, None], 0) / sw
+    X = (pts - c) * w[:, None]
+    C = X.T @ X
+    evals, evecs = jnp.linalg.eigh(C)
+    normal = evecs[:, 0]
+    normal = normal * jnp.where(normal[2] < 0, -1.0, 1.0)  # z-up convention
+    # build SE3: z-axis = normal, origin = centroid
+    zax = normal
+    up = jnp.where(jnp.abs(zax[0]) < 0.9,
+                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    xax = jnp.cross(up, zax)
+    xax = xax / jnp.maximum(jnp.linalg.norm(xax), 1e-12)
+    yax = jnp.cross(zax, xax)
+    R = jnp.stack([xax, yax, zax], -1)
+    T = lie.se3(c, lie.quat_from_matrix(R))
+    dist_f = jnp.abs((pts - c) @ normal)
+    inliers = (dist_f < sigma) & valid
+    ok = jnp.sum(inliers) >= jnp.maximum(3, 0.3 * jnp.sum(valid))
+    return RansacResult(T, inliers, jnp.sum(inliers).astype(jnp.float32), ok)
+
+
+# ---------------------------------------------------------------------------
+# triangulation — SVD DLT (MapperDemo.cpp:1832-1881 equivalent), batched
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def triangulate(T_a2w, T_b2w, rays_a, rays_b):
+    """Two-view DLT triangulation of N correspondences.
+
+    T_a2w, T_b2w: SE3 [7] camera->world poses. rays_a/b: [N, 3] unprojected
+    normalized coords (x, y, 1). Returns (points_w [N, 3], depth_a [N]).
+    """
+    Pa = _projection_from_pose(T_a2w)          # [3, 4] world->image_a
+    Pb = _projection_from_pose(T_b2w)
+
+    def build(ra, rb):
+        rows = jnp.stack([
+            ra[0] * Pa[2] - Pa[0],
+            ra[1] * Pa[2] - Pa[1],
+            rb[0] * Pb[2] - Pb[0],
+            rb[1] * Pb[2] - Pb[1],
+        ])
+        return rows                            # [4, 4]
+
+    A = jax.vmap(build)(rays_a, rays_b)
+    _, _, vt = jnp.linalg.svd(A)
+    Xh = vt[..., -1, :]
+    w = Xh[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    X = Xh[..., :3] / w[..., None]
+    # depth in camera a
+    Ta_inv = lie.se3_inv(T_a2w)
+    depth = lie.se3_apply(Ta_inv, X)[..., 2]
+    return X, depth
+
+
+def _projection_from_pose(T_c2w):
+    """[3, 4] matrix projecting world homogeneous points into the camera's
+    normalized image plane: P = [R^T | -R^T t]."""
+    Tinv = lie.se3_inv(T_c2w)
+    R = lie.quat_to_matrix(lie.se3_q(Tinv))
+    return jnp.concatenate([R, lie.se3_t(Tinv)[:, None]], -1)
+
+
+def parallax_cos(T_a2w, T_b2w, points_w):
+    """cos of the ray parallax angle per point (MapperDemo checks
+    parallax in (0, 0.9998))."""
+    ra = points_w - lie.se3_t(T_a2w)
+    rb = points_w - lie.se3_t(T_b2w)
+    num = jnp.sum(ra * rb, -1)
+    den = jnp.linalg.norm(ra, axis=-1) * jnp.linalg.norm(rb, axis=-1)
+    return num / jnp.maximum(den, 1e-12)

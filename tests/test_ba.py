@@ -1,0 +1,169 @@
+"""Bundle adjustment simulation tests — ports of the reference's
+tests/OptimizerTest.cpp fixtures (OptimizePnPSimulate:171,
+MapPointBundleSimulate:448, SE3GraphSimulate:259, GPSGraphSimulate:369):
+random geometry + noise, assert the solver recovers ground truth."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pislamfusion_tpu.ops import ba, lie
+
+
+def make_world(rng, n_frames=6, n_points=120, noise=0.0):
+    """Cameras on an arc looking at a point cloud around the origin."""
+    poses_c2w = []
+    for i in range(n_frames):
+        ang = 0.25 * i
+        c = np.array([4.0 * np.sin(ang), 0.5 * i, -6.0 + 0.3 * i])
+        # look roughly toward origin: keep identity rotation + small yaw
+        q = np.array([0.0, np.sin(ang * 0.1), 0.0, np.cos(ang * 0.1)])
+        poses_c2w.append(np.concatenate([c, q]))
+    poses_c2w = jnp.asarray(np.stack(poses_c2w), jnp.float32)
+    points = jnp.asarray(rng.uniform(-3, 3, size=(n_points, 3)), jnp.float32)
+    points = points.at[:, 2].set(points[:, 2] * 0.5)
+
+    # observations: all frames see all points (if in front)
+    T_w2c = lie.se3_inv(poses_c2w)
+    obs_f, obs_p, obs_uv = [], [], []
+    for f in range(n_frames):
+        pc = np.asarray(lie.se3_apply(T_w2c[f], points))
+        ok = pc[:, 2] > 1.0
+        uv = pc[:, :2] / pc[:, 2:]
+        for p in np.nonzero(ok)[0]:
+            obs_f.append(f)
+            obs_p.append(int(p))
+            obs_uv.append(uv[p])
+    obs_uv = np.stack(obs_uv) + rng.normal(0, noise, (len(obs_f), 2))
+    return (np.asarray(poses_c2w), np.asarray(points),
+            np.asarray(obs_f), np.asarray(obs_p),
+            obs_uv.astype(np.float32))
+
+
+def ate(poses_a, poses_b):
+    return float(np.sqrt(np.mean(np.sum((poses_a[:, :3] - poses_b[:, :3]) ** 2,
+                                        -1))))
+
+
+def test_optimize_pose_recovers(rng):
+    """OptimizePnPSimulate: perturb one pose, points fixed."""
+    poses_c2w, points, of, op, uv = make_world(rng, n_frames=1, noise=0.001)
+    T_true_w2c = np.asarray(lie.se3_inv(jnp.asarray(poses_c2w[0])))
+    pert = lie.se3_exp(jnp.asarray([0.1, -0.1, 0.05, 0.03, -0.02, 0.04]))
+    T0 = np.asarray(lie.se3_mul(pert, jnp.asarray(T_true_w2c)))
+    w = np.zeros(len(points), np.float32)
+    p2n = np.zeros((len(points), 2), np.float32)
+    p2n[op] = uv
+    w[op] = 1.0
+    T, cost, chi2 = ba.optimize_pose(jnp.asarray(T0), jnp.asarray(points),
+                                     jnp.asarray(p2n), jnp.asarray(w))
+    T = np.asarray(T)
+    assert np.linalg.norm(T[:3] - T_true_w2c[:3]) < 0.01
+    qd = min(np.abs(T[3:] - T_true_w2c[3:]).max(),
+             np.abs(T[3:] + T_true_w2c[3:]).max())
+    assert qd < 0.005
+
+
+def test_full_ba_recovers(rng):
+    """MapPointBundleSimulate: perturb poses+points, first pose fixed."""
+    poses_c2w, points_true, of, op, uv = make_world(rng, noise=0.0005)
+    F = len(poses_c2w)
+    T_w2c_true = np.asarray(lie.se3_inv(jnp.asarray(poses_c2w)))
+    rngj = jax.random.PRNGKey(0)
+    pert = np.asarray(lie.se3_exp(
+        jax.random.normal(rngj, (F, 6)) * 0.03))
+    T0 = np.array(lie.se3_mul(jnp.asarray(pert), jnp.asarray(T_w2c_true)))
+    # fix two poses: one for the SE3 gauge, the second for the monocular
+    # scale gauge (otherwise ATE reflects harmless scale drift)
+    T0[0] = T_w2c_true[0]
+    T0[1] = T_w2c_true[1]
+    pts0 = points_true + rng.normal(0, 0.05, points_true.shape).astype(
+        np.float32)
+    fixed = np.zeros(F, bool)
+    fixed[0] = True
+    fixed[1] = True
+    prob = ba.make_problem(
+        poses=T0, pose_fixed=fixed, points=pts0,
+        point_fixed=np.zeros(len(pts0), bool),
+        obs_frame=of, obs_point=op, obs_uv=uv,
+        obs_weight=np.ones(len(of), np.float32))
+    new_poses, new_points, cost = ba.optimize(prob, iters=25)
+    new_poses = np.asarray(new_poses)
+    err0 = ate(T0, T_w2c_true)
+    err1 = ate(new_poses, T_w2c_true)
+    assert err1 < 0.01, (err0, err1)
+    assert err1 < err0 * 0.2
+    pt_err = np.sqrt(np.mean(np.sum((np.asarray(new_points)
+                                     - points_true) ** 2, -1)))
+    assert pt_err < 0.02
+
+
+def test_se3_graph_closes_loop(rng):
+    """SE3GraphSimulate: chain of noisy odometry edges + one loop edge."""
+    n = 12
+    # ground truth: poses around a circle (w2c arbitrary; use c2w=identity-ish)
+    poses_true = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        t = np.array([np.cos(a), np.sin(a), 0.0]) * 3.0
+        q = np.array([0.0, 0.0, np.sin(a / 2), np.cos(a / 2)])
+        poses_true.append(np.concatenate([t, q]))
+    poses_true = jnp.asarray(np.stack(poses_true), jnp.float32)
+    # odometry measurements: T_ij = Ti * Tj^-1 with noise; plus loop n-1 -> 0
+    ei, ej, meas = [], [], []
+    for i in range(n - 1):
+        ei.append(i)
+        ej.append(i + 1)
+        Tij = lie.se3_mul(poses_true[i], lie.se3_inv(poses_true[i + 1]))
+        nz = lie.se3_exp(jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32))
+        meas.append(np.asarray(lie.se3_mul(nz, Tij)))
+    ei.append(n - 1)
+    ej.append(0)
+    meas.append(np.asarray(lie.se3_mul(poses_true[n - 1],
+                                       lie.se3_inv(poses_true[0]))))
+    # initialize by integrating noisy odometry (drift)
+    init = [np.asarray(poses_true[0])]
+    for i in range(n - 1):
+        init.append(np.asarray(
+            lie.se3_mul(lie.se3_inv(jnp.asarray(meas[i])),
+                        jnp.asarray(init[i]))))
+    init = np.stack(init)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    new_poses, cost = ba.optimize_se3_graph(
+        jnp.asarray(init, jnp.float32), jnp.asarray(fixed),
+        jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(meas), jnp.float32),
+        jnp.ones(n, jnp.float32), iters=40)
+    err0 = ate(init, np.asarray(poses_true))
+    err1 = ate(np.asarray(new_poses), np.asarray(poses_true))
+    assert err1 < max(0.5 * err0, 0.05), (err0, err1)
+
+
+def test_gps_prior_pulls_poses(rng):
+    """GPSGraphSimulate: priors move free poses toward GPS positions."""
+    F = 4
+    T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (F, 1))
+    T[:, 0] = np.arange(F)  # along x
+    prior = T.copy()
+    prior[:, 1] += 2.0      # GPS says: shifted in y
+    prob = ba.make_problem(
+        poses=T, pose_fixed=np.zeros(F, bool),
+        prior_frame=np.arange(F), prior_pose=prior,
+        prior_info=np.full((F, 6), 10.0, np.float32))
+    new_poses, _, cost = ba.optimize(prob, iters=15)
+    np.testing.assert_allclose(np.asarray(new_poses)[:, 1], 2.0, atol=1e-2)
+
+
+def test_fixed_poses_stay(rng):
+    poses_c2w, points_true, of, op, uv = make_world(rng, noise=0.001)
+    F = len(poses_c2w)
+    T_w2c = np.asarray(lie.se3_inv(jnp.asarray(poses_c2w)))
+    fixed = np.ones(F, bool)  # everything fixed: nothing may move
+    prob = ba.make_problem(
+        poses=T_w2c, pose_fixed=fixed, points=points_true,
+        point_fixed=np.ones(len(points_true), bool),
+        obs_frame=of, obs_point=op, obs_uv=uv,
+        obs_weight=np.ones(len(of), np.float32))
+    new_poses, new_points, _ = ba.optimize(prob, iters=5)
+    np.testing.assert_allclose(np.asarray(new_poses), T_w2c, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_points), points_true, atol=1e-6)

@@ -1,0 +1,218 @@
+"""Synthetic-geometry estimator tests, mirroring the reference's
+GSLAM/.../EstimatorTest.cpp (HomographyRANSAC, EightPoint, SE3PlaneRansac,
+Triangulate) and src/RANSAC.cpp plane fitting."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pislamfusion_tpu.ops import ransac, lie
+
+
+def rand_pose(rng, tscale=1.0):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    return jnp.asarray(np.concatenate([rng.normal(size=3) * tscale, q]),
+                       jnp.float32)
+
+
+def test_homography_ransac(rng):
+    n = 200
+    H_true = np.array([[1.1, 0.05, 10.0], [-0.03, 0.95, -5.0],
+                       [1e-4, -5e-5, 1.0]])
+    pa = rng.uniform(0, 500, size=(n, 2))
+    ph = np.concatenate([pa, np.ones((n, 1))], -1) @ H_true.T
+    pb = ph[:, :2] / ph[:, 2:]
+    pb += rng.normal(0, 0.5, size=pb.shape)
+    # 30% outliers
+    out = rng.random(n) < 0.3
+    pb[out] = rng.uniform(0, 500, size=(out.sum(), 2))
+    res = ransac.find_homography(jax.random.PRNGKey(0),
+                                 jnp.asarray(pa, jnp.float32),
+                                 jnp.asarray(pb, jnp.float32),
+                                 jnp.ones(n, bool), threshold=3.0)
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[~out].mean() > 0.9, "missed true inliers"
+    assert inl[out].mean() < 0.15, "accepted outliers"
+    # accuracy: transfer error of estimated H vs true H on a clean grid
+    Hn = np.asarray(res.model)
+    gx, gy = np.meshgrid(np.linspace(0, 500, 10), np.linspace(0, 500, 10))
+    g = np.stack([gx.ravel(), gy.ravel(), np.ones(100)], -1)
+    pe = g @ Hn.T
+    pt = g @ H_true.T
+    err = np.linalg.norm(pe[:, :2] / pe[:, 2:] - pt[:, :2] / pt[:, 2:], axis=1)
+    assert err.max() < 1.0, err.max()
+
+
+def test_fundamental_ransac(rng):
+    n = 300
+    # two cameras with a baseline; F from E = [t]x R
+    f = 400.0
+    K = np.array([[f, 0, 320], [0, f, 240], [0, 0, 1.0]])
+    R = np.eye(3)
+    ang = 0.1
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([1.0, 0.2, 0.1])
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+    F_true = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+    # generate 3D points, project in both views
+    X = rng.uniform(-3, 3, size=(n, 3))
+    X[:, 2] = rng.uniform(4, 10, size=n)
+    xa = (X @ K.T)
+    xa = xa[:, :2] / xa[:, 2:]
+    Xb = X @ R.T + t
+    xb = (Xb @ K.T)
+    xb = xb[:, :2] / xb[:, 2:]
+    xa += rng.normal(0, 0.3, xa.shape)
+    out = rng.random(n) < 0.25
+    xb[out] = rng.uniform(0, 640, size=(out.sum(), 2))
+    res = ransac.find_fundamental(jax.random.PRNGKey(1),
+                                  jnp.asarray(xa, jnp.float32),
+                                  jnp.asarray(xb, jnp.float32),
+                                  jnp.ones(n, bool), threshold=2.0)
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[~out].mean() > 0.85
+    assert inl[out].mean() < 0.1
+    # epipolar constraint: x_b^T F x_a ~ 0 for inliers
+    Fm = np.asarray(res.model)
+    A = np.concatenate([xa, np.ones((n, 1))], -1)
+    B = np.concatenate([xb, np.ones((n, 1))], -1)
+    resid = np.abs(np.sum(B * (A @ Fm.T), -1))
+    assert np.median(resid[inl]) < 0.5
+
+
+def test_pnp_ransac(rng):
+    n = 150
+    T_true = rand_pose(rng)  # world->camera
+    X = jnp.asarray(rng.uniform(-2, 2, size=(n, 3)), jnp.float32)
+    pc = lie.se3_apply(T_true, X)
+    pc = np.array(pc)
+    pc[:, 2] = np.abs(pc[:, 2]) + 2.0  # keep in front
+    # recompute a consistent world from camera points: X = T^-1 pc
+    X = np.asarray(lie.se3_apply(lie.se3_inv(T_true), jnp.asarray(pc)))
+    p2n = pc[:, :2] / pc[:, 2:]
+    p2n += rng.normal(0, 0.001, p2n.shape)
+    out = rng.random(n) < 0.3
+    p2n[out] += rng.uniform(0.05, 0.3, size=(out.sum(), 2))
+    res = ransac.find_pnp(jax.random.PRNGKey(2), jnp.asarray(X, jnp.float32),
+                          jnp.asarray(p2n, jnp.float32), jnp.ones(n, bool),
+                          threshold=0.01)
+    assert bool(res.ok)
+    T = np.asarray(res.model)
+    Tt = np.asarray(T_true)
+    np.testing.assert_allclose(T[:3], Tt[:3], atol=0.05)
+    qd = min(np.abs(T[3:] - Tt[3:]).max(), np.abs(T[3:] + Tt[3:]).max())
+    assert qd < 0.02, (T, Tt)
+
+
+def test_pnp_ransac_planar(rng):
+    """Coplanar points (aerial case): the 6-pt DLT is degenerate; the
+    planar-homography hypotheses must carry the estimate."""
+    n = 200
+    X = rng.uniform(-20, 20, size=(n, 3))
+    X[:, 2] = 0.0  # ground plane
+    # nadir camera at (5, 3, 25): R = diag(1,-1,-1) (180 deg about x)
+    Rm = np.diag([1.0, -1.0, -1.0])
+    c = np.array([5.0, 3.0, 25.0])
+    pc = (X - c) @ Rm.T
+    keep = pc[:, 2] > 1.0
+    X, pc = X[keep], pc[keep]
+    n = len(X)
+    p2n = pc[:, :2] / pc[:, 2:]
+    p2n += rng.normal(0, 0.001, p2n.shape)
+    out = rng.random(n) < 0.2
+    p2n[out] += rng.uniform(0.05, 0.2, size=(out.sum(), 2))
+    res = ransac.find_pnp(jax.random.PRNGKey(5), jnp.asarray(X, jnp.float32),
+                          jnp.asarray(p2n, jnp.float32), jnp.ones(n, bool),
+                          threshold=0.01)
+    assert bool(res.ok), "planar PnP failed"
+    T = np.asarray(res.model)  # world->camera
+    R_est = np.asarray(lie.quat_to_matrix(jnp.asarray(T[3:7])))
+    c_est = -R_est.T @ T[:3]
+    np.testing.assert_allclose(c_est, c, atol=0.1)
+    assert np.abs(R_est - Rm).max() < 0.02
+
+
+def test_sim3_horn_exact(rng):
+    n = 20
+    S_true = lie.sim3(jnp.asarray([1.0, -2.0, 3.0]),
+                      lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5])),
+                      jnp.asarray(1.7))
+    pa = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    pb = lie.sim3_apply(S_true, pa)
+    S = ransac.sim3_horn(pa, pb)
+    np.testing.assert_allclose(np.asarray(lie.sim3_apply(S, pa)),
+                               np.asarray(pb), atol=1e-3)
+    np.testing.assert_allclose(float(lie.sim3_s(S)[0]), 1.7, atol=1e-3)
+
+
+def test_find_sim3_with_outliers(rng):
+    n = 100
+    S_true = lie.sim3(jnp.asarray([0.5, 1.0, -0.5]),
+                      lie.so3_exp(jnp.asarray([-0.1, 0.2, 0.3])),
+                      jnp.asarray(2.2))
+    pa = jnp.asarray(rng.normal(size=(n, 3)) * 2, jnp.float32)
+    pb = np.array(lie.sim3_apply(S_true, pa))
+    out = rng.random(n) < 0.3
+    pb[out] += rng.uniform(1, 3, size=(out.sum(), 3))
+    res = ransac.find_sim3(jax.random.PRNGKey(3), pa,
+                           jnp.asarray(pb, jnp.float32), jnp.ones(n, bool),
+                           threshold=0.1)
+    assert bool(res.ok)
+    np.testing.assert_allclose(float(lie.sim3_s(res.model)[0]), 2.2, atol=0.05)
+    assert np.asarray(res.inliers)[~out].mean() > 0.9
+
+
+def test_plane_ransac(rng):
+    n = 500
+    # plane z = 0.2x - 0.1y + 3 with noise, 30% outliers
+    pts = rng.uniform(-10, 10, size=(n, 3))
+    pts[:, 2] = 0.2 * pts[:, 0] - 0.1 * pts[:, 1] + 3.0
+    pts[:, 2] += rng.normal(0, 0.05, n)
+    out = rng.random(n) < 0.3
+    pts[out, 2] += rng.uniform(2, 10, out.sum())
+    res = ransac.find_plane(jax.random.PRNGKey(4),
+                            jnp.asarray(pts, jnp.float32),
+                            jnp.ones(n, bool), sigma=0.15)
+    assert bool(res.ok)
+    T = np.asarray(res.model)
+    # plane normal = z axis of the SE3's rotation
+    Rm = np.asarray(lie.quat_to_matrix(jnp.asarray(T[3:7])))
+    normal = Rm[:, 2]
+    n_true = np.array([-0.2, 0.1, 1.0])
+    n_true /= np.linalg.norm(n_true)
+    assert abs(np.dot(normal, n_true)) > 0.999
+    # origin lies on the plane
+    d = T[2] - (0.2 * T[0] - 0.1 * T[1] + 3.0)
+    assert abs(d) < 0.1
+
+
+def test_triangulate(rng):
+    n = 50
+    Ta = lie.se3_identity()
+    Tb = lie.se3(jnp.asarray([1.0, 0.0, 0.0]), lie.quat_identity())
+    X = rng.uniform(-2, 2, size=(n, 3))
+    X[:, 2] = rng.uniform(4, 8, n)
+    Xj = jnp.asarray(X, jnp.float32)
+    ra = np.asarray(lie.se3_apply(lie.se3_inv(Ta), Xj))
+    rb = np.asarray(lie.se3_apply(lie.se3_inv(Tb), Xj))
+    ra = ra / ra[:, 2:]
+    rb = rb / rb[:, 2:]
+    Xt, depth = ransac.triangulate(Ta, Tb, jnp.asarray(ra, jnp.float32),
+                                   jnp.asarray(rb, jnp.float32))
+    np.testing.assert_allclose(np.asarray(Xt), X, atol=1e-2)
+    assert np.all(np.asarray(depth) > 0)
+
+
+def test_parallax(rng):
+    Ta = lie.se3_identity()
+    Tb = lie.se3(jnp.asarray([2.0, 0.0, 0.0]), lie.quat_identity())
+    near = jnp.asarray([[0.0, 0.0, 2.0]])
+    far = jnp.asarray([[0.0, 0.0, 500.0]])
+    c_near = float(ransac.parallax_cos(Ta, Tb, near)[0])
+    c_far = float(ransac.parallax_cos(Ta, Tb, far)[0])
+    assert c_near < c_far
+    assert c_far > 0.9998  # the reference's low-parallax rejection zone

@@ -1,0 +1,123 @@
+"""End-to-end SLAM tracking test on a synthetic survey (SURVEY.md section 7
+slice: monocular tracking matching ground-truth trajectories up to the
+monocular gauge)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.svar import Svar
+from pislamfusion_tpu.models.slam import create_slam
+from pislamfusion_tpu.ops import image as im, lie, ransac, mosaic as M
+
+GROUND_SCALE = 0.1
+
+
+def make_ground(rng, n=1024):
+    """Corner-rich texture: random rectangles for ORB to latch onto."""
+    g = np.full((n, n, 3), 120.0, np.float32)
+    g += rng.normal(0, 4, (n, n, 3)).astype(np.float32)
+    for _ in range(600):
+        y, x = rng.integers(10, n - 40, 2)
+        h, w = rng.integers(6, 36, 2)
+        g[y:y + h, x:x + w] = rng.uniform(20, 235, 3)
+    return np.clip(g, 0, 255)
+
+
+def nadir_pose(x, y, z):
+    return np.array([x, y, z, 1.0, 0.0, 0.0, 0.0])
+
+
+def render_view(ground, cam, pose):
+    H = M.homography_canvas_to_image_np(pose, cam, (0.0, 0.0), GROUND_SCALE)
+    img, _ = im.warp_perspective(jnp.asarray(ground),
+                                 jnp.asarray(np.linalg.inv(H), jnp.float32),
+                                 (cam.height, cam.width), border="replicate")
+    return np.asarray(img)
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    rng = np.random.default_rng(11)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = []
+    for iy, y in enumerate(np.arange(30.0, 54.0, 8.0)):
+        xs = np.arange(25.0, 61.0, 3.0)
+        for x in (xs if iy % 2 == 0 else xs[::-1]):
+            poses.append(nadir_pose(x, y, 25.0))
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.MaxOverlap", "0.95")
+    cfg.set("SLAM.LoopClose", "0")
+    # small BA capacities: keeps the 1-core CI box fast (TPU uses defaults)
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        img = render_view(ground, cam, p)
+        slam.track(img, float(i))
+    return slam, np.stack(poses)
+
+
+def test_slam_tracks_most_frames(slam_run):
+    slam, gt = slam_run
+    assert slam.frames_total == len(gt)
+    ratio = slam.frames_tracked / slam.frames_total
+    assert ratio > 0.85, f"tracked only {ratio * 100:.0f}% of frames"
+
+
+def test_slam_trajectory_ate(slam_run):
+    slam, gt = slam_run
+    frames = [f for f in slam.map.frames() if f.n_tracked() > 0
+              or f.is_keyframe]
+    est = np.stack([f.pose_c2w[:3] for f in frames])
+    ids = np.asarray([f.id for f in frames])
+    gt_pos = gt[ids][:, :3]
+    # monocular gauge: SIM3-align estimate to ground truth (Horn)
+    S = ransac.sim3_horn(jnp.asarray(est, jnp.float32),
+                         jnp.asarray(gt_pos, jnp.float32))
+    est_aligned = np.asarray(lie.sim3_apply(S, jnp.asarray(est, jnp.float32)))
+    ate = np.sqrt(np.mean(np.sum((est_aligned - gt_pos) ** 2, -1)))
+    span = np.linalg.norm(gt_pos.max(0) - gt_pos.min(0))
+    assert ate < 0.02 * span, f"ATE {ate:.3f} m vs span {span:.1f} m"
+
+
+def test_slam_map_populated(slam_run):
+    slam, gt = slam_run
+    assert slam.map.point_num() > 300
+    assert len(slam.map.keyframes()) >= 2
+
+
+def test_slam_plane_estimated(slam_run):
+    """The mapper must publish the dominant ground plane once 2000 points
+    accumulate (src/RANSAC.cpp:103-116). The synthetic ground is z=0: in the
+    (unscaled) SLAM frame the plane normal must be the world z of the
+    initialized map, i.e. consistent with the camera's -z view direction."""
+    slam, gt = slam_run
+    if slam.map.point_num() >= 2000:
+        assert slam.plane is not None
+
+
+def test_checkpoint_roundtrip(slam_run, tmp_path):
+    slam, gt = slam_run
+    path = str(tmp_path / "map.bin")
+    assert slam.map.save(path)
+    from pislamfusion_tpu.models.worldmap import WorldMap
+    m2 = WorldMap()
+    assert m2.load(path)
+    assert m2.frame_num() == slam.map.frame_num()
+    assert m2.point_num() == slam.map.point_num()
+    f0 = slam.map.frames()[0]
+    np.testing.assert_allclose(m2.frame(f0.id).pose_c2w, f0.pose_c2w)
+
+
+def test_exports(slam_run, tmp_path):
+    slam, gt = slam_run
+    assert slam.map.export_ply(str(tmp_path / "map.ply"))
+    assert slam.map.export_trajectory(str(tmp_path / "traj.txt"))
+    lines = open(tmp_path / "traj.txt").read().strip().splitlines()
+    assert len(lines) == slam.map.frame_num()
