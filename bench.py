@@ -1,0 +1,193 @@
+"""Benchmark: track+fuse throughput at 1080p on one TPU chip.
+
+The headline metric from BASELINE.md: frames/sec of the full per-frame hot
+path — feature extraction (1000 ORB keypoints over an 8-level pyramid on the
+1920x1080 gray frame), windowed descriptor matching against the previous
+frame's map points (MXU Hamming), pose-only LM refinement, and the mosaic
+feed (homography warp of the 1080p RGB frame into a tile-aligned patch,
+5-band Laplacian pyramid, max-weight composite into the device-resident
+canvas). North star (BASELINE.json): >= 300 FPS; the reference's implied
+real-time target is 30 FPS (Default.cfg Video.fps).
+
+The whole K-frame pipeline is ONE compiled program (lax.scan) — frames are
+staged in HBM, the canvas lives in HBM, no host round-trips inside the
+timed region.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FPS = 30.0   # the reference's real-time feed rate (Video.fps)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pislamfusion_tpu.ops import ba, image as im, lie, matching
+    from pislamfusion_tpu.ops import mosaic as M
+    from pislamfusion_tpu.ops.features import orb
+
+    H, W = 1080, 1920
+    K = 8                       # frames staged per scan
+    REPEATS = 4
+    N = 1000                    # SLAM.nFeature
+    BANDS = 5
+    fx = fy = 1200.0
+    cx, cy = W / 2.0, H / 2.0
+    alt = 120.0
+    params = orb.OrbParams(n_features=N)
+
+    # --- synthetic 1080p survey: texture plane viewed from a moving nadir
+    # cam. Setup stays pure numpy so the only device program is the pipeline.
+    t_setup = time.perf_counter()
+    rng = np.random.default_rng(0)
+    tex = np.full((2048, 2048, 3), 128.0, np.float32)
+    tex += rng.normal(0, 12, tex.shape).astype(np.float32)
+    for _ in range(3000):
+        y, x = rng.integers(10, 2000, 2)
+        h, w = rng.integers(4, 24, 2)
+        tex[y:y + h, x:x + w] = rng.uniform(10, 245, 3)
+    tex = np.clip(tex, 0, 255)
+    GS = 0.12  # texture meters/px
+    poses = np.stack([
+        np.array([90.0 + 4.0 * i, 120.0, alt, 1.0, 0, 0, 0], np.float32)
+        for i in range(K)])
+
+    def np_render(p):
+        Hm = M.homography_canvas_to_image_np(p, type("c", (), dict(
+            fx=fx, fy=fy, cx=cx, cy=cy))(), (0.0, 0.0), GS)
+        Hi = np.linalg.inv(Hm)
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.float64),
+                             np.arange(W, dtype=np.float64), indexing="ij")
+        d = np.stack([xs, ys, np.ones_like(xs)], -1) @ Hi.T
+        u = d[..., 0] / d[..., 2]
+        v = d[..., 1] / d[..., 2]
+        u0 = np.clip(np.floor(u).astype(np.int64), 0, tex.shape[1] - 2)
+        v0 = np.clip(np.floor(v).astype(np.int64), 0, tex.shape[0] - 2)
+        fu = np.clip(u - u0, 0, 1)[..., None]
+        fv = np.clip(v - v0, 0, 1)[..., None]
+        out = (tex[v0, u0] * (1 - fu) * (1 - fv)
+               + tex[v0, u0 + 1] * fu * (1 - fv)
+               + tex[v0 + 1, u0] * (1 - fu) * fv
+               + tex[v0 + 1, u0 + 1] * fu * fv)
+        return out.astype(np.float32)
+
+    frames_rgb_np = np.stack([np_render(p) for p in poses])
+    frames_rgb = jnp.asarray(frames_rgb_np)
+    frames_gray = jnp.asarray(
+        frames_rgb_np @ np.asarray([0.299, 0.587, 0.114], np.float32))
+    poses_j = jnp.asarray(poses)
+    print(f"setup done in {time.perf_counter() - t_setup:.1f}s",
+          file=sys.stderr)
+
+    # --- mosaic canvas: length_pixel from auto resolution at `alt`
+    lp = (2 * (0.5 * alt * np.hypot(W / fx, H / fy)) / np.hypot(W, H)) / 0.5
+    ELE = M.ELE_PIXELS
+    footprint_px = int(np.hypot(W, H) * 0.5 / 1.0)  # diag*scale
+    patch_tiles = int(np.ceil(footprint_px / ELE)) + 1
+    canvas_tiles = patch_tiles + int(np.ceil(K * 4.0 / (ELE * lp))) + 2
+    patch_px = patch_tiles * ELE
+    min_xy = np.array([90.0 - 0.5 * patch_px * lp,
+                       120.0 - 0.5 * patch_px * lp])
+
+    canvas_lap, canvas_w = M.alloc_canvas(canvas_tiles, canvas_tiles, BANDS)
+
+    def plane_points(xy, pose):
+        """Unproject keypoints to the ground plane z=0 (pseudo map points)."""
+        rays = jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy,
+                          jnp.ones(xy.shape[0])], -1)
+        Rw = lie.quat_rotate(jnp.broadcast_to(pose[3:7], (xy.shape[0], 4)),
+                             rays)
+        o = pose[:3]
+        s = o[2] / jnp.where(jnp.abs(Rw[:, 2]) < 1e-6, 1e-6, Rw[:, 2])
+        return o[None, :] - Rw * s[:, None]
+
+    def step(carry, inputs):
+        prev_desc, prev_valid, prev_p3d, pose_est, c_lap, c_w = carry
+        gray, rgb, pose_true = inputs
+        feats = orb.orb_detect(gray, params)
+        # window match against previous frame's plane points
+        T_pred = lie.se3_inv(pose_est)          # world->cam (constant-ish)
+        pc = lie.se3_apply(T_pred, prev_p3d)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        pix = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
+        wmask = matching.window_mask(pix, feats["xy"], 60.0)
+        dist = matching.hamming_matrix(prev_desc, feats["desc"])
+        idx, ok = matching.match(dist, prev_valid, feats["valid"],
+                                 max_dist=80.0, window_mask=wmask)
+        tgt = jnp.where(ok, idx, N)
+        p3d = jnp.zeros((N, 3)).at[tgt].set(prev_p3d, mode="drop")
+        wgt = jnp.zeros((N,)).at[tgt].set(ok.astype(jnp.float32),
+                                          mode="drop")
+        rays_xy = jnp.stack([(feats["xy"][:, 0] - cx) / fx,
+                             (feats["xy"][:, 1] - cy) / fy], -1)
+        T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt, iters=8,
+                                       huber_delta=2.45 / fx)
+        pose_new = lie.se3_inv(T_ref)
+        # mosaic feed with the refined pose
+        origin_t = jnp.floor((pose_new[:2] - jnp.asarray(min_xy, jnp.float32))
+                             / (ELE * lp)).astype(jnp.int32)
+        origin_t = jnp.clip(origin_t, 0, canvas_tiles - patch_tiles)
+        origin_xy = jnp.asarray(min_xy, jnp.float32) \
+            + origin_t.astype(jnp.float32) * (ELE * lp)
+        Hc2i = M.homography_canvas_to_image(pose_new, fx, fy, cx, cy,
+                                            origin_xy, lp)
+        warped, wmap = M.warp_frame_to_patch(rgb, Hc2i, (patch_px, patch_px))
+        p_lap = im.build_laplacian_pyramid(warped, BANDS)
+        p_w = [wmap]
+        for _ in range(BANDS):
+            p_w.append(im.pyr_down(p_w[-1]))
+        oyx = jnp.stack([origin_t[1], origin_t[0]]) * ELE
+        c_lap, c_w = M.composite_patch(c_lap, c_w, p_lap, p_w, oyx)
+        new_p3d = plane_points(feats["xy"], pose_new)
+        return ((feats["desc"], feats["valid"], new_p3d, pose_new,
+                 c_lap, c_w), T_ref[0])
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(4, 5))
+    def pipeline(gray, rgb, poses, first_pose, c_lap, c_w):
+        f0 = orb.orb_detect(gray[0], params)
+        p3d0 = plane_points(f0["xy"], first_pose)
+        carry = (f0["desc"], f0["valid"], p3d0, first_pose, c_lap, c_w)
+        carry, _ = jax.lax.scan(step, carry, (gray, rgb, poses))
+        return carry[4], carry[5], carry[3]
+
+    print(f"compiling pipeline ({K} frames @ {W}x{H}, N={N}, "
+          f"patch {patch_px}px, canvas {canvas_tiles} tiles)...",
+          file=sys.stderr)
+    c_lap, c_w, last_pose = pipeline(frames_gray, frames_rgb, poses_j,
+                                     poses_j[0], canvas_lap, canvas_w)
+    jax.block_until_ready(jax.tree.leaves((c_lap, c_w, last_pose)))
+    verbose = os.environ.get("BENCH_VERBOSE", "")
+    times = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        c_lap, c_w, last_pose = pipeline(frames_gray, frames_rgb, poses_j,
+                                         poses_j[0], c_lap, c_w)
+        jax.block_until_ready(jax.tree.leaves((c_lap, c_w, last_pose)))
+        times.append(time.perf_counter() - t0)
+        if verbose:
+            print(f"call {r}: {times[-1] * 1e3:.2f} ms "
+                  f"({K / times[-1]:.1f} fps), canvas checksum "
+                  f"{float(jnp.sum(jnp.abs(c_lap[0]))):.3e}", file=sys.stderr)
+    dt = min(times)  # best-of: excludes host jitter on the tunnel
+    fps = K / dt
+    print(json.dumps({
+        "metric": "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
+                  "5-band mosaic composite, single chip)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

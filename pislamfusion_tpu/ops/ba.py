@@ -154,7 +154,10 @@ def _huber_weight(r2, delta):
 # one LM step (Schur complement)
 # ---------------------------------------------------------------------------
 
-def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
+def _reproj_normal_terms(problem: BAProblem, huber_delta: float):
+    """Partial normal-equation terms from the reprojection edges only.
+    These are SUMS over observations — the distributed solver computes them
+    per observation shard and psums (parallel/dist_ba.py)."""
     F = problem.poses.shape[0]
     P = problem.points.shape[0]
     z6 = jnp.zeros(6, jnp.float32)
@@ -186,7 +189,14 @@ def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
     # cross blocks U[f, p] 6x3
     U = jnp.zeros((F, P, 6, 3)).at[problem.obs_frame, problem.obs_point].add(
         jnp.einsum("oki,okj->oij", Jc, Jp))
+    return Hpp, bp, Hcc, bc, U
 
+
+def _graph_terms(problem: BAProblem, Hcc, bc):
+    """Relative-SE3 and prior edges: frame-frame coupling S_full plus
+    additions to the camera diagonal/rhs. Small — computed replicated."""
+    F = problem.poses.shape[0]
+    z6 = jnp.zeros(6, jnp.float32)
     # relative SE3 edges -> dense frame-frame coupling
     Ti = problem.poses[problem.rel_i]
     Tj = problem.poses[problem.rel_j]
@@ -221,7 +231,13 @@ def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
     rgw = rg * sqrt_info
     Hcc = Hcc.at[problem.prior_frame].add(jnp.einsum("gki,gkj->gij", Jg, Jg))
     bc = bc.at[problem.prior_frame].add(-jnp.einsum("gki,gk->gi", Jg, rgw))
+    return S_full, Hcc, bc
 
+
+def _schur_solve(problem: BAProblem, Hpp, bp, Hcc, bc, U, S_full, lam):
+    """Schur-complement reduced-camera solve (shared by the single-chip and
+    the observation-sharded distributed paths)."""
+    F = problem.poses.shape[0]
     # ---------------- Schur complement ----------------
     eye3 = jnp.eye(3)
     Hpp_d = Hpp + lam * eye3[None] * jnp.maximum(
@@ -248,6 +264,12 @@ def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
                     bp - jnp.einsum("fpab,fa->pb", U, dc))
     dp = dp * (~problem.point_fixed)[:, None]
     return dc, dp
+
+
+def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
+    Hpp, bp, Hcc, bc, U = _reproj_normal_terms(problem, huber_delta)
+    S_full, Hcc, bc = _graph_terms(problem, Hcc, bc)
+    return _schur_solve(problem, Hpp, bp, Hcc, bc, U, S_full, lam)
 
 
 def _total_cost(problem: BAProblem, huber_delta: float):

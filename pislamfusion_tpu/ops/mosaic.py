@@ -99,6 +99,22 @@ def homography_canvas_to_image_np(pose_c2w: np.ndarray, cam,
     return Hpi @ A
 
 
+def homography_canvas_to_image(pose_c2w, fx, fy, cx, cy, origin_xy,
+                               length_pixel):
+    """Device-side (jnp, traced) twin of homography_canvas_to_image_np —
+    used by fully device-resident pipelines (bench/scan paths) where the
+    pose is a traced array."""
+    t = pose_c2w[:3]
+    R = lie.quat_to_matrix(pose_c2w[3:7])
+    Rt = R.T
+    K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
+    Hpi = K @ jnp.stack([Rt[:, 0], Rt[:, 1], -Rt @ t], axis=1)
+    A = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    A = A * jnp.array([length_pixel, length_pixel, 1.0])[None, :]
+    A = A.at[0, 2].set(origin_xy[0]).at[1, 2].set(origin_xy[1]).at[2, 2].set(1.0)
+    return Hpi @ A
+
+
 def auto_resolution(cam, max_height: float, scale: float) -> float:
     """Ground-sample length per canvas pixel (Data::prepare:222-237)."""
     corner0 = np.array([(0 - cam.cx) / cam.fx, (0 - cam.cy) / cam.fy])

@@ -1,0 +1,79 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh: the distributed
+observation-sharded BA must match the single-chip solver."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pislamfusion_tpu.ops import ba, lie
+from pislamfusion_tpu.parallel import make_mesh, dist_ba, batch
+from pislamfusion_tpu.ops.features.orb import OrbParams
+
+
+def _make_problem(rng, F=5, P=80, noise=0.02):
+    poses_c2w = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (F, 1))
+    poses_c2w[:, 0] = np.arange(F) * 0.5
+    poses_c2w[:, 2] = -5.0
+    points = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
+    T_w2c = np.asarray(lie.se3_inv(jnp.asarray(poses_c2w)))
+    obs_f, obs_p, obs_uv = [], [], []
+    for f in range(F):
+        pc = np.asarray(lie.se3_apply(jnp.asarray(T_w2c[f]),
+                                      jnp.asarray(points)))
+        good = pc[:, 2] > 0.5
+        uv = pc[:, :2] / pc[:, 2:]
+        for p in np.nonzero(good)[0]:
+            obs_f.append(f)
+            obs_p.append(int(p))
+            obs_uv.append(uv[p])
+    fixed = np.zeros(F, bool)
+    fixed[0] = True
+    fixed[1] = True
+    pts0 = points + rng.normal(0, noise, points.shape).astype(np.float32)
+    pert = np.asarray(lie.se3_exp(jnp.asarray(
+        rng.normal(0, 0.01, (F, 6)), jnp.float32)))
+    T0 = np.array(lie.se3_mul(jnp.asarray(pert), jnp.asarray(T_w2c)))
+    T0[0] = T_w2c[0]
+    T0[1] = T_w2c[1]
+    return ba.make_problem(
+        poses=T0, pose_fixed=fixed, points=pts0,
+        point_fixed=np.zeros(P, bool),
+        obs_frame=np.asarray(obs_f, np.int32),
+        obs_point=np.asarray(obs_p, np.int32),
+        obs_uv=np.asarray(obs_uv, np.float32),
+        obs_weight=np.ones(len(obs_f), np.float32)), T_w2c, points
+
+
+def test_mesh_shape():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dist_ba_matches_single_chip(rng):
+    prob, T_true, pts_true = _make_problem(rng)
+    mesh = make_mesh()
+    p1, x1, c1 = ba.optimize(prob, iters=10)
+    p8, x8, c8 = dist_ba.optimize_sharded(prob, mesh, iters=10)
+    # both converge to ground truth
+    assert float(c8) < 1e-4, float(c8)
+    np.testing.assert_allclose(np.asarray(p8), T_true, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(x8), pts_true, atol=5e-3)
+    # and agree with the single-chip result tightly
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-4)
+
+
+def test_batched_detect_sharded(rng):
+    mesh = make_mesh()
+    B = mesh.shape["dp"] * 2
+    imgs = np.zeros((B, 96, 128), np.float32)
+    for b in range(B):
+        for _ in range(20):
+            y, x = rng.integers(10, 70), rng.integers(10, 100)
+            imgs[b, y:y + 12, x:x + 16] = rng.uniform(100, 250)
+    params = OrbParams(n_features=128, n_levels=3)
+    feats = batch.batched_orb_detect(jnp.asarray(imgs), params, mesh)
+    assert feats["desc"].shape == (B, 128, 256)
+    assert np.asarray(feats["valid"]).sum(axis=1).min() > 10
+    idx, ok = batch.batched_consecutive_match(feats, "orb", mesh=mesh)
+    assert idx.shape == (B, 128)
