@@ -189,5 +189,63 @@ def main():
     }))
 
 
+def _error_json(exc: BaseException) -> str:
+    return json.dumps({
+        "metric": "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
+                  "5-band mosaic composite, single chip)",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "error": f"{type(exc).__name__}: {exc}",
+    })
+
+
+def _probe_backend(timeout_s: float) -> bool:
+    """Run a tiny device program in a SUBPROCESS with a hard timeout: the
+    axon tunnel sometimes hangs (not fails) inside backend init, which would
+    otherwise eat the driver's whole time budget."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
+            "print('PROBE_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel on this box flakes at backend init — sometimes raising
+    # UNAVAILABLE (round 1's rc=1 bench) and sometimes HANGING. Probe the
+    # backend with a bounded subprocess first, retrying with backoff; only
+    # a healthy backend gets the real (unbounded) run. Exceptions inside
+    # the run retry by re-exec; everything ends in a parseable JSON line.
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "4"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
+    for p in range(max_attempts):
+        if _probe_backend(probe_timeout):
+            break
+        print(f"backend probe {p + 1}/{max_attempts} failed/hung; "
+              "retrying in 20s", file=sys.stderr)
+        time.sleep(20)
+    else:
+        print(_error_json(RuntimeError(
+            "TPU backend unavailable: init probe hung/failed "
+            f"{max_attempts}x at {probe_timeout}s")))
+        sys.exit(0)
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — anything device-side
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        if attempt + 1 < max_attempts:
+            wait = 15 * (attempt + 1)
+            print(f"bench attempt {attempt + 1} failed; retrying in {wait}s",
+                  file=sys.stderr)
+            time.sleep(wait)
+            os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(_error_json(exc))

@@ -1,0 +1,134 @@
+"""Application glue: `python -m pislamfusion_tpu <dataset> [key=value ...]`.
+
+Equivalent of src/main.cpp (:6-43) — ParseMain, Act dispatch, positional
+args opened as datasets — plus the SLAM feed loop of gui/pislam.cpp
+(slamThread :132-183) and the result saving that the reference spreads
+over MainWindow/TestSystem. Headless: the Qt GUI has no TPU analogue; the
+observability surface is the saved result.png / trajectory.txt / map.ply
+and the section-timer report (core/timer.py).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .core.svar import Svar
+from .core.timer import timer
+from .io.dataset import open_dataset
+from .models.fusion import FusionSystem
+from .models.slam import create_slam
+
+
+def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
+    """Open datasets, run the SLAM feed loop with the fusion consumer
+    attached, save outputs. Returns (slam, fusion)."""
+    if not dataset_paths:
+        raise SystemExit("no dataset given (pass e.g. survey.npudronemap)")
+    datasets = []
+    for p in dataset_paths:
+        ds = open_dataset(p)
+        if ds is None or not ds.is_opened():
+            raise SystemExit(f"could not open dataset {p}")
+        # dataset config (camera, plane, GPS origin) fills gaps; CLI wins
+        for k in ds.cfg.keys():
+            cfg.insert(k, ds.cfg.get(k), overwrite=False)
+        datasets.append(ds)
+
+    camera = datasets[0].camera
+    slam = create_slam(cfg, camera)
+    fusion = FusionSystem(cfg, camera).start()
+
+    freq = cfg.get_double("Frequency", 0.0)   # gui/pislam.cpp:134 (100 Hz)
+    period = 1.0 / freq if freq > 0 else 0.0
+    t0 = time.perf_counter()
+    n_images = 0
+    last_gps = None
+    for ds in datasets:
+        while True:
+            fr = ds.grab_frame()
+            if fr is None:
+                break
+            if fr.is_gps_only:
+                last_gps = fr                       # attach to next image
+                continue
+            img = fr.load_image()
+            if img is None:
+                continue
+            gps_src = fr if fr.gps_lla is not None else last_gps
+            gps_lla = gps_src.gps_lla if gps_src is not None else None
+            gps_acc = 5.0
+            if gps_src is not None and gps_src.gps_sigma is not None:
+                gps_acc = float(np.mean(gps_src.gps_sigma))
+            last_gps = None
+            with timer.scope("App::track"):
+                slam.track(img, fr.timestamp, gps_lla=gps_lla,
+                           gps_acc=gps_acc)
+            n_images += 1
+            if period:
+                dt = t0 + n_images * period - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+    slam.finish()
+    if slam.mapper is not None:
+        slam.mapper.force_plane()   # publish plane even on short runs
+    fusion.finish()
+
+    wall = time.perf_counter() - t0
+    os.makedirs(out_dir, exist_ok=True)
+    result_png = cfg.get_string("Map.File2Save",
+                                os.path.join(out_dir, "result.png"))
+    saved = fusion.save(result_png)
+    if slam.map is not None:
+        slam.map.export_trajectory(os.path.join(out_dir, "trajectory.txt"))
+        slam.map.export_ply(os.path.join(out_dir, "map.ply"))
+        map_file = cfg.get_string("MapFile2Save", "")
+        if map_file:
+            slam.map.save(map_file)
+
+    ratio = slam.frames_tracked / max(slam.frames_total, 1)
+    print(f"frames: {slam.frames_total} tracked {slam.frames_tracked} "
+          f"({100 * ratio:.1f}%) in {wall:.1f}s "
+          f"({slam.frames_total / max(wall, 1e-9):.1f} fps)")
+    if slam.map is not None:
+        print(f"map: {len(slam.map.keyframes())} keyframes, "
+              f"{slam.map.point_num()} points")
+    print(f"mosaic: fed {fusion.frames_fed} frames, "
+          f"trajectory length {fusion.length_calc.length:.2f}"
+          + (f", saved {result_png}" if saved else ", nothing blended"))
+    if fusion.error:
+        print(f"fusion error: {fusion.error}", file=sys.stderr)
+    if cfg.get_bool("Timer.Report", True):
+        timer.dump()
+    return slam, fusion
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from .core.svar import svar
+    if argv is None:
+        argv = sys.argv[1:]
+    positional = svar.parse_main(argv)
+    act = svar.get_string("Act", "SLAM")
+    if act == "SLAM":
+        run_slam(svar, positional,
+                 out_dir=svar.get_string("Out.Dir", "."))
+        return 0
+    if act == "TestMap2D":
+        fusion = FusionSystem(svar)
+        fusion.run()        # inline (no SLAM producer to overlap with)
+        saved = fusion.save(svar.get_string(
+            "Map.File2Save", os.path.join(
+                svar.get_string("Out.Dir", "."), "result.png")))
+        print(f"mosaic: fed {fusion.frames_fed} frames, saved={saved}")
+        if fusion.error:
+            print(f"error: {fusion.error}", file=sys.stderr)
+            return 1
+        return 0
+    if act == "Tests":      # gtest runner parity (gui/pislam.cpp:228-232)
+        import pytest
+        return pytest.main(["-q"] + positional)
+    print(f"No act {act}!", file=sys.stderr)
+    return 1

@@ -100,9 +100,10 @@ def _parse_gpshpyr(vals):
     n = len(v)
     if n >= 6:
         lla = np.asarray(v[0:3])
+        # reference getGPSLLASigma (MapFrame.h:65-69): its size()>=6 branch
+        # reads sigma = v[3:6] for every layout (the ==7 arm is unreachable).
         sigma = np.asarray(v[3:6])
     if n == 11:
-        sigma = np.asarray([v[3], v[3], v[4]])
         pyr = np.asarray(v[5:8])
     elif n == 12:
         pyr = np.asarray(v[6:9])

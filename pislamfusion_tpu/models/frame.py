@@ -46,6 +46,8 @@ class Frame:
     is_keyframe: bool = False
     # keyframe connection weights: {frame_id: shared point count}
     connections: Dict[int, int] = dataclasses.field(default_factory=dict)
+    # lazy BoW word set (MapFrame.cpp:156-209 lazy BoW via global vocab)
+    bow_words: Optional[np.ndarray] = None
 
     def set_features(self, feats: dict, kind: str):
         """Install padded feature arrays (from ops.features.*_detect)."""

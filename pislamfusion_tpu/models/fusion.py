@@ -1,0 +1,239 @@
+"""SLAM -> mosaic fusion driver: the missing half that makes this ONE system.
+
+Equivalent of Map2DFusion/Map2DFusion.cpp TestSystem:
+  * `Map2DWithSLAM` (:250-338): consume `PrepareFrameNum` tracked
+    (image, pose) pairs from the `trans` queue, block on `trans_plane` for
+    the mapper's dominant ground plane, `Map2D::create(Map2D.Type)` +
+    `prepare(plane, PinHole(Camera.Paraments), frames)`, then the feed loop
+    throttled by queue backpressure.
+  * `TestMap2D` (:153-248): trajectory.txt playback — known-pose keyframes
+    (the mosaic-only mode of DatasetNPUDroneMap / DroneMapKFDataset).
+  * result saving on exit (:48-56, `Map.File2Save`).
+  * `TrajectoryLengthCalculator` (:14-35).
+
+The reference runs this as a QThread consuming cross-thread queues; here it
+is a daemon thread consuming the same two `DataTrans` queues
+(core/messenger.py), so SLAM (producer) and mosaic (consumer) overlap exactly
+like the reference's thread split. `finish()` drains what is left and saves.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.messenger import trans, trans_plane
+from ..core.svar import Svar
+from ..core.timer import timer
+from .map2d import create_map2d
+
+
+class TrajectoryLength:
+    """TrajectoryLengthCalculator (Map2DFusion.cpp:14-35): cumulative path
+    length of fed poses, printed at exit."""
+
+    def __init__(self):
+        self._last: Optional[np.ndarray] = None
+        self.length = 0.0
+
+    def feed(self, t: np.ndarray):
+        t = np.asarray(t, np.float64)
+        if self._last is not None:
+            self.length += float(np.linalg.norm(t - self._last))
+        self._last = t
+
+
+class FusionSystem:
+    """TestSystem equivalent. start() spawns the consumer thread; finish()
+    drains the queues and returns; save() writes result.png."""
+
+    def __init__(self, cfg: Optional[Svar] = None, camera: Camera = None,
+                 trans_q=None, plane_q=None):
+        from ..core.svar import svar as default_svar
+        self.cfg = cfg if cfg is not None else default_svar
+        self.camera = camera
+        self.map2d = None
+        self.length_calc = TrajectoryLength()
+        self._trans = trans_q if trans_q is not None else trans
+        self._plane_q = plane_q if plane_q is not None else trans_plane
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._finishing = threading.Event()
+        self._prepared = threading.Event()
+        self.frames_fed = 0
+        self.error: Optional[str] = None
+
+    # ------------------------------------------------------------------ API
+    def start(self):
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+        return self
+
+    def run(self):
+        act = self.cfg.get_string("Map2D.Act", "Map2DWithSLAM")
+        try:
+            if act in ("Map2DWithSLAM", "Default"):
+                self.map2d_with_slam()
+            elif act == "TestMap2D":
+                self.test_map2d()
+            else:
+                self.error = f"No act {act}"
+        except Exception as e:  # surfaced via .error; thread must not die mute
+            import traceback
+            self.error = traceback.format_exc()
+            raise
+
+    def finish(self, timeout: float = 600.0):
+        """Signal end-of-stream, wait for the consumer to drain and exit."""
+        self._finishing.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+        return self.error is None
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def save(self, filename: Optional[str] = None) -> bool:
+        """result.png on exit (Map2DFusion.cpp:48-56)."""
+        if filename is None:
+            filename = self.cfg.get_string("Map.File2Save", "result.png")
+        if self.map2d is None:
+            return False
+        return self.map2d.save(filename)
+
+    # ------------------------------------------------------------ internals
+    def _obtain_frame(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Blocking dequeue with stop/finish checks (obtainFrame :139-151)."""
+        while not self._stop.is_set():
+            try:
+                img, pose = self._trans.consumption(timeout=0.2)
+            except queue.Empty:
+                if self._finishing.is_set():
+                    return None
+                continue
+            self.length_calc.feed(np.asarray(pose)[:3])
+            return img, pose
+        return None
+
+    def _obtain_plane(self) -> Optional[np.ndarray]:
+        # config-supplied plane wins (dataset config.cfg `Plane=`), else
+        # block on the mapper's RANSAC estimate (Trans_Plane.consumption)
+        p = self.cfg.get_vec("Plane")
+        if len(p) == 7:
+            return np.asarray(p, np.float64)
+        while not self._stop.is_set():
+            try:
+                return np.asarray(self._plane_q.consumption(timeout=0.2),
+                                  np.float64)
+            except queue.Empty:
+                if self._finishing.is_set() and self._plane_q.qsize() == 0:
+                    return None
+        return None
+
+    def _camera(self) -> Optional[Camera]:
+        if self.camera is not None:
+            return self.camera
+        p = self.cfg.get_vec("Camera.Paraments")
+        if len(p) >= 6:
+            return Camera.from_parameters(p[:6])
+        return None
+
+    def _prepare_and_feed(self, frames: List[Tuple[np.ndarray, np.ndarray]],
+                          plane: np.ndarray) -> bool:
+        cam = self._camera()
+        if cam is None:
+            self.error = "Invalid camera parameters!"
+            return False
+        self.map2d = create_map2d(self.cfg.get_string("Map2D.Type", "3"),
+                                  self.cfg)
+        if not self.map2d.prepare(plane, cam, frames):
+            self.error = "Map2D.prepare failed"
+            return False
+        self._prepared.set()
+        for img, pose in frames:
+            with timer.scope("Fusion::feed"):
+                self.map2d.feed(img, pose)
+            self.frames_fed += 1
+        return True
+
+    def map2d_with_slam(self):
+        """Map2DFusion.cpp:250-338."""
+        cfg_path = self.cfg.get_string("Map2D.ConfigPath", "")
+        if cfg_path:
+            self.cfg.parse_file(cfg_path)
+        frames = []
+        for _ in range(self.cfg.get_int("PrepareFrameNum", 10)):
+            fr = self._obtain_frame()
+            if fr is None:
+                break
+            frames.append(fr)
+        if not frames:
+            self.error = "no frames arrived before finish"
+            return
+        plane = self._obtain_plane()
+        if plane is None:
+            self.error = "no ground plane arrived before finish"
+            return
+        if not self._prepare_and_feed(frames, plane):
+            return
+        # feed loop: synchronous Map2D -> no queue throttle needed
+        while not self._stop.is_set():
+            fr = self._obtain_frame()
+            if fr is None:
+                break
+            with timer.scope("Fusion::feed"):
+                self.map2d.feed(fr[0], fr[1])
+            self.frames_fed += 1
+
+    def test_map2d(self):
+        """Trajectory-playback mode (Map2DFusion.cpp:153-248): DataPath holds
+        config.cfg + trajectory.txt + rgb/ images — known-pose keyframes."""
+        datapath = self.cfg.get_string("Map2D.DataPath", "")
+        if not datapath:
+            self.error = "Map2D.DataPath is not set"
+            return
+        import os
+        from ..io.dataset import imread
+        self.cfg.parse_file(os.path.join(datapath, "config.cfg"))
+        traj = os.path.join(datapath, "trajectory.txt")
+        if not os.path.isfile(traj):
+            self.error = f"can't open {traj}"
+            return
+        entries = []
+        with open(traj) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 8:
+                    continue
+                name = parts[0]
+                pose = np.asarray([float(v) for v in parts[1:8]], np.float64)
+                entries.append((os.path.join(datapath, "rgb", name + ".jpg"),
+                                pose))
+        if not entries:
+            self.error = "empty trajectory"
+            return
+        plane = self._obtain_plane()
+        if plane is None:
+            p = self.cfg.get_vec("Plane")
+            if len(p) != 7:
+                self.error = "Plane is not defined"
+                return
+            plane = np.asarray(p, np.float64)
+        n_prep = min(self.cfg.get_int("PrepareFrameNum", 10), len(entries))
+        frames = [(imread(p), pose) for p, pose in entries[:n_prep]]
+        for _, pose in frames:
+            self.length_calc.feed(pose[:3])
+        if not self._prepare_and_feed(frames, plane):
+            return
+        for path, pose in entries[n_prep:]:
+            if self._stop.is_set():
+                break
+            self.length_calc.feed(pose[:3])
+            with timer.scope("Fusion::feed"):
+                self.map2d.feed(imread(path), pose)
+            self.frames_fed += 1

@@ -33,6 +33,9 @@ class LoopDetectorDistance:
         self.max_distance = cfg.get_double("SLAM.MaxLoopDistance", 400.0)
         self.min_gap = cfg.get_int("SLAM.LoopMinFrameGap", 20)
 
+    def insert(self, frame: Frame):
+        pass
+
     def candidates(self, frame: Frame) -> List[int]:
         out = []
         excluded = set(frame.connections) | {frame.id}
@@ -43,6 +46,55 @@ class LoopDetectorDistance:
             if d < self.max_distance:
                 out.append(kf.id)
         return out
+
+
+@LOOP_DETECTORS.register("BoW")
+class LoopDetectorBoW:
+    """Appearance-based candidates via a BoW inverted file
+    (zhaoyong/LoopDetectorBoW.cpp:49-89): keyframes sharing vocabulary words
+    with the query, scored 1/commonWords ascending (most-common first).
+    Requires a `vocabulary` (ops/vocabulary.Vocabulary); the SLAM system
+    wires it from the `Vocabulary` config key."""
+
+    def __init__(self, wmap: WorldMap, cfg, vocabulary=None):
+        self.map = wmap
+        self.cfg = cfg
+        self.vocabulary = vocabulary
+        self.min_gap = cfg.get_int("SLAM.LoopMinFrameGap", 20)
+        self._inverted: dict = {}          # word -> [frame ids]
+
+    def _words(self, frame: Frame):
+        if frame.bow_words is None:
+            if self.vocabulary is None or self.vocabulary.empty():
+                return None
+            wid, w, _ = self.vocabulary.transform_arrays(
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid))
+            frame.bow_words = np.unique(np.asarray(wid)[np.asarray(wid) >= 0])
+        return frame.bow_words
+
+    def insert(self, frame: Frame):
+        words = self._words(frame)
+        if words is None:
+            return
+        for w in words:
+            self._inverted.setdefault(int(w), []).append(frame.id)
+
+    def candidates(self, frame: Frame) -> List[int]:
+        words = self._words(frame)
+        if words is None:
+            return []
+        counts: dict = {}
+        excluded = set(frame.connections) | {frame.id}
+        for w in words:
+            for fid in self._inverted.get(int(w), ()):
+                if fid in excluded or frame.id - fid < self.min_gap:
+                    continue
+                counts[fid] = counts.get(fid, 0) + 1
+        # LoopCandidate(score=1/commonWords) sorted ascending == most common
+        # words first (LoopDetectorBoW.cpp:83-88)
+        ranked = sorted(counts.items(), key=lambda kv: 1.0 / kv[1])
+        min_common = self.cfg.get_int("SLAM.LoopMinCommonWords", 8)
+        return [fid for fid, c in ranked if c >= min_common]
 
 
 @LOOP_CLOSERS.register("se3graph")
@@ -60,6 +112,7 @@ class LoopCloserSE3Graph:
 
     def try_close(self, frame: Frame) -> bool:
         cands = self.detector.candidates(frame)
+        self.detector.insert(frame)     # index the new KF (inverted file)
         if not cands:
             return False
         best = self._verify(frame, cands)

@@ -138,10 +138,14 @@ class Map2DBase:
         ty0 = int(np.floor((ymin - self.min_xy[1]) / es))
         tx1 = int(np.ceil((xmax - self.min_xy[0]) / es))
         ty1 = int(np.ceil((ymax - self.min_xy[1]) / es))
-        if tx1 - tx0 > self.patch_tiles or ty1 - ty0 > self.patch_tiles:
-            # footprint exceeds the static patch (higher than prepare-time max
-            # height): recenter the patch on the footprint and clip
-            pass
+        if tx1 - tx0 > self.patch_tiles:
+            # footprint exceeds the static patch (higher than prepare-time
+            # max height): center the patch on the footprint so the clipped
+            # borders are symmetric instead of silently dropping the
+            # right/bottom part
+            tx0 = (tx0 + tx1 - self.patch_tiles) // 2
+        if ty1 - ty0 > self.patch_tiles:
+            ty0 = (ty0 + ty1 - self.patch_tiles) // 2
         tx0 = max(0, min(tx0, self.w_tiles - self.patch_tiles))
         ty0 = max(0, min(ty0, self.h_tiles - self.patch_tiles))
         origin_xy_plane = (self.min_xy[0] + tx0 * es,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.messenger import trans_plane
+from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
 from ..core.timer import timer
 from ..ops import ba, lie, matching, ransac
@@ -49,6 +49,13 @@ class Mapper:
         self.ba_f = cfg.get_int("SLAM.BAFrameCap", BA_F)
         self.ba_p = cfg.get_int("SLAM.BAPointCap", BA_P)
         self.ba_o = cfg.get_int("SLAM.BAObsCap", BA_O)
+        self.plane_min = cfg.get_int("Plane.MinPoints", PLANE_MIN_POINTS)
+        self.plane_queue = _default_trans_plane
+        self.gps_fitted = False
+        # callback(S_sim3) the SLAM wires to the tracker so its motion
+        # model survives the map rescale (the reference shares this via the
+        # GPS.Fitted svar + shared frame objects)
+        self.on_map_transformed = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -75,6 +82,7 @@ class Mapper:
             with timer.scope("Mapper::localOptimization"):
                 self._local_ba(frame)
             self._update_normals_descriptors(frame)
+            self._maybe_fit_gps()
             self._feed_plane()
 
     # ------------------------------------------------------------ pipeline
@@ -146,9 +154,11 @@ class Mapper:
             if okn.sum() < 5:
                 continue
             idxn = np.asarray(idx)
-            sel = np.nonzero(okn)[0]
-            ra = frame.rays[sel]
-            rb = kf.rays[idxn[sel]]
+            # FIXED-SHAPE triangulation over all N keypoint slots (matched
+            # or not) — a `sel`-sized call would recompile per match count;
+            # masking afterwards costs nothing on device
+            ra = frame.rays
+            rb = kf.rays[np.where(okn, idxn, 0)]
             Ta = jnp.asarray(frame.pose_c2w)
             Tb = jnp.asarray(kf.pose_c2w)
             X, da = ransac.triangulate(Ta, Tb, jnp.asarray(ra),
@@ -168,12 +178,12 @@ class Mapper:
             eb = np.linalg.norm(pb[:, :2] / np.maximum(pb[:, 2:], 1e-9)
                                 - rb[:, :2], axis=1)
             th = 2.0 * sigma * np.sqrt(5.991)
-            good = ((da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
+            good = (okn & (da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
                     & (ea < th) & (eb < th) & np.isfinite(X).all(1))
             color_img = frame.color if frame.color is not None else frame.image
             for j in np.nonzero(good)[0]:
-                ka = int(sel[j])
-                kb = int(idxn[sel[j]])
+                ka = int(j)
+                kb = int(idxn[j])
                 if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
                     continue
                 pid = self.map.get_pid()
@@ -319,8 +329,9 @@ class Mapper:
         if fixed.sum() == 0:
             fixed[np.argmin(frame_ids)] = True
         pts = np.stack([self.map.point(p).position for p in pids])
-        # pad to capacities
-        F = min(self.ba_f, max(4, len(frame_ids)))
+        # pad to capacities (F fixed at the cap: a varying frame count would
+        # recompile the whole jitted BA program per keyframe)
+        F = self.ba_f
         poses_p, fmask = pad_to(poses, F)
         poses_p[~fmask] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
         fixed_p, _ = pad_to(fixed, F, True)
@@ -332,8 +343,10 @@ class Mapper:
         obs_pp, _ = pad_to(obs_p, O)
         obs_uvp, _ = pad_to(obs_uv, O)
         weight = omask.astype(np.float32)
-        # GPS priors (when frames carry ENU fixes and GPS is fitted)
-        use_gps = self.cfg.get_bool("GPS.LocalOptimize", False)
+        # GPS priors (when frames carry ENU fixes and GPS is fitted) —
+        # MapperDemo.cpp:1431: `GPS.Fitted && GPS.LocalOptimize(default 1)`
+        use_gps = self.gps_fitted and self.cfg.get_bool("GPS.LocalOptimize",
+                                                        True)
         prior_kw = {}
         if use_gps:
             gps_f, gps_pose, gps_info = [], [], []
@@ -349,9 +362,16 @@ class Mapper:
                     info[:3] = 1.0 / max(fr.gps_acc, 0.1) ** 2
                     gps_info.append(info)
             if gps_f:
-                prior_kw = dict(prior_frame=np.asarray(gps_f, np.int32),
-                                prior_pose=np.stack(gps_pose),
-                                prior_info=np.stack(gps_info))
+                # pad priors to the frame capacity so the jitted BA program
+                # keeps ONE shape across keyframes (padding rows: frame 0,
+                # identity pose, zero information -> no effect)
+                G = self.ba_f
+                pfr, _ = pad_to(np.asarray(gps_f, np.int32), G)
+                ppo, pm = pad_to(np.stack(gps_pose).astype(np.float32), G)
+                ppo[~pm] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+                pin, _ = pad_to(np.stack(gps_info).astype(np.float32), G)
+                prior_kw = dict(prior_frame=pfr, prior_pose=ppo,
+                                prior_info=pin)
         prob = ba.make_problem(
             poses=poses_p, pose_fixed=fixed_p, points=pts_p,
             point_fixed=~pmask, obs_frame=obs_fp, obs_point=obs_pp,
@@ -417,17 +437,114 @@ class Mapper:
                 mp.normal = (m / max(np.linalg.norm(m), 1e-9)).astype(
                     np.float32)
 
-    # -------------------------------------------------------------- plane
-    def _feed_plane(self):
-        """Dominant ground plane for the mosaic (src/RANSAC.cpp:103-116)."""
-        if self._plane_sent or len(self._plane_buffer) < PLANE_MIN_POINTS:
+    # ---------------------------------------------------------------- GPS
+    def _maybe_fit_gps(self):
+        """SIM3 geo-registration of the map (DIYSLAM::tryFitGPS semantics,
+        DIYSLAM.cpp:442-485; we fit map -> local ENU instead of ECEF so
+        everything stays float32-friendly — the lla -> ENU geodesy runs in
+        float64 in core/gps.py).
+
+        First fit happens once enough GPS-tagged keyframes with genuine 2D
+        spread exist; after that the fit is REFRESHED every GPS.RefitEvery
+        keyframes (the reference's full-trajectory Mapper::fitGps,
+        MapperDemo.cpp:1557-1625) — a single early fit on a near-collinear
+        trajectory locks in a tilt that windowed BA can never rotate out."""
+        if not self.cfg.get_bool("GPS.EnableFitGPS", True):
             return
-        pts = np.stack(self._plane_buffer[:PLANE_MIN_POINTS * 2])
+        kfs = [f for f in self.map.keyframes() if f.gps_enu is not None]
+        if not self.gps_fitted:
+            if len(kfs) < self.cfg.get_int("GPS.MinFrames2Fit", 5):
+                return
+            self.fit_gps_all(min_frames=len(kfs), check_spread=True)
+        elif self._kf_count % self.cfg.get_int("GPS.RefitEvery", 4) == 0:
+            self.fit_gps_all()
+
+    def fit_gps_all(self, min_frames: int = 3, check_spread: bool = False):
+        """SIM3 Horn fit of all GPS-tagged keyframe centers to their ENU
+        fixes, then rigid+scale transform of the whole map (tryFitGPS /
+        Mapper::fitGps, MapperDemo.cpp:1557-1625). Returns True on fit."""
+        kfs = [f for f in self.map.keyframes() if f.gps_enu is not None]
+        if len(kfs) < max(min_frames, 3):
+            return False
+        est = np.stack([f.pose_c2w[:3] for f in kfs]).astype(np.float32)
+        enu = np.stack([f.gps_enu for f in kfs]).astype(np.float32)
+        if check_spread:
+            # need 2D spread or the rotation about the track is undetermined
+            sv = np.linalg.svd(est - est.mean(0), compute_uv=False)
+            if sv[1] < 0.1 * sv[0] or sv[0] < 1e-6:
+                return False
+        # pad to a capacity quantum so sim3_horn compiles once, not per-KF
+        cap = max(32, 1 << int(np.ceil(np.log2(len(est)))))
+        est_p, wmask = pad_to(est, cap)
+        enu_p, _ = pad_to(enu, cap)
+        S = np.asarray(ransac.sim3_horn(jnp.asarray(est_p),
+                                        jnp.asarray(enu_p),
+                                        jnp.asarray(wmask, jnp.float32)))
+        fit = np.asarray(lie.sim3_apply(jnp.asarray(S), jnp.asarray(est)))
+        rms = float(np.sqrt(np.mean(np.sum((fit - enu) ** 2, -1))))
+        sigma = np.mean([f.gps_acc for f in kfs])
+        max_err = max(3.0 * sigma,
+                      self.cfg.get_double("GPS.MaxFitError", 15.0))
+        if not np.isfinite(rms) or rms > max_err:
+            return False
+        self.apply_sim3(S)
+        self.gps_fitted = True
+        self.cfg.set("GPS.Fitted", "1")
+        return True
+
+    def apply_sim3(self, S: np.ndarray):
+        """Transform every frame pose and point by the SIM3 (the reference's
+        `fr->setPose(sim3*fr->getPoseScale())` loop)."""
+        Sj = jnp.asarray(S, jnp.float32)
+        frames = self.map.frames()
+        if frames:
+            poses = jnp.asarray(np.stack([f.pose_c2w for f in frames]))
+            new_poses = np.asarray(lie.sim3_to_se3(
+                lie.sim3_mul(Sj, lie.sim3_from_se3(poses))))
+            for f, p in zip(frames, new_poses):
+                f.pose_c2w = np.asarray(p, np.float32)
+        points = self.map.points()
+        if points:
+            pos = jnp.asarray(np.stack([p.position for p in points]))
+            new_pos = np.asarray(lie.sim3_apply(Sj, pos))
+            for p, x in zip(points, new_pos):
+                p.position = np.asarray(x, np.float32)
+        # plane + buffered plane points live in map coords too
+        self._plane_buffer = [np.asarray(lie.sim3_apply(Sj, jnp.asarray(b)),
+                                         np.float32)
+                              for b in self._plane_buffer]
+        if self.plane_se3 is not None:
+            newp = np.asarray(lie.sim3_mul(
+                Sj, lie.sim3_from_se3(jnp.asarray(self.plane_se3,
+                                                  jnp.float32))))
+            self.plane_se3 = np.asarray(lie.sim3_to_se3(jnp.asarray(newp)),
+                                        np.float32)
+        if self.on_map_transformed is not None:
+            self.on_map_transformed(np.asarray(S))
+
+    # -------------------------------------------------------------- plane
+    def force_plane(self):
+        """Fit+publish the plane now from whatever points exist (used by the
+        app driver at end-of-stream when the run never crossed
+        Plane.MinPoints; the reference would simply never blend)."""
+        if not self._plane_sent:
+            if len(self._plane_buffer) < 50:  # buffer lost/short: use map
+                self._plane_buffer = [p.position for p in self.map.points()]
+            self._feed_plane(min_points=50)
+        return self.plane_se3
+
+    def _feed_plane(self, min_points: Optional[int] = None):
+        """Dominant ground plane for the mosaic (src/RANSAC.cpp:103-116)."""
+        if min_points is None:
+            min_points = self.plane_min
+        if self._plane_sent or len(self._plane_buffer) < min_points:
+            return
+        pts = np.stack(self._plane_buffer[:self.plane_min * 2])
         res = ransac.find_plane(self._next_key(),
                                 jnp.asarray(pts, jnp.float32),
                                 jnp.ones(len(pts), bool),
                                 sigma=0.15)
         if bool(res.ok):
             self.plane_se3 = np.asarray(res.model)
-            trans_plane.product(self.plane_se3)
+            self.plane_queue.product(self.plane_se3)
             self._plane_sent = True

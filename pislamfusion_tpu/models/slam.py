@@ -20,7 +20,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.messenger import trans
+from ..core.messenger import trans as _default_trans
+from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import (FEATURE_DETECTORS, LOOP_CLOSERS, MAPPERS, MAPS,
                              TRACKERS)
 from ..core.svar import Svar
@@ -71,8 +72,11 @@ class SLAM:
         self.mapper: Optional[Mapper] = None
         self.loop_closer: Optional[LoopCloserSE3Graph] = None
         self.detector = None
+        self.vocabulary = None   # optional BoW vocab (set or cfg-loaded)
         self._local_frame = None    # gps.LocalFrame once first fix arrives
         self._online = False
+        self.trans_queue = _default_trans          # (image, pose) -> mosaic
+        self.plane_queue = _default_trans_plane    # ground plane -> mosaic
         self._queue: Optional[queue.Queue] = None
         self._worker: Optional[threading.Thread] = None
         self.frames_tracked = 0
@@ -86,10 +90,30 @@ class SLAM:
         self.map = MAPS.create(cfg.get_string("Map", "Hash"), cfg)
         self.mapper = MAPPERS.create(cfg.get_string("Mapper", "demo"),
                                      self.map, cfg)
+        self.mapper.plane_queue = self.plane_queue
         self.tracker = TRACKERS.create(cfg.get_string("Tracker", "opt"),
                                        self.map, cfg, self.mapper)
+        self.mapper.on_map_transformed = self.tracker.on_map_transformed
+        # vocabulary (for BoW loop detection / relocalization); loaded from
+        # a .gbow file (Vocabulary.h:98-107) when configured
+        import os
+        vocab_path = cfg.get_string("Vocabulary", "")
+        if self.vocabulary is None and vocab_path and \
+                os.path.isfile(vocab_path):
+            from ..ops.vocabulary import Vocabulary
+            self.vocabulary = Vocabulary.load(vocab_path)
+        det_name = cfg.get_string("LoopDetector", "GPS")
+        from ..core.registry import LOOP_DETECTORS
+        from .loopclose import LoopDetectorBoW
+        if det_name == "BoW" and self.vocabulary is None:
+            det_name = "GPS"    # no vocab -> fall back to distance detector
+        detector = LOOP_DETECTORS.create(det_name, self.map, cfg)
+        if isinstance(detector, LoopDetectorBoW):
+            detector.vocabulary = self.vocabulary
+        self.tracker.loop_detector = detector
         self.loop_closer = LOOP_CLOSERS.create(
-            cfg.get_string("LoopCloser", "se3graph"), self.map, cfg)
+            cfg.get_string("LoopCloser", "se3graph"), self.map, cfg,
+            detector)
         feat = cfg.get_string("FeatureDetector",
                               cfg.get_string("SLAM.Feature", "ORB"))
         self.detector = FEATURE_DETECTORS.create(feat, cfg)
@@ -148,7 +172,7 @@ class SLAM:
             self.frames_tracked += 1
             # feed the mosaic queue (TrackerOpt.cpp:374-384)
             img = frame.color if frame.color is not None else frame.image
-            trans.product((img, frame.pose_c2w.copy()))
+            self.trans_queue.product((img, frame.pose_c2w.copy()))
             if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",
                                                        True):
                 self.loop_closer.try_close(frame)
@@ -162,10 +186,24 @@ class SLAM:
             self._track_one(frame)
 
     def finish(self):
-        """Flush the online queue (call("Finish") in the reference)."""
+        """Flush the online queue (call("Finish") in the reference) and run
+        a final full-trajectory GPS refit when geo-registered."""
         if self._online and self._queue is not None:
             self._queue.put(None)
             self._worker.join(timeout=30)
+        if self.mapper is not None and self.mapper.gps_fitted:
+            self.mapper.fit_gps_all()
+
+    def call(self, command: str, arg=None):
+        """String-command surface (DIYSLAM.cpp:366-394)."""
+        if command == "Finish":
+            self.finish()
+        elif command == "FitGPSAll":        # DIYSLAM.cpp:392 -> tryFitGPS
+            if self.mapper is not None:
+                return self.mapper.fit_gps_all()
+        elif command == "SetSvar" and arg is not None:
+            self.cfg.update(arg)
+        return None
 
     # convenience accessors
     @property

@@ -52,6 +52,7 @@ class Tracker:
         self.lost_count = 0
         self._key = jax.random.PRNGKey(cfg.get_int("SLAM.Seed", 0))
         self.max_overlap = cfg.get_double("SLAM.MaxOverlap", 0.95)
+        self.loop_detector = None   # wired by SLAM for relocalization
         self.min_inliers = cfg.get_int("SLAM.MinTrackInliers", 30)
         # matching thresholds (MatcherBoW.cpp:133-174)
         self.chi2_px = cfg.get_double("SLAM.Chi2Threshold", 5.991)
@@ -59,6 +60,13 @@ class Tracker:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def on_map_transformed(self, S: np.ndarray):
+        """The mapper applied a global SIM3 (GPS fit): frame objects are
+        already updated in place; only the cached relative motion needs its
+        translation rescaled (t_rel' = s * t_rel, rotation unchanged)."""
+        self.motion = self.motion.copy()
+        self.motion[:3] *= float(S[7])
 
     # ------------------------------------------------------------------ API
     def track(self, frame: Frame) -> bool:
@@ -245,14 +253,20 @@ class Tracker:
         if ref is not None:
             candidates.append(ref)
         if self.status == Status.LOST:
-            # relocalization sweep (relocalize(), :1307-1350): recent
-            # keyframes first, then a strided sample over the whole map
+            # relocalization (relocalize(), :1307-1350): loop-detector
+            # candidates first (BoW/appearance when a vocabulary is wired),
+            # then recent keyframes, then a strided sample of the whole map
+            loop_cands = []
+            if self.loop_detector is not None:
+                loop_cands = [self.map.frame(fid) for fid in
+                              self.loop_detector.candidates(frame)[:5]]
+                loop_cands = [k for k in loop_cands if k is not None]
             recent = kfs[-3:]
             stride = max(1, len(kfs) // 17)
             spread = kfs[::stride][:17]
             seen = set()
             candidates = []
-            for kf in recent + spread:
+            for kf in loop_cands + recent + spread:
                 if kf.id not in seen:
                     seen.add(kf.id)
                     candidates.append(kf)

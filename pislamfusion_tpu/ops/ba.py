@@ -272,24 +272,35 @@ def _assemble_and_solve(problem: BAProblem, lam, huber_delta: float):
     return _schur_solve(problem, Hpp, bp, Hcc, bc, U, S_full, lam)
 
 
-def _total_cost(problem: BAProblem, huber_delta: float):
+def _reproj_cost(problem: BAProblem, huber_delta: float):
+    """Huber reprojection cost — a pure sum over observations, so the
+    distributed solver can compute it per shard and psum (dist_ba)."""
     z6 = jnp.zeros(6, jnp.float32)
     z3 = jnp.zeros(3, jnp.float32)
     r = _reproj_val(z6, z3, problem.poses[problem.obs_frame],
                     problem.points[problem.obs_point], problem.obs_uv)
     r2 = jnp.sum(r * r, -1)
-    # Huber cost
     d = huber_delta
     c = jnp.where(r2 <= d * d, r2, 2 * d * jnp.sqrt(jnp.maximum(r2, 1e-18))
                   - d * d)
-    cost = jnp.sum(problem.obs_weight * c)
+    return jnp.sum(problem.obs_weight * c)
+
+
+def _graph_cost(problem: BAProblem):
+    """Relative-SE3 edge + pose-prior cost. Computed replicated (NOT summed
+    over devices) — keep out of any psum."""
+    z6 = jnp.zeros(6, jnp.float32)
     rr = _rel_val(z6, z6, problem.poses[problem.rel_i],
                   problem.poses[problem.rel_j], problem.rel_meas)
-    cost += jnp.sum(problem.rel_weight * jnp.sum(rr * rr, -1))
+    cost = jnp.sum(problem.rel_weight * jnp.sum(rr * rr, -1))
     rg = _prior_val(z6, problem.poses[problem.prior_frame],
                     problem.prior_pose)
     cost += jnp.sum(jnp.sum(problem.prior_info * rg * rg, -1))
     return cost
+
+
+def _total_cost(problem: BAProblem, huber_delta: float):
+    return _reproj_cost(problem, huber_delta) + _graph_cost(problem)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
@@ -365,6 +376,12 @@ def optimize_pose(T_w2c, p3d, p2n, weight, iters: int = 10,
     (T, _, cost), _ = jax.lax.scan(
         step, (T_w2c, jnp.float32(1e-4), cost_fn(T_w2c)), None, length=iters)
     chi2 = jnp.sum(residuals(T) ** 2, -1)
+    # behind-camera points have a zero residual by construction
+    # (_reproj_residual's guard); report them as chi2=inf so callers'
+    # inlier tests (chi2 < th) cannot count them — mirrors find_pnp's
+    # _reproj_err_norm returning inf for z <= 0.
+    z = lie.se3_apply(T, p3d)[..., 2]
+    chi2 = jnp.where(z > 1e-6, chi2, jnp.inf)
     return T, cost, chi2
 
 

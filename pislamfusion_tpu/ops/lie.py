@@ -139,15 +139,17 @@ def so3_hat(w):
 
 
 def so3_from_euler(pitch, yaw, roll):
-    """Euler (radians) -> quaternion, matching the reference's
-    SO3::FromEulerAngle convention (GSLAM/GSLAM/core/SO3.h)."""
+    """Euler (radians) -> quaternion [x, y, z, w], matching the reference's
+    SO3::FromEuler component assignments (GSLAM/GSLAM/core/SO3.h:391-412:
+    x = sr*cp*cy - cr*sp*sy, y = cr*sp*cy + sr*cp*sy,
+    z = cr*cp*sy - sr*sp*cy, w = cr*cp*cy + sr*sp*sy)."""
     cp, sp = jnp.cos(pitch * 0.5), jnp.sin(pitch * 0.5)
     cy, sy = jnp.cos(yaw * 0.5), jnp.sin(yaw * 0.5)
     cr, sr = jnp.cos(roll * 0.5), jnp.sin(roll * 0.5)
     return jnp.stack([
-        cr * sp * cy - sr * cp * sy,
-        cr * cp * sy + sr * sp * cy,
         sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
         cr * cp * cy + sr * sp * sy,
     ], axis=-1)
 

@@ -19,7 +19,22 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import inspect
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# jax 0.8 renamed check_rep -> check_vma
+_CHECK_KW = ("check_vma" if "check_vma"
+             in inspect.signature(_shard_map).parameters else "check_rep")
+
+
+def shard_map(f, **kw):
+    if "check_rep" in kw:
+        kw[_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map(f, **kw)
 
 from ..ops import ba, lie
 
@@ -63,8 +78,11 @@ def optimize_sharded(problem: ba.BAProblem, mesh: Mesh, iters: int = 15,
     def run(p: ba.BAProblem):
         def dist_cost(poses, points):
             pp = p._replace(poses=poses, points=points)
-            c = ba._total_cost(pp, huber_delta)
-            return jax.lax.psum(c, axes)
+            # only the observation shard is device-local: psum the
+            # reprojection cost; graph terms (rel edges, priors) are
+            # replicated, so add them exactly once OUTSIDE the psum.
+            c = jax.lax.psum(ba._reproj_cost(pp, huber_delta), axes)
+            return c + ba._graph_cost(pp)
 
         def step(state, _):
             poses, points, lam, cost = state

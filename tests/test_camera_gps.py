@@ -78,3 +78,17 @@ def test_gps_array_interpolation():
     mid = arr.at(5.0)
     np.testing.assert_allclose(mid, [108.0005, 34.0005, 150.0], atol=1e-9)
     assert arr.at(100.0) is None
+
+
+def test_parse_gpshpyr_layouts():
+    """Sigma decoding parity with MapFrame.h:65-69 (size>=6 reads v[3:6])."""
+    from pislamfusion_tpu.io.dataset import _parse_gpshpyr
+    v11 = [116.0, 40.0, 100.0, 1.5, 2.5, 3.5, 0.1, 0.2, 0.3, 9.0, 9.0]
+    lla, sigma, pyr = _parse_gpshpyr(v11)
+    np.testing.assert_allclose(lla, [116.0, 40.0, 100.0])
+    np.testing.assert_allclose(sigma, [1.5, 2.5, 3.5])
+    np.testing.assert_allclose(pyr, [3.5, 0.1, 0.2])
+    v14 = list(range(14))
+    lla, sigma, pyr = _parse_gpshpyr(v14)
+    np.testing.assert_allclose(sigma, [3, 4, 5])
+    np.testing.assert_allclose(pyr, [8, 9, 10])

@@ -1,0 +1,108 @@
+"""GPS SIM3 fusion e2e: a synthetic survey with noisy GPS must produce a
+GEO-REGISTERED map — positions in meters in the local ENU frame, no
+gauge alignment allowed in the assertion.
+
+Mirrors the reference pipeline: DIYSLAM::tryFitGPS map->GPS SIM3
+(DIYSLAM.cpp:442-485) + GPS priors in local BA once fitted
+(MapperDemo.cpp:1431-1458, getGPSEdge :155-220).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.gps import LocalFrame
+from pislamfusion_tpu.core.svar import Svar
+from pislamfusion_tpu.models.slam import create_slam
+from pislamfusion_tpu.ops import lie, ransac
+
+from synth_survey import make_ground, lawnmower, render_view
+
+pytestmark = pytest.mark.e2e
+
+ORIGIN = (116.35, 39.96, 40.0)   # lon, lat, alt of the ENU anchor
+GPS_SIGMA = 0.5                  # meters of synthetic GPS noise
+
+
+def _base_cfg():
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.MaxOverlap", "0.95")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    return cfg
+
+
+def _run(with_gps: bool):
+    rng = np.random.default_rng(3)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = lawnmower()
+    local = LocalFrame(*ORIGIN)
+    cfg = _base_cfg()
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        img = render_view(ground, cam, p)
+        gps = None
+        if with_gps:
+            noisy = p[:3] + rng.normal(0, GPS_SIGMA, 3)
+            gps = local.local_to_lla(noisy)   # (lon, lat, alt)
+        slam.track(img, float(i), gps_lla=gps, gps_acc=GPS_SIGMA)
+    slam.finish()
+    frames = [f for f in slam.map.frames()
+              if f.n_tracked() > 0 or f.is_keyframe]
+    est = np.stack([f.pose_c2w[:3] for f in frames])
+    gt = poses[np.asarray([f.id for f in frames])][:, :3]
+    return slam, est, gt
+
+
+@pytest.fixture(scope="module")
+def gps_run():
+    return _run(with_gps=True)
+
+
+def test_gps_fit_happened(gps_run):
+    slam, est, gt = gps_run
+    assert slam.mapper.gps_fitted, "SIM3 GPS fit never triggered"
+    assert slam.cfg.get_bool("GPS.Fitted")
+
+
+def test_map_is_geo_registered(gps_run):
+    """ATE in METERS against the synthetic truth — no SIM3 alignment: the
+    map itself must live in the ENU frame after the fit + GPS priors."""
+    slam, est, gt = gps_run
+    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, -1))))
+    assert ate < 4.0 * GPS_SIGMA, f"unaligned ATE {ate:.2f} m"
+
+
+def test_scale_is_metric(gps_run):
+    """Camera altitude above the reconstructed ground must be ~25 m."""
+    slam, est, gt = gps_run
+    pts = np.stack([p.position for p in slam.map.points()])
+    ground_z = np.median(pts[:, 2])
+    alt = np.mean(est[:, 2]) - ground_z
+    assert abs(alt - 25.0) < 2.5, f"altitude {alt:.2f} m (want 25)"
+
+
+def test_gps_bounds_drift_vs_gps_off(gps_run):
+    """The GPS-off run is gauge-free: its unaligned error is unbounded while
+    the GPS run is pinned to ENU. Also its SIM3-aligned ATE must not beat
+    the GPS run's unaligned ATE by a large factor (GPS priors do not
+    degrade local accuracy)."""
+    slam_on, est_on, gt_on = gps_run
+    slam_off, est_off, gt_off = _run(with_gps=False)
+    assert not slam_off.mapper.gps_fitted
+    ate_on = float(np.sqrt(np.mean(np.sum((est_on - gt_on) ** 2, -1))))
+    ate_off_raw = float(np.sqrt(np.mean(np.sum((est_off - gt_off) ** 2, -1))))
+    assert ate_on < ate_off_raw, (ate_on, ate_off_raw)
+    S = ransac.sim3_horn(jnp.asarray(est_off, jnp.float32),
+                         jnp.asarray(gt_off, jnp.float32))
+    aligned = np.asarray(lie.sim3_apply(S, jnp.asarray(est_off, jnp.float32)))
+    ate_off = float(np.sqrt(np.mean(np.sum((aligned - gt_off) ** 2, -1))))
+    # GPS run (vs noisy fixes!) should stay within a few sigma of the
+    # gauge-aligned noise-free-geometry run
+    assert ate_on < ate_off + 4.0 * GPS_SIGMA, (ate_on, ate_off)

@@ -113,3 +113,27 @@ def test_se3_interpolate_endpoints(rng):
                                lie.se3_matrix(T0), atol=1e-4)
     np.testing.assert_allclose(lie.se3_matrix(lie.se3_interpolate(T0, T1, 1.0)),
                                lie.se3_matrix(T1), atol=1e-4)
+
+
+def test_so3_from_euler_matches_reference():
+    """Component assignments must match SO3::FromEuler (GSLAM SO3.h:391-412).
+    Known-angle checks: single-axis rotations land on the documented axes
+    (pitch -> y, yaw -> z, roll -> x)."""
+    h = 0.3
+    s, c = np.sin(h / 2), np.cos(h / 2)
+    np.testing.assert_allclose(
+        lie.so3_from_euler(h, 0.0, 0.0), [0.0, s, 0.0, c], atol=1e-6)
+    np.testing.assert_allclose(
+        lie.so3_from_euler(0.0, h, 0.0), [0.0, 0.0, s, c], atol=1e-6)
+    np.testing.assert_allclose(
+        lie.so3_from_euler(0.0, 0.0, h), [s, 0.0, 0.0, c], atol=1e-6)
+    # combined angles: the reference's closed form for (p, y, r)
+    p, y, r = 0.2, -0.4, 0.7
+    sr, cr = np.sin(r / 2), np.cos(r / 2)
+    sp, cp = np.sin(p / 2), np.cos(p / 2)
+    sy, cy = np.sin(y / 2), np.cos(y / 2)
+    expect = [sr * cp * cy - cr * sp * sy,
+              cr * sp * cy + sr * cp * sy,
+              cr * cp * sy - sr * sp * cy,
+              cr * cp * cy + sr * sp * sy]
+    np.testing.assert_allclose(lie.so3_from_euler(p, y, r), expect, atol=1e-6)

@@ -10,6 +10,8 @@ from pislamfusion_tpu.core.svar import Svar
 from pislamfusion_tpu.models.slam import create_slam
 from pislamfusion_tpu.ops import image as im, lie, ransac, mosaic as M
 
+pytestmark = pytest.mark.e2e   # heavy fixture: full SLAM run on 1 core
+
 GROUND_SCALE = 0.1
 
 
@@ -56,6 +58,9 @@ def slam_run():
     cfg.set("SLAM.BAPointCap", "1024")
     cfg.set("SLAM.BAObsCap", "4096")
     cfg.set("SLAM.LocalBAIters", "8")
+    # force the plane publish inside this small run (the reference threshold
+    # is 2000 points, src/RANSAC.cpp:103; this fixture triangulates fewer)
+    cfg.set("Plane.MinPoints", "300")
     slam = create_slam(cfg, cam)
     for i, p in enumerate(poses):
         img = render_view(ground, cam, p)
@@ -93,13 +98,22 @@ def test_slam_map_populated(slam_run):
 
 
 def test_slam_plane_estimated(slam_run):
-    """The mapper must publish the dominant ground plane once 2000 points
-    accumulate (src/RANSAC.cpp:103-116). The synthetic ground is z=0: in the
-    (unscaled) SLAM frame the plane normal must be the world z of the
-    initialized map, i.e. consistent with the camera's -z view direction."""
+    """The mapper must publish the dominant ground plane once Plane.MinPoints
+    accumulate (src/RANSAC.cpp:103-116; threshold lowered in the fixture so
+    this run crosses it). The synthetic scene is a single ground plane, so
+    nearly every map point must be a plane inlier."""
     slam, gt = slam_run
-    if slam.map.point_num() >= 2000:
-        assert slam.plane is not None
+    assert slam.map.point_num() >= 300, "fixture must triangulate 300+ points"
+    plane = slam.plane
+    assert plane is not None, "plane was never published"
+    # plane inlier check: transform map points into plane coords, z ~ 0
+    pts = np.stack([p.position for p in slam.map.points()])
+    from pislamfusion_tpu.ops import lie as L
+    local = np.asarray(L.se3_apply(L.se3_inv(jnp.asarray(plane, jnp.float32)),
+                                   jnp.asarray(pts, jnp.float32)))
+    spread = np.percentile(np.abs(local[:, 2]), 80)
+    extent = np.linalg.norm(pts.max(0) - pts.min(0))
+    assert spread < 0.05 * extent, (spread, extent)
 
 
 def test_checkpoint_roundtrip(slam_run, tmp_path):
