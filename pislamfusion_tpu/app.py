@@ -88,6 +88,21 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
         map_file = cfg.get_string("MapFile2Save", "")
         if map_file:
             slam.map.save(map_file)
+        from .io import exporters
+        m2df = cfg.get_string("Map2DFusionFolder", "")
+        origin = cfg.get_vec("GPS.Origin") or None
+        if m2df:
+            exporters.save_map2dfusion(slam.map, m2df, plane=slam.plane,
+                                       gps_origin=origin)
+        mf = cfg.get_string("MapFusionFile", "")
+        if mf:
+            exporters.save_mapfusion(slam.map, mf)
+        tiles_dir = cfg.get_string("GeoTiles.Dir", "")
+        if tiles_dir and origin and fusion.map2d is not None:
+            n = exporters.export_geo_tiles(
+                fusion.map2d, origin, tiles_dir,
+                zoom=cfg.get_int("GeoTiles.Zoom", 19))
+            print(f"geo-tiles: wrote {n} tiles to {tiles_dir}")
 
     ratio = slam.frames_tracked / max(slam.frames_total, 1)
     print(f"frames: {slam.frames_total} tracked {slam.frames_tracked} "

@@ -48,6 +48,7 @@ class Frame:
     connections: Dict[int, int] = dataclasses.field(default_factory=dict)
     # lazy BoW word set (MapFrame.cpp:156-209 lazy BoW via global vocab)
     bow_words: Optional[np.ndarray] = None
+    image_path: Optional[str] = None   # source file (dataset frames)
 
     def set_features(self, feats: dict, kind: str):
         """Install padded feature arrays (from ops.features.*_detect)."""

@@ -195,13 +195,34 @@ class LoopCloserSE3Graph:
         fixed[kidx[loop_kf_id]] = True
         if len(kfs) > 1:
             fixed[0] = True
-        new_poses, cost = ba.optimize_se3_graph(
-            jnp.asarray(poses_before, jnp.float32), jnp.asarray(fixed),
-            jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
-            jnp.asarray(np.stack(meas), jnp.float32),
-            jnp.asarray(wgt, jnp.float32),
-            iters=self.cfg.get_int("SLAM.LoopGraphIters", 30))
-        new_poses = np.asarray(new_poses)
+        # pad graph to capacity quanta (one compile per quantum, not per
+        # closure); padded poses are fixed identities, padded edges weight 0
+        from ..utils.padding import pad_to, round_capacity
+        F = round_capacity(len(kfs), 64)
+        E = round_capacity(len(ei), 256)
+        poses_p, pm = pad_to(poses_before.astype(np.float32), F)
+        poses_p[~pm] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        fixed_p, _ = pad_to(fixed, F, True)
+        fixed_p[~pm] = True
+        ei_p, _ = pad_to(np.asarray(ei, np.int32), E)
+        ej_p, _ = pad_to(np.asarray(ej, np.int32), E)
+        meas_p, em = pad_to(np.stack(meas).astype(np.float32), E)
+        meas_p[~em] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        wgt_p, _ = pad_to(np.asarray(wgt, np.float32), E)
+        iters = self.cfg.get_int("SLAM.LoopGraphIters", 30)
+        # whole-map graphs beyond ~96 KFs use the matrix-free CG solver
+        # (O(E) memory); small graphs use the exact dense Schur path
+        if F > self.cfg.get_int("SLAM.LoopGraphDenseMax", 96):
+            new_poses, cost = ba.optimize_se3_graph_cg(
+                jnp.asarray(poses_p), jnp.asarray(fixed_p),
+                jnp.asarray(ei_p), jnp.asarray(ej_p),
+                jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
+        else:
+            new_poses, cost = ba.optimize_se3_graph(
+                jnp.asarray(poses_p), jnp.asarray(fixed_p),
+                jnp.asarray(ei_p), jnp.asarray(ej_p),
+                jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
+        new_poses = np.asarray(new_poses)[:len(kfs)]
         # rigid update of points via their reference keyframe's correction
         corrections = {}
         for fid in ids:

@@ -52,6 +52,7 @@ class Mapper:
         self.plane_min = cfg.get_int("Plane.MinPoints", PLANE_MIN_POINTS)
         self.plane_queue = _default_trans_plane
         self.gps_fitted = False
+        self.last_gps_fit_rms = None   # diagnostics for tests/logs
         # callback(S_sim3) the SLAM wires to the tracker so its motion
         # model survives the map rescale (the reference shares this via the
         # GPS.Fitted svar + shared frame objects)
@@ -82,6 +83,7 @@ class Mapper:
             with timer.scope("Mapper::localOptimization"):
                 self._local_ba(frame)
             self._update_normals_descriptors(frame)
+            self._cull_keyframes(frame)
             self._maybe_fit_gps()
             self._feed_plane()
 
@@ -393,26 +395,60 @@ class Mapper:
         self._prune_observations(frame_ids, pids, sigma)
 
     def _prune_observations(self, frame_ids, pids, sigma):
+        """Erase observations whose reprojection error exceeds the chi2 gate
+        (localOptimization bad-edge pruning, MapperDemo.cpp:1504-1549) —
+        over EVERY observing frame of the window's points, fully vectorized
+        in numpy (no per-observation device dispatches). Stale points that
+        lag behind GPS refits / BA camera motion are caught here."""
         th = 5.991 * sigma * sigma * 4.0
-        for pid in list(pids):
+        obs_pid, obs_fid, obs_kp = [], [], []
+        for pid in pids:
             mp = self.map.point(pid)
             if mp is None:
                 continue
-            for fid in list(mp.observations.keys()):
-                if fid not in frame_ids:
-                    continue
-                fr = self.map.frame(fid)
-                kp = mp.observations[fid]
-                pc = np.asarray(lie.se3_apply(
-                    lie.se3_inv(jnp.asarray(fr.pose_c2w)),
-                    jnp.asarray(mp.position)))
-                if pc[2] <= 0:
-                    self.map.erase_observation(pid, fid)
-                    continue
-                e = np.linalg.norm(pc[:2] / pc[2] - fr.rays[kp][:2])
-                if e * e > th:
-                    self.map.erase_observation(pid, fid)
-            if mp.n_obs() < 2:
+            for fid, kp in mp.observations.items():
+                obs_pid.append(pid)
+                obs_fid.append(fid)
+                obs_kp.append(kp)
+        if not obs_pid:
+            return
+        # per-frame rotation matrices (w2c) + centers, indexed per obs
+        frames = {}
+        for fid in set(obs_fid):
+            fr = self.map.frame(fid)
+            if fr is None:
+                continue
+            q = fr.pose_c2w[3:7]
+            x, y, z, w = q
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w),
+                 1 - 2 * (x * x + y * y)]])
+            frames[fid] = (R.T, fr.pose_c2w[:3], fr)
+        keep = [i for i, fid in enumerate(obs_fid) if fid in frames]
+        if not keep:
+            return
+        obs_pid = [obs_pid[i] for i in keep]
+        obs_fid = [obs_fid[i] for i in keep]
+        obs_kp = [obs_kp[i] for i in keep]
+        P = np.stack([self.map.point(p).position for p in obs_pid])
+        Rw2c = np.stack([frames[f][0] for f in obs_fid])
+        C = np.stack([frames[f][1] for f in obs_fid])
+        rays = np.stack([frames[f][2].rays[k][:2]
+                         for f, k in zip(obs_fid, obs_kp)])
+        pc = np.einsum("oij,oj->oi", Rw2c, P - C)
+        z = pc[:, 2]
+        uv = pc[:, :2] / np.maximum(z[:, None], 1e-9)
+        e2 = np.sum((uv - rays) ** 2, -1)
+        bad = (z <= 0) | (e2 > th)
+        for i in np.nonzero(bad)[0]:
+            self.map.erase_observation(obs_pid[i], obs_fid[i])
+        for pid in set(obs_pid):
+            mp = self.map.point(pid)
+            if mp is not None and mp.n_obs() < 2:
                 self.map.erase_point(pid)
 
     def _update_normals_descriptors(self, frame: Frame):
@@ -436,6 +472,33 @@ class Mapper:
                 m = np.mean(normals, 0)
                 mp.normal = (m / max(np.linalg.norm(m), 1e-9)).astype(
                     np.float32)
+
+    def _cull_keyframes(self, frame: Frame):
+        """Erase redundant connected keyframes: >= 90% of their map points
+        are observed by >= 4 other keyframes (mapFrameCulling,
+        MapperDemo.cpp:434-462; same 0.9/4 thresholds). Keeps long-horizon
+        maps, loop scans, and the SE3 graph bounded. Enabled by
+        Mapper.MapFrameCulling (reference default 0; ours 1 — without the
+        GUI there is no reason to keep redundant frames)."""
+        if not self.cfg.get_bool("Mapper.MapFrameCulling", True):
+            return
+        for fid in list(frame.connections.keys()):
+            kf = self.map.frame(fid)
+            if kf is None or not kf.is_keyframe:
+                continue
+            if kf.id == self.map.keyframes()[0].id or fid == frame.id:
+                continue    # never cull the gauge anchor
+            n_mps = 0
+            n_redundant = 0
+            for pid in kf.kp2mp[kf.kp2mp >= 0]:
+                mp = self.map.point(int(pid))
+                if mp is None:
+                    continue
+                n_mps += 1
+                if mp.n_obs() >= 4:
+                    n_redundant += 1
+            if n_mps > 0 and n_redundant > 0.9 * n_mps:
+                self.map.erase_frame(fid)
 
     # ---------------------------------------------------------------- GPS
     def _maybe_fit_gps(self):
@@ -482,6 +545,7 @@ class Mapper:
                                         jnp.asarray(wmask, jnp.float32)))
         fit = np.asarray(lie.sim3_apply(jnp.asarray(S), jnp.asarray(est)))
         rms = float(np.sqrt(np.mean(np.sum((fit - enu) ** 2, -1))))
+        self.last_gps_fit_rms = rms
         sigma = np.mean([f.gps_acc for f in kfs])
         max_err = max(3.0 * sigma,
                       self.cfg.get_double("GPS.MaxFitError", 15.0))

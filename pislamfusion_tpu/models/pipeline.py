@@ -1,13 +1,24 @@
-"""Fused device-side frame step: the flagship compiled program.
+"""Fused device-side frame steps: the flagship compiled programs.
 
-One jit: grayscale frame -> ORB features -> windowed descriptor match
-against the previous frame's tracked map points -> pose-only LM. This is
-the per-frame hot path of the tracker (SURVEY.md section 3.2) as a single
-XLA program with no host round-trips inside.
+The reference's per-frame hot path (SURVEY.md section 3.2 — SIFT/ORB extract,
+windowed match vs the last frame, g2o optimizePnP, then trackLocalMap) costs
+it dozens of CPU/GPU hops; here it is TWO XLA programs per frame with no host
+round-trips inside:
+
+  * `fused_frame_step`  — grayscale frame -> ORB pyramid features ->
+    windowed Hamming match against the previous frame's tracked map points
+    -> pose-only LM (TrackerOpt::trackLastFrame, :636-793).
+  * `fused_localmap_step` — project the padded local map into the refined
+    pose, windowed re-match, merged pose-only LM
+    (TrackerOpt::trackLocalMap, :1107-1305).
+
+The shipped Tracker (models/tracker.py) runs THESE when the detector is ORB;
+bench.py measures the same program — no separate "benchmark-only" path.
 """
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -18,23 +29,25 @@ from ..ops.features import orb
 
 
 class FrameStepResult(NamedTuple):
-    T_w2c: jnp.ndarray        # [7] refined pose
+    T_w2c: jnp.ndarray        # [7] refined pose (world->camera)
     n_inliers: jnp.ndarray    # scalar int
-    desc: jnp.ndarray         # [N, 256] current frame descriptors
-    valid: jnp.ndarray        # [N]
-    xy: jnp.ndarray           # [N, 2]
-    angle: jnp.ndarray        # [N]
+    idx: jnp.ndarray          # [N] prev-slot -> cur-slot match index
+    ok: jnp.ndarray           # [N] prev-slot match validity
+    chi2: jnp.ndarray         # [N] per-CUR-slot squared residual (normalized)
+    weight: jnp.ndarray       # [N] per-CUR-slot weight used in the LM
+    feats: dict               # full orb_detect output for the new frame
 
 
 @functools.partial(jax.jit, static_argnames=("params", "fx", "fy", "cx",
-                                             "cy", "radius"))
+                                             "cy", "radius", "chi2_th"))
 def fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
                      T_pred_w2c, params: orb.OrbParams = orb.OrbParams(),
                      fx: float = 260.0, fy: float = 260.0,
                      cx: float = 160.0, cy: float = 120.0,
-                     radius: float = 20.0) -> FrameStepResult:
+                     radius: float = 20.0,
+                     chi2_th: float = 5.991) -> FrameStepResult:
     """image: [H, W] float32. prev_*: previous frame's padded features and
-    the world positions of their map points (prev_has marks tracked ones).
+    the world positions of their map points (prev_has marks tracked slots).
     T_pred_w2c: [7] motion-model prediction (world->camera)."""
     feats = orb.orb_detect(image, params)
     # project previous map points with the predicted pose
@@ -54,8 +67,54 @@ def fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
     w = jnp.zeros((n,)).at[tgt].set(ok.astype(jnp.float32), mode="drop")
     rays_xy = jnp.stack([(feats["xy"][:, 0] - cx) / fx,
                          (feats["xy"][:, 1] - cy) / fy], -1)
-    T, cost, chi2 = ba.optimize_pose(T_pred_w2c, p3d, rays_xy, w, iters=10,
-                                     huber_delta=2.45 / fx)
-    inl = jnp.sum((w > 0) & (chi2 < 5.991 / fx ** 2))
-    return FrameStepResult(T, inl, feats["desc"], feats["valid"],
-                           feats["xy"], feats["angle"])
+    T, cost, chi2 = ba.optimize_pose(
+        T_pred_w2c, p3d, rays_xy, w, iters=10,
+        huber_delta=math.sqrt(chi2_th) / fx)
+    inl = jnp.sum((w > 0) & (chi2 < chi2_th / fx ** 2))
+    return FrameStepResult(T, inl, idx, ok, chi2, w, feats)
+
+
+class LocalMapStepResult(NamedTuple):
+    T_w2c: jnp.ndarray        # [7] refined pose
+    n_inliers: jnp.ndarray    # scalar int
+    idx: jnp.ndarray          # [P] local-point -> cur-slot match index
+    ok: jnp.ndarray           # [P]
+    chi2: jnp.ndarray         # [N] per-CUR-slot squared residual
+    weight: jnp.ndarray       # [N] per-CUR-slot weight (existing + new)
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                             "width", "height", "radius",
+                                             "chi2_th"))
+def fused_localmap_step(desc, valid, xy, T_w2c, p3d_cur, w_cur,
+                        local_pos, local_desc, local_valid,
+                        fx: float, fy: float, cx: float, cy: float,
+                        width: int, height: int, radius: float = 8.0,
+                        chi2_th: float = 5.991) -> LocalMapStepResult:
+    """desc/valid/xy: current frame's padded features. p3d_cur/w_cur: 3D
+    points already bound to current keypoint slots (from the last-frame
+    step). local_*: padded local-map point cloud + descriptors."""
+    pc = lie.se3_apply(T_w2c, local_pos)
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    pix = jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1)
+    infront = pc[..., 2] > 1e-3
+    inview = ((pix[:, 0] >= 0) & (pix[:, 0] < width)
+              & (pix[:, 1] >= 0) & (pix[:, 1] < height))
+    wmask = matching.window_mask(pix, xy, radius)
+    dist = matching.hamming_matrix(local_desc, desc)
+    idx, ok = matching.match(dist, local_valid & infront & inview, valid,
+                             max_dist=80.0, window_mask=wmask)
+    n = xy.shape[0]
+    # new bindings only where the slot is still free
+    tgt = jnp.where(ok, idx, n)
+    p3d_new = jnp.zeros((n, 3)).at[tgt].set(local_pos, mode="drop")
+    w_new = jnp.zeros((n,)).at[tgt].set(ok.astype(jnp.float32), mode="drop")
+    free = w_cur <= 0
+    p3d = jnp.where(free[:, None], p3d_new, p3d_cur)
+    w = jnp.where(free, w_new, w_cur)
+    rays_xy = jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy], -1)
+    T, cost, chi2 = ba.optimize_pose(
+        T_w2c, p3d, rays_xy, w, iters=10,
+        huber_delta=math.sqrt(chi2_th) / fx)
+    inl = jnp.sum((w > 0) & (chi2 < chi2_th / fx ** 2))
+    return LocalMapStepResult(T, inl, idx, ok, chi2, w)

@@ -117,6 +117,10 @@ class SLAM:
         feat = cfg.get_string("FeatureDetector",
                               cfg.get_string("SLAM.Feature", "ORB"))
         self.detector = FEATURE_DETECTORS.create(feat, cfg)
+        self.tracker.detector = self.detector
+        # fused device path (extract+match+pose in one jit) for ORB
+        self.tracker.use_fused = (self.detector.kind == "orb"
+                                  and cfg.get_bool("SLAM.Fused", True))
         self._online = cfg.get_bool("SLAM.isOnline", False) and \
             not cfg.get_bool("SLAM.forceOffline", False)
         if self._online:
@@ -141,12 +145,15 @@ class SLAM:
         color = image if image.ndim == 3 else None
         gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image, jnp.float32)))
                 if image.ndim == 3 else image.astype(np.float32))
-        with timer.scope("SLAM::extract"):
-            feats = self.detector(gray)
         frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
                       camera=self.camera, image=gray, color=color)
-        frame.set_features({k: np.asarray(v) for k, v in feats.items()},
-                           self.detector.kind)
+        if not self.tracker.use_fused:
+            # fused tracking extracts inside its own jit; every other
+            # configuration extracts here (DIYSLAM.cpp:279)
+            with timer.scope("SLAM::extract"):
+                feats = self.detector(gray)
+            frame.set_features({k: np.asarray(v) for k, v in feats.items()},
+                               self.detector.kind)
         if gps_lla is not None:
             from ..core import gps as gpsmod
             if self._local_frame is None:

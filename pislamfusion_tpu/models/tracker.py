@@ -27,6 +27,7 @@ from ..core.timer import timer
 from ..ops import ba, init2view, lie, matching, ransac
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
+from .pipeline import fused_frame_step, fused_localmap_step
 from .worldmap import WorldMap
 
 LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
@@ -53,6 +54,8 @@ class Tracker:
         self._key = jax.random.PRNGKey(cfg.get_int("SLAM.Seed", 0))
         self.max_overlap = cfg.get_double("SLAM.MaxOverlap", 0.95)
         self.loop_detector = None   # wired by SLAM for relocalization
+        self.detector = None        # wired by SLAM (feature extractor)
+        self.use_fused = False      # wired by SLAM (ORB + SLAM.Fused)
         self.min_inliers = cfg.get_int("SLAM.MinTrackInliers", 30)
         # matching thresholds (MatcherBoW.cpp:133-174)
         self.chi2_px = cfg.get_double("SLAM.Chi2Threshold", 5.991)
@@ -68,10 +71,21 @@ class Tracker:
         self.motion = self.motion.copy()
         self.motion[:3] *= float(S[7])
 
+    def ensure_features(self, frame: Frame):
+        """Extract features on demand (the fused path extracts inside its
+        jit; every other path needs them host-side first)."""
+        if frame.desc is None and self.detector is not None:
+            with timer.scope("Tracker::extract"):
+                feats = self.detector(jnp.asarray(frame.image, jnp.float32))
+                frame.set_features({k: np.asarray(v)
+                                    for k, v in feats.items()},
+                                   self.detector.kind)
+
     # ------------------------------------------------------------------ API
     def track(self, frame: Frame) -> bool:
         with timer.scope("Tracker::track"):
             if self.status == Status.INIT:
+                self.ensure_features(frame)
                 ok = self._initialize(frame)
             else:
                 ok = self._track_frame(frame)
@@ -89,10 +103,21 @@ class Tracker:
             self.ref_frame = frame
             return False
         ref = self.ref_frame
-        idx, ok = matching.match_descriptors(
-            jnp.asarray(ref.desc), jnp.asarray(ref.valid),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            ref.desc_kind, ratio=0.8)
+        if self.cfg.get_string("Matcher", "multiH") == "multiH":
+            # the reference's default matcher: BF base + multi-homography
+            # window growth (MatcherMultiH.cpp:197-450)
+            from ..ops import multih
+            idx, ok, _ = multih.match_multih(
+                self._next_key(),
+                jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+                jnp.asarray(ref.xy),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.xy), kind=ref.desc_kind)
+        else:
+            idx, ok = matching.match_descriptors(
+                jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                ref.desc_kind, ratio=0.8)
         ok = matching.rotation_consistency_mask(
             jnp.asarray(ref.angle), jnp.asarray(frame.angle), idx, ok)
         n_match = int(jnp.sum(ok))
@@ -158,7 +183,17 @@ class Tracker:
     def _track_frame(self, frame: Frame) -> bool:
         ok = False
         if self.status == Status.TRACKING and self.last_frame is not None:
-            ok = self._track_last_frame(frame)
+            if self.use_fused and frame.desc is None:
+                ok = self._track_fused(frame)
+                if ok:   # fused path already ran the local-map refinement
+                    self.status = Status.TRACKING
+                    self.lost_count = 0
+                    self._maybe_keyframe(frame)
+                    return True
+            else:
+                self.ensure_features(frame)
+                ok = self._track_last_frame(frame)
+        self.ensure_features(frame)
         if not ok:
             ok = self._track_ref_kf(frame)
         if ok:
@@ -186,6 +221,102 @@ class Tracker:
                 pos[i] = mp.position
                 has[i] = True
         return pos, has
+
+    def _track_fused(self, frame: Frame) -> bool:
+        """trackLastFrame + trackLocalMap as TWO fused device programs
+        (models/pipeline.py) — extraction, matching, and pose LM never leave
+        the chip; the host only does index bookkeeping on the results."""
+        last = self.last_frame
+        if last is None or last.desc is None or last.n_tracked() < 20:
+            return False
+        cam = frame.camera
+        pos, has = self._gather_frame_points(last)
+        T_pred_c2w = np.asarray(lie.se3_mul(jnp.asarray(last.pose_c2w),
+                                            jnp.asarray(self.motion)))
+        radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
+        with timer.scope("Tracker::fusedStep"):
+            res = fused_frame_step(
+                jnp.asarray(frame.image, jnp.float32),
+                jnp.asarray(last.desc), jnp.asarray(last.valid),
+                jnp.asarray(pos), jnp.asarray(has),
+                lie.se3_inv(jnp.asarray(T_pred_c2w, jnp.float32)),
+                params=self.detector.params, fx=cam.fx, fy=cam.fy,
+                cx=cam.cx, cy=cam.cy, radius=radius, chi2_th=self.chi2_px)
+            frame.set_features({k: np.asarray(v)
+                                for k, v in res.feats.items()}, "orb")
+        chi2 = np.asarray(res.chi2)
+        w = np.asarray(res.weight)
+        th = self.chi2_px / cam.fx ** 2
+        inl = (w > 0) & (chi2 < th)
+        if inl.sum() < 20:
+            return False
+        # bind current keypoints to the matched last-frame map points
+        okp = np.asarray(res.ok) & has & (last.kp2mp >= 0)
+        idxp = np.asarray(res.idx)
+        src = np.nonzero(okp)[0]
+        cur = idxp[src]
+        keep = inl[cur]
+        frame.kp2mp[:] = -1
+        frame.kp2mp[cur[keep]] = last.kp2mp[src[keep]]
+        frame.pose_c2w = np.asarray(lie.se3_inv(res.T_w2c)).astype(np.float32)
+
+        # ---- local-map refinement (trackLocalMap) -----------------------
+        ref = self.map.frame(self.ref_kf_id)
+        local_ids = {self.ref_kf_id}
+        if ref is not None:
+            top = sorted(ref.connections.items(), key=lambda kv: -kv[1])
+            local_ids.update(k for k, _ in top[:10])
+        pids = set()
+        for fid in local_ids:
+            fr = self.map.frame(fid)
+            if fr is None or fr.kp2mp is None:
+                continue
+            pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
+        ids, lpos, ldesc = self.map.point_arrays(sorted(pids))
+        if len(ids) >= 30:
+            lpos_p, maskp = pad_to(lpos, LOCAL_POINT_CAP)
+            ldesc_p, _ = pad_to(np.asarray(ldesc), LOCAL_POINT_CAP)
+            ids_p, _ = pad_to(np.asarray(ids, np.int64), LOCAL_POINT_CAP, -1)
+            # current slot bindings for the merged LM
+            n = frame.n_kp
+            p3d_cur = np.zeros((n, 3), np.float32)
+            w_cur = np.zeros(n, np.float32)
+            bound = np.nonzero(frame.kp2mp >= 0)[0]
+            for ci in bound:
+                mp = self.map.point(int(frame.kp2mp[ci]))
+                if mp is not None and not mp.bad:
+                    p3d_cur[ci] = mp.position
+                    w_cur[ci] = 1.0
+            r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
+            with timer.scope("Tracker::fusedLocalMap"):
+                res2 = fused_localmap_step(
+                    jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                    jnp.asarray(frame.xy), res.T_w2c,
+                    jnp.asarray(p3d_cur), jnp.asarray(w_cur),
+                    jnp.asarray(lpos_p), jnp.asarray(ldesc_p),
+                    jnp.asarray(maskp),
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    width=cam.width, height=cam.height, radius=r_local,
+                    chi2_th=self.chi2_px)
+            chi2 = np.asarray(res2.chi2)
+            w = np.asarray(res2.weight)
+            inl = (w > 0) & (chi2 < th)
+            if inl.sum() < self.min_inliers:
+                return False
+            frame.pose_c2w = np.asarray(
+                lie.se3_inv(res2.T_w2c)).astype(np.float32)
+            ok2 = np.asarray(res2.ok)
+            idx2 = np.asarray(res2.idx)
+            lp = np.nonzero(ok2)[0]
+            for p in lp:
+                ci = int(idx2[p])
+                if inl[ci] and frame.kp2mp[ci] < 0:
+                    frame.kp2mp[ci] = int(ids_p[p])
+            frame.kp2mp[~inl] = -1
+        elif inl.sum() < self.min_inliers:
+            return False
+        self._n_inliers = int(inl.sum())
+        return True
 
     def _track_last_frame(self, frame: Frame) -> bool:
         last = self.last_frame
@@ -381,8 +512,12 @@ class Tracker:
         :1420-1502): insert when the view has shifted by more than
         (1 - MaxOverlap) of the field of view."""
         ref = self.map.frame(self.ref_kf_id)
-        if ref is None:
-            return
+        if ref is None:       # ref KF culled: fall back to the newest KF
+            kfs = self.map.keyframes()
+            if not kfs:
+                return
+            ref = kfs[-1]
+            self.ref_kf_id = ref.id
         ids, pos, _ = self.map.point_arrays(
             [int(p) for p in frame.kp2mp[frame.kp2mp >= 0]])
         med_depth = frame.median_depth(pos) if len(ids) else 1.0

@@ -147,8 +147,147 @@ class WorldMap:
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path: str) -> bool:
-        """Binary checkpoint (MapHash::save equivalent; pickle container
-        holding plain numpy — no framework objects)."""
+        """Versioned binary checkpoint (MapHash::save/load equivalent,
+        MapHash.cpp:365-545): a magic header + npz archive of plain arrays
+        (allow_pickle=False throughout) — safe to load from untrusted files
+        and stable across refactors. Observations and connections are
+        flattened to (id, id, index) triplet arrays."""
+        import io as _io
+        with self._lock:
+            frames = list(self._frames.values())
+            points = [p for p in self._points.values() if not p.bad]
+            fids = np.asarray([f.id for f in frames], np.int64)
+            arrs = {
+                "frame_id": fids,
+                "frame_ts": np.asarray([f.timestamp for f in frames]),
+                "frame_pose": np.stack([f.pose_c2w for f in frames])
+                if frames else np.zeros((0, 7), np.float32),
+                "frame_is_kf": np.asarray([f.is_keyframe for f in frames],
+                                          bool),
+                "frame_gps_acc": np.asarray([f.gps_acc for f in frames]),
+                "next_ids": np.asarray([self._next_fid, self._next_pid],
+                                       np.int64),
+            }
+            # per-frame camera parameter rows (padded to the longest model)
+            cam_rows = [f.camera.parameters() for f in frames]
+            cw = max((len(c) for c in cam_rows), default=6)
+            arrs["frame_camera"] = np.asarray(
+                [c + [0.0] * (cw - len(c)) for c in cam_rows]).reshape(
+                    len(frames), cw)
+            arrs["frame_camlen"] = np.asarray([len(c) for c in cam_rows],
+                                              np.int64)
+            # features: uniform N per frame in practice; store stacked with
+            # per-frame keypoint counts to stay general
+            kp_counts = np.asarray([f.n_kp for f in frames], np.int64)
+            arrs["frame_nkp"] = kp_counts
+            if frames and frames[0].xy is not None:
+                for key in ("xy", "desc", "angle", "octave", "response",
+                            "valid", "kp2mp"):
+                    arrs["kp_" + key] = np.concatenate(
+                        [getattr(f, key) for f in frames], 0)
+                arrs["frame_desc_kind"] = np.asarray(
+                    [1 if f.desc_kind == "sift" else 0 for f in frames],
+                    np.int8)
+            gps = np.full((len(frames), 6), np.nan)
+            for i, f in enumerate(frames):
+                if f.gps_lla is not None:
+                    gps[i, :3] = f.gps_lla
+                if f.gps_enu is not None:
+                    gps[i, 3:6] = f.gps_enu
+            arrs["frame_gps"] = gps
+            conn = [(f.id, cid, n) for f in frames
+                    for cid, n in f.connections.items()]
+            arrs["connections"] = np.asarray(conn, np.int64) if conn \
+                else np.zeros((0, 3), np.int64)
+            arrs["point_id"] = np.asarray([p.id for p in points], np.int64)
+            arrs["point_pos"] = np.stack([p.position for p in points]) \
+                if points else np.zeros((0, 3), np.float32)
+            arrs["point_normal"] = np.stack(
+                [p.normal if p.normal is not None else np.zeros(3)
+                 for p in points]) if points else np.zeros((0, 3))
+            arrs["point_color"] = np.stack([p.color for p in points]) \
+                if points else np.zeros((0, 3), np.uint8)
+            arrs["point_desc"] = np.stack([p.descriptor for p in points]) \
+                if points else np.zeros((0, 1), np.uint8)
+            arrs["point_ref"] = np.asarray([p.ref_frame for p in points],
+                                           np.int64)
+            obs = [(p.id, fid, kp) for p in points
+                   for fid, kp in p.observations.items()]
+            arrs["observations"] = np.asarray(obs, np.int64) if obs \
+                else np.zeros((0, 3), np.int64)
+        buf = _io.BytesIO()
+        np.savez_compressed(buf, **arrs)
+        with open(path, "wb") as fh:
+            fh.write(b"PSFTPU_MAP_V2")
+            fh.write(buf.getvalue())
+        return True
+
+    def load(self, path: str) -> bool:
+        from ..core.camera import Camera
+        with open(path, "rb") as fh:
+            magic = fh.read(13)
+            if magic == b"PSFTPU_MAP_V2":
+                import io as _io
+                data = np.load(_io.BytesIO(fh.read()), allow_pickle=False)
+            elif magic == CHECKPOINT_MAGIC[:13]:
+                return self._load_v1(path)
+            else:
+                return False
+        with self._lock:
+            self._frames.clear()
+            self._points.clear()
+            self._keyframe_ids.clear()
+            n = len(data["frame_id"])
+            nkp = data["frame_nkp"]
+            offs = np.concatenate([[0], np.cumsum(nkp)])
+            for i in range(n):
+                cam_p = list(data["frame_camera"][i][
+                    :int(data["frame_camlen"][i])])
+                fr = Frame(id=int(data["frame_id"][i]),
+                           timestamp=float(data["frame_ts"][i]),
+                           camera=Camera.from_parameters(cam_p))
+                fr.pose_c2w = data["frame_pose"][i]
+                fr.is_keyframe = bool(data["frame_is_kf"][i])
+                fr.gps_acc = float(data["frame_gps_acc"][i])
+                g = data["frame_gps"][i]
+                if np.isfinite(g[:3]).all():
+                    fr.gps_lla = g[:3].copy()
+                if np.isfinite(g[3:6]).all():
+                    fr.gps_enu = g[3:6].astype(np.float32)
+                if "kp_xy" in data and nkp[i] > 0:
+                    s, e = offs[i], offs[i + 1]
+                    for key in ("xy", "desc", "angle", "octave", "response",
+                                "valid", "kp2mp"):
+                        setattr(fr, key, data["kp_" + key][s:e].copy())
+                    fr.desc_kind = ("sift" if data["frame_desc_kind"][i]
+                                    else "orb")
+                    fr.rays = np.asarray(fr.camera.unproject(fr.xy),
+                                         np.float32)
+                self._frames[fr.id] = fr
+                if fr.is_keyframe:
+                    self._keyframe_ids.append(fr.id)
+            for fid, cid, cnum in data["connections"]:
+                fr = self._frames.get(int(fid))
+                if fr is not None:
+                    fr.connections[int(cid)] = int(cnum)
+            for i in range(len(data["point_id"])):
+                mp = MapPoint(id=int(data["point_id"][i]),
+                              position=data["point_pos"][i],
+                              descriptor=data["point_desc"][i])
+                mp.normal = data["point_normal"][i].astype(np.float32)
+                mp.color = data["point_color"][i]
+                mp.ref_frame = int(data["point_ref"][i])
+                self._points[mp.id] = mp
+            for pid, fid, kp in data["observations"]:
+                mp = self._points.get(int(pid))
+                if mp is not None:
+                    mp.observations[int(fid)] = int(kp)
+            self._next_fid = int(data["next_ids"][0])
+            self._next_pid = int(data["next_ids"][1])
+        return True
+
+    def _save_v1(self, path: str) -> bool:
+        """Legacy pickle checkpoint (round-1 format; kept for migration)."""
         with self._lock:
             blob = {
                 "frames": [{
@@ -176,7 +315,7 @@ class WorldMap:
             pickle.dump(blob, fh, protocol=4)
         return True
 
-    def load(self, path: str) -> bool:
+    def _load_v1(self, path: str) -> bool:
         from ..core.camera import Camera
         with open(path, "rb") as fh:
             magic = fh.read(len(CHECKPOINT_MAGIC))

@@ -389,9 +389,105 @@ def optimize_pose(T_w2c, p3d, p2n, weight, iters: int = 10,
 def optimize_se3_graph(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
                        iters: int = 30):
     """SE3 pose-graph optimization (LoopCloserSE3Graph's whole-map graph,
-    LoopCloserDemo.cpp:327-420; Sophus EdgeSE3 in Optimizer.cpp)."""
+    LoopCloserDemo.cpp:327-420; Sophus EdgeSE3 in Optimizer.cpp).
+
+    Dense variant: builds the full [F,F,6,6] coupling — fine for local
+    graphs, O(F^2) memory / O(F^3) solve. Thousand-KF whole-map closures
+    should use `optimize_se3_graph_cg`."""
     prob = make_problem(
         poses=poses, pose_fixed=fixed,
         rel_i=rel_i, rel_j=rel_j, rel_meas=rel_meas, rel_weight=rel_weight)
     new_poses, _, cost = optimize(prob, iters=iters)
     return new_poses, cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_se3_graph_cg(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
+                          iters: int = 15, cg_iters: int = 40):
+    """Matrix-free SE3 pose-graph LM: the normal-equation product H @ x is
+    computed edge-wise (gather -> per-edge 6x6 matmuls -> scatter-add), and
+    the damped system is solved with block-Jacobi-preconditioned CG.
+
+    O(E) memory and O(E * cg_iters) work per LM step instead of the dense
+    [F,F,6,6] assembly + O(F^3) factorization — this is the whole-map loop
+    closure path that stays viable at thousands of keyframes, and every op
+    (gathers, batched 6x6 einsums, scatter-adds) maps onto TPU
+    vector/matrix units."""
+    F = poses.shape[0]
+    z6 = jnp.zeros(6, jnp.float32)
+    freei = (~fixed[rel_i]).astype(jnp.float32)
+    freej = (~fixed[rel_j]).astype(jnp.float32)
+    free_all = (~fixed).astype(jnp.float32)[:, None]
+
+    def edge_terms(p):
+        Ti = p[rel_i]
+        Tj = p[rel_j]
+        r = _rel_val(z6, z6, Ti, Tj, rel_meas)                  # [E, 6]
+        Ji, Jj = _rel_jac(z6, z6, Ti, Tj, rel_meas)             # [E, 6, 6]
+        sw = jnp.sqrt(rel_weight)[:, None, None]
+        Ji = Ji * sw * freei[:, None, None]
+        Jj = Jj * sw * freej[:, None, None]
+        rw = r * jnp.sqrt(rel_weight)[:, None]
+        return rw, Ji, Jj
+
+    def cost_fn(p):
+        r = _rel_val(z6, z6, p[rel_i], p[rel_j], rel_meas)
+        return jnp.sum(rel_weight * jnp.sum(r * r, -1))
+
+    def step(state, _):
+        p, lam, cost = state
+        rw, Ji, Jj = edge_terms(p)
+        b = jnp.zeros((F, 6))
+        b = b.at[rel_i].add(-jnp.einsum("eki,ek->ei", Ji, rw))
+        b = b.at[rel_j].add(-jnp.einsum("eki,ek->ei", Jj, rw))
+        # block-diagonal of H (for damping + preconditioner)
+        D = jnp.zeros((F, 6, 6))
+        D = D.at[rel_i].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
+        D = D.at[rel_j].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
+        tr = jnp.maximum(jnp.trace(D, axis1=-2, axis2=-1)[:, None, None]
+                         / 6.0, 1e-6)
+        damp = lam * tr * jnp.eye(6)[None] + 1e-8 * jnp.eye(6)[None]
+        Minv = jnp.linalg.inv(D + damp)
+
+        def Hx(x):
+            x = x * free_all
+            ye = jnp.einsum("eab,eb->ea", Ji, x[rel_i]) \
+                + jnp.einsum("eab,eb->ea", Jj, x[rel_j])
+            out = jnp.zeros((F, 6))
+            out = out.at[rel_i].add(jnp.einsum("eab,ea->eb", Ji, ye))
+            out = out.at[rel_j].add(jnp.einsum("eab,ea->eb", Jj, ye))
+            out = out + jnp.einsum("fab,fb->fa", damp, x)
+            return out * free_all
+
+        b = b * free_all
+
+        def prec(r):
+            return jnp.einsum("fab,fb->fa", Minv, r) * free_all
+
+        def cg_step(s, _):
+            x, r, z, pdir = s
+            Hp = Hx(pdir)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(pdir * Hp), 1e-20)
+            x = x + alpha * pdir
+            r2 = r - alpha * Hp
+            z2 = prec(r2)
+            beta = jnp.sum(r2 * z2) / jnp.maximum(rz, 1e-20)
+            return (x, r2, z2, z2 + beta * pdir), None
+
+        x0 = jnp.zeros((F, 6))
+        z0 = prec(b)
+        (dx, _, _, _), _ = jax.lax.scan(cg_step, (x0, b, z0, z0), None,
+                                        length=cg_iters)
+        new_p = lie.se3_mul(lie.se3_exp(dx), p)
+        new_p = jnp.where(fixed[:, None], p, new_p)
+        new_cost = cost_fn(new_p)
+        accept = new_cost < cost
+        p = jnp.where(accept, new_p, p)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (p, lam, cost), cost
+
+    (p, _, cost), _ = jax.lax.scan(
+        step, (poses, jnp.float32(1e-4), cost_fn(poses)), None, length=iters)
+    return p, cost

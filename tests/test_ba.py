@@ -167,3 +167,81 @@ def test_fixed_poses_stay(rng):
     new_poses, new_points, _ = ba.optimize(prob, iters=5)
     np.testing.assert_allclose(np.asarray(new_poses), T_w2c, atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_points), points_true, atol=1e-6)
+
+
+def _loop_graph(rng, n=40):
+    """Noisy circular odometry chain + loop edge; returns (init, fixed,
+    ei, ej, meas, w, poses_true)."""
+    poses_true = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        t = np.array([np.cos(a), np.sin(a), 0.0]) * 3.0
+        q = np.array([0.0, 0.0, np.sin(a / 2), np.cos(a / 2)])
+        poses_true.append(np.concatenate([t, q]))
+    poses_true = jnp.asarray(np.stack(poses_true), jnp.float32)
+    ei, ej, meas = [], [], []
+    for i in range(n - 1):
+        ei.append(i)
+        ej.append(i + 1)
+        Tij = lie.se3_mul(poses_true[i], lie.se3_inv(poses_true[i + 1]))
+        nz = lie.se3_exp(jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32))
+        meas.append(np.asarray(lie.se3_mul(nz, Tij)))
+    ei.append(n - 1)
+    ej.append(0)
+    meas.append(np.asarray(lie.se3_mul(poses_true[n - 1],
+                                       lie.se3_inv(poses_true[0]))))
+    init = [np.asarray(poses_true[0])]
+    for i in range(n - 1):
+        init.append(np.asarray(
+            lie.se3_mul(lie.se3_inv(jnp.asarray(meas[i])),
+                        jnp.asarray(init[i]))))
+    init = np.stack(init)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    return (init, fixed, np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+            np.stack(meas).astype(np.float32), np.ones(len(ei), np.float32),
+            np.asarray(poses_true))
+
+
+def test_se3_graph_cg_matches_dense(rng):
+    """The matrix-free block-Jacobi-CG pose-graph solver must reach the
+    dense Schur solver's solution on the same graph."""
+    init, fixed, ei, ej, meas, w, truth = _loop_graph(rng, n=40)
+    dense, cost_d = ba.optimize_se3_graph(
+        jnp.asarray(init, jnp.float32), jnp.asarray(fixed),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(meas),
+        jnp.asarray(w), iters=40)
+    cg, cost_c = ba.optimize_se3_graph_cg(
+        jnp.asarray(init, jnp.float32), jnp.asarray(fixed),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(meas),
+        jnp.asarray(w), iters=40, cg_iters=60)
+    e_dense = ate(np.asarray(dense), truth)
+    e_cg = ate(np.asarray(cg), truth)
+    assert e_cg < max(1.2 * e_dense, 0.05), (e_dense, e_cg)
+    assert float(cost_c) < 1.2 * float(cost_d) + 1e-5, (cost_d, cost_c)
+
+
+def test_se3_graph_cg_padded_rows_inert(rng):
+    """Padded (weight-0 edges, fixed identity poses) rows must not change
+    the CG solution — the loop closer pads to capacity quanta."""
+    init, fixed, ei, ej, meas, w, truth = _loop_graph(rng, n=24)
+    base, _ = ba.optimize_se3_graph_cg(
+        jnp.asarray(init, jnp.float32), jnp.asarray(fixed),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(meas),
+        jnp.asarray(w), iters=25, cg_iters=50)
+    F, E = 64, 256
+    init_p = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (F, 1))
+    init_p[:24] = init
+    fixed_p = np.ones(F, bool)
+    fixed_p[:24] = fixed
+    ei_p = np.zeros(E, np.int32); ei_p[:len(ei)] = ei
+    ej_p = np.zeros(E, np.int32); ej_p[:len(ej)] = ej
+    meas_p = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (E, 1))
+    meas_p[:len(meas)] = meas
+    w_p = np.zeros(E, np.float32); w_p[:len(w)] = w
+    padded, _ = ba.optimize_se3_graph_cg(
+        jnp.asarray(init_p), jnp.asarray(fixed_p),
+        jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(meas_p),
+        jnp.asarray(w_p), iters=25, cg_iters=50)
+    np.testing.assert_allclose(np.asarray(padded)[:24], np.asarray(base),
+                               atol=2e-4)

@@ -1,0 +1,95 @@
+"""Multi-homography match growth parity (MatcherMultiH.cpp:197-450):
+on a planar pair, multiH must grow clearly more matches than plain
+cross-checked BF at equal (or better) precision."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pislamfusion_tpu.ops import matching, multih
+from pislamfusion_tpu.ops.features import orb
+
+
+def _planar_pair(rng, h=240, w=320):
+    """Image A and its homography warp B (pure planar scene), plus H a->b."""
+    big = np.full((h + 80, w + 80, 1), 120.0, np.float32)
+    big += rng.normal(0, 4, big.shape).astype(np.float32)
+    # REPETITIVE texture: few intensity levels + few shapes, so descriptors
+    # repeat across the scene and cross-check drops the ambiguous matches —
+    # the regime the reference's multi-H growth exists for (aerial fields,
+    # roofs, road markings)
+    big = big[..., 0]
+    # one repeating motif stamped everywhere (identical descriptors -> the
+    # ratio/cross-check base matcher drops them) + a few unique anchors the
+    # base CAN match (so a homography is recoverable)
+    # asymmetric L-motif: stable ORB orientations, identical descriptors
+    motif = np.full((12, 12), 45.0, np.float32)
+    motif[2:10, 2:5] = 220.0
+    motif[7:10, 2:10] = 220.0
+    motif[3:5, 7:9] = 150.0
+    for _ in range(420):
+        y, x = rng.integers(5, h + 28, 2)
+        big[y:y + 12, x:x + 12] = motif
+    for _ in range(25):
+        y, x = rng.integers(5, h + 30, 2)
+        hh, ww = rng.integers(5, 18, 2)
+        big[y:y + hh, x:x + ww] = rng.uniform(20, 235)
+    A = big[40:40 + h, 40:40 + w]
+    # homography: small rotation + translation + perspective
+    ang = 0.06
+    c, s = np.cos(ang), np.sin(ang)
+    H = np.array([[c, -s, 14.0], [s, c, -9.0], [1.5e-4, -1e-4, 1.0]])
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    d = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(H).T
+    u = d[..., 0] / d[..., 2] + 40
+    v = d[..., 1] / d[..., 2] + 40
+    u0 = np.clip(np.floor(u).astype(int), 0, big.shape[1] - 2)
+    v0 = np.clip(np.floor(v).astype(int), 0, big.shape[0] - 2)
+    fu = np.clip(u - u0, 0, 1)
+    fv = np.clip(v - v0, 0, 1)
+    B = (big[v0, u0] * (1 - fu) * (1 - fv) + big[v0, u0 + 1] * fu * (1 - fv)
+         + big[v0 + 1, u0] * (1 - fu) * fv + big[v0 + 1, u0 + 1] * fu * fv)
+    return A.astype(np.float32), B.astype(np.float32), H
+
+
+def _correct(xy_a, xy_b, idx, ok, H, tol=3.0):
+    d = np.concatenate([xy_a, np.ones((len(xy_a), 1))], -1) @ H.T
+    pred = d[:, :2] / d[:, 2:]
+    err = np.linalg.norm(pred - xy_b[np.where(ok, idx, 0)], axis=1)
+    return ok & (err < tol)
+
+
+def test_multih_grows_matches():
+    rng = np.random.default_rng(5)
+    A, B, H = _planar_pair(rng)
+    params = orb.OrbParams(n_features=512, n_levels=4)
+    fa = {k: np.asarray(v) for k, v in
+          orb.orb_detect(jnp.asarray(A), params).items()}
+    fb = {k: np.asarray(v) for k, v in
+          orb.orb_detect(jnp.asarray(B), params).items()}
+    # plain ratio+cross-checked BF (the tracker's conservative matcher)
+    idx0, ok0 = matching.match_descriptors(
+        jnp.asarray(fa["desc"]), jnp.asarray(fa["valid"]),
+        jnp.asarray(fb["desc"]), jnp.asarray(fb["valid"]), "orb", ratio=0.8)
+    idx0, ok0 = np.asarray(idx0), np.asarray(ok0)
+    # multi-homography growth
+    idx1, ok1, n_planes = multih.match_multih(
+        jax.random.PRNGKey(0),
+        jnp.asarray(fa["desc"]), jnp.asarray(fa["valid"]),
+        jnp.asarray(fa["xy"]),
+        jnp.asarray(fb["desc"]), jnp.asarray(fb["valid"]),
+        jnp.asarray(fb["xy"]), kind="orb")
+    idx1, ok1 = np.asarray(idx1), np.asarray(ok1)
+    assert int(n_planes) >= 1
+    good0 = _correct(fa["xy"], fb["xy"], idx0, ok0, H)
+    good1 = _correct(fa["xy"], fb["xy"], idx1, ok1, H)
+    prec0 = good0.sum() / max(ok0.sum(), 1)
+    prec1 = good1.sum() / max(ok1.sum(), 1)
+    # growth: clearly more CORRECT matches at no precision loss. (The
+    # reference grows >1.5x over its BoW-BUCKETED base, which only compares
+    # descriptors sharing a vocab node; our base is a full MXU BF matrix —
+    # strictly stronger recall — so the growth margin over it is smaller.)
+    assert good1.sum() >= 1.15 * good0.sum(), (good0.sum(), good1.sum())
+    assert prec1 >= prec0 - 0.05, (prec0, prec1)
+    # base matches are preserved
+    assert (ok1 | ~ok0).all()
