@@ -180,12 +180,49 @@ def main():
                   f"{float(jnp.sum(jnp.abs(c_lap[0]))):.3e}", file=sys.stderr)
     dt = min(times)  # best-of: excludes host jitter on the tunnel
     fps = K / dt
+
+    # --- the SHIPPED SLAM class on the same frames (host bookkeeping +
+    # fused device steps; per-frame dispatch latency included). The scan
+    # number above is the pure-device ceiling; this is what a user's
+    # slam.track() loop actually gets.
+    slam_fps, slam_tracked = None, None
+    if os.environ.get("BENCH_SLAM_PATH", "1") == "1":
+        try:
+            from pislamfusion_tpu.core.camera import Camera
+            from pislamfusion_tpu.core.svar import Svar
+            from pislamfusion_tpu.models.slam import create_slam
+            cfg = Svar()
+            cfg.set("FeatureDetector", "ORB")
+            cfg.set("SLAM.nFeature", str(N))
+            cfg.set("SLAM.LoopClose", "0")
+            cam = Camera(W, H, fx, fy, cx, cy)
+            slam = create_slam(cfg, cam)
+            gray_np = np.asarray(frames_gray)
+            order = list(range(K)) + list(range(K - 2, -1, -1))
+            n_warm = K  # first pass: init + compiles
+            t_slam = None
+            n_timed = 0
+            for j, fi in enumerate(order):
+                if j == n_warm:
+                    t_slam = time.perf_counter()
+                slam.track(gray_np[fi], float(j))
+                if j >= n_warm:
+                    n_timed += 1
+            slam.finish()
+            if t_slam is not None and n_timed:
+                slam_fps = round(n_timed
+                                 / (time.perf_counter() - t_slam), 2)
+            slam_tracked = int(slam.frames_tracked)
+        except Exception as exc:  # noqa: BLE001
+            print(f"slam-path bench failed: {exc}", file=sys.stderr)
     print(json.dumps({
         "metric": "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
                   "5-band mosaic composite, single chip)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "slam_track_fps": slam_fps,
+        "slam_frames_tracked": slam_tracked,
     }))
 
 

@@ -44,6 +44,11 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
 
     freq = cfg.get_double("Frequency", 0.0)   # gui/pislam.cpp:134 (100 Hz)
     period = 1.0 / freq if freq > 0 else 0.0
+    viz_dir = cfg.get_string("Viz.Dir", "")
+    visualizer = None
+    if viz_dir:
+        from . import viz
+        visualizer = viz.Visualizer(viz_dir, cfg.get_int("Viz.Every", 25))
     t0 = time.perf_counter()
     n_images = 0
     last_gps = None
@@ -65,8 +70,12 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
                 gps_acc = float(np.mean(gps_src.gps_sigma))
             last_gps = None
             with timer.scope("App::track"):
-                slam.track(img, fr.timestamp, gps_lla=gps_lla,
-                           gps_acc=gps_acc)
+                tracked = slam.track(img, fr.timestamp, gps_lla=gps_lla,
+                                     gps_acc=gps_acc)
+            if tracked is not None and fr.image_path:
+                tracked.image_path = fr.image_path   # for .mf/folder export
+            if visualizer is not None:
+                visualizer.update(slam=slam, fusion=fusion, frame=tracked)
             n_images += 1
             if period:
                 dt = t0 + n_images * period - time.perf_counter()

@@ -52,6 +52,7 @@ class RawFrame:
     pyr: Optional[np.ndarray] = None        # (pitch, yaw, roll) degrees
     pose_c2w: Optional[np.ndarray] = None   # known pose (KF datasets)
     is_gps_only: bool = False               # GPSFrame (no image)
+    depth_path: Optional[str] = None        # RGB-D depth image (npurgbd)
 
     def load_image(self) -> Optional[np.ndarray]:
         if self.image is None and self.image_path:
@@ -196,11 +197,21 @@ class DatasetNPUDroneMap(Dataset):
 
 @DATASETS.register("rtm")
 class DatasetRTMapper(Dataset):
-    """RTMapper project: the .rtm file is a Svar config naming the camera
-    (`Dataset.Camera` / `VideoReader.Camera` -> `<name>.Paraments`), with
-    imageLists.txt rows `imgpath gpshpyr...` next to it."""
+    """RTMapper project, both modes of DatasetRTMapper.cpp:
+      * Svar mode: the .rtm file is a config naming the camera
+        (`Dataset.Camera` / `VideoReader.Camera` -> `<name>.Paraments`),
+        with imageLists.txt rows `imgpath gpshpyr...` next to it.
+      * XML mode (openRTM_XML, DatasetRTMapper.cpp:378-395): a <project>
+        element whose attribute tree maps to dotted config keys, followed
+        by an <images> element with per-frame timestamp/image attributes
+        and gps/gpsSigma/height/attitude/attitudeSigma children forming
+        the _gpshpyr vector (exportFrame :306-375)."""
 
     def open(self, path: str) -> bool:
+        with open(path, "r", errors="replace") as fh:
+            head = fh.read(512).lstrip()
+        if head.startswith("<"):
+            return self._open_xml(path)
         self.cfg.parse_file(path)
         folder = os.path.dirname(os.path.abspath(path))
         cam_name = self.cfg.get_string(
@@ -226,6 +237,100 @@ class DatasetRTMapper(Dataset):
                 self._frames.append(RawFrame(
                     timestamp=ts, image_path=img, camera=self.camera,
                     gps_lla=lla, gps_sigma=sigma, pyr=pyr))
+        return bool(self._frames)
+
+    def _open_xml(self, path: str) -> bool:
+        import xml.etree.ElementTree as ET
+        folder = os.path.dirname(os.path.abspath(path))
+        try:
+            root = ET.parse(path).getroot()
+        except ET.ParseError:
+            return False
+        # <project> attribute tree -> dotted config keys (exportEle)
+        proj = root if root.tag == "project" else root.find("project")
+        if proj is None:
+            return False
+
+        def export(ele, parent=""):
+            if ele.get("value") is not None:
+                key = (parent + "." if parent else "") + ele.tag
+                self.cfg.insert(key, ele.get("value"))
+            pfx = (parent + "." if parent else "") + ele.tag
+            for child in ele:
+                export(child, pfx)
+
+        for child in proj:
+            export(child, "")
+        cam_name = self.cfg.get_string("Dataset.Camera", "")
+        if cam_name:
+            params = self.cfg.get_vec(cam_name + ".Paraments")
+            if params:
+                self.camera = Camera.from_parameters(params)
+        images = root.find("images") if root.tag == "project" else \
+            root.find(".//images")
+        # when <project> is the document root, <images> is its sibling —
+        # ElementTree has no sibling access from root, so scan the document
+        if images is None:
+            for ele in root.iter("images"):
+                images = ele
+                break
+        if images is None:
+            return False
+        # per-frame gpshpyr assembly order (exportFrame :352-357)
+        groups = [("gps", ("longtitude", "latitude", "altitude")),
+                  ("gpsSigma", ("longtitude", "latitude", "altitude")),
+                  ("height", ("value", "sigma")),
+                  ("attitude", ("pitch", "yaw", "roll")),
+                  ("attitudeSigma", ("pitch", "yaw", "roll"))]
+        for fr in images:
+            ts = float(fr.get("timestamp", len(self._frames)))
+            img = fr.get("image", "")
+            if img and not os.path.isabs(img):
+                img = os.path.join(folder, img)
+            vals = []
+            for tag, attrs in groups:
+                sub = fr.find(tag)
+                if sub is None:
+                    continue
+                vals.extend(float(sub.get(a, 0.0)) for a in attrs)
+            lla, sigma, pyr = _parse_gpshpyr(vals)
+            self._frames.append(RawFrame(
+                timestamp=ts, image_path=img, camera=self.camera,
+                gps_lla=lla, gps_sigma=sigma, pyr=pyr))
+        return bool(self._frames)
+
+
+@DATASETS.register("npurgbd")
+class DatasetNPURGBD(Dataset):
+    """NPU RGB-D (DatasetNPURGBD.cpp): a Svar config naming `Camera` +
+    `<name>.Paraments` + `VideoFile`; the video file carries lines of
+    `t1 x y z qx qy qz qw t2 depth_file t3 rgb_file` (known-pose RGB-D)."""
+
+    def open(self, path: str) -> bool:
+        self.cfg.parse_file(path)
+        folder = os.path.dirname(os.path.abspath(path))
+        cam_name = self.cfg.get_string("Camera", "")
+        if cam_name:
+            params = self.cfg.get_vec(cam_name + ".Paraments")
+            if params:
+                self.camera = Camera.from_parameters(params)
+        video = self.cfg.get_string("VideoFile", "")
+        if video and not os.path.isabs(video):
+            video = os.path.join(folder, video)
+        if not video or not os.path.isfile(video):
+            return False
+        with open(video) as fh:
+            for line in fh:
+                toks = line.split()
+                if len(toks) < 12:
+                    continue
+                pose = np.asarray([float(t) for t in toks[1:8]])
+                d_file, ts, rgb_file = toks[9], float(toks[10]), toks[11]
+                fr = RawFrame(timestamp=ts,
+                              image_path=os.path.join(folder, rgb_file),
+                              camera=self.camera, pose_c2w=pose)
+                fr.depth_path = os.path.join(folder, d_file)
+                self._frames.append(fr)
         return bool(self._frames)
 
 

@@ -210,6 +210,14 @@ class MultiBandMap2D(Map2DBase):
         self.min_xy = self.min_xy - np.array([left, top]) * self.ele_size
 
     def render_frame(self, img, pose_plane) -> bool:
+        # the canvas buffers are DONATED to the jit (zero-copy update) and
+        # _grow reallocates them, so a concurrent reader (viz snapshots,
+        # the GUI analogue) must never see the half-swapped state —
+        # serialize the whole render via the canvas lock
+        with self._lock:
+            return self._render_frame_locked(img, pose_plane)
+
+    def _render_frame_locked(self, img, pose_plane) -> bool:
         geo = self._frame_geometry(pose_plane)
         if geo is None:
             self.frames_skipped += 1
@@ -231,9 +239,13 @@ class MultiBandMap2D(Map2DBase):
         """Full-canvas blended RGB image (float32 0..255) + coverage mask."""
         if bg is None:
             bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
-        out, covered = M.reconstruct_canvas(
-            [c for c in self.canvas_lap], [w for w in self.canvas_w], bg=bg)
-        return np.asarray(out), np.asarray(covered)
+        with self._lock:
+            out, covered = M.reconstruct_canvas(
+                [c for c in self.canvas_lap], [w for w in self.canvas_w],
+                bg=bg)
+            out = np.asarray(out)
+            covered = np.asarray(covered)
+        return out, covered
 
     def save(self, filename: str) -> bool:
         """Crop to touched tiles, reconstruct, write PNG (save:779-847)."""
@@ -283,27 +295,29 @@ class WeightedMap2D(Map2DBase):
         self.min_xy = self.min_xy - np.array([left, top]) * self.ele_size
 
     def render_frame(self, img, pose_plane) -> bool:
-        geo = self._frame_geometry(pose_plane)
-        if geo is None:
-            self.frames_skipped += 1
-            return False
-        (ty0, tx0), H = geo
-        patch_px = self.patch_tiles * ELE
-        img32 = jnp.asarray(np.asarray(img), jnp.float32)
-        self.acc, self.wsum = _weighted_feed(
-            self.acc, self.wsum, img32, jnp.asarray(H, jnp.float32),
-            jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
-            patch_hw=(patch_px, patch_px), weight_type=self.weight_type)
-        self.frames_rendered += 1
-        return True
+        with self._lock:   # acc/wsum are donated buffers (see MultiBand)
+            geo = self._frame_geometry(pose_plane)
+            if geo is None:
+                self.frames_skipped += 1
+                return False
+            (ty0, tx0), H = geo
+            patch_px = self.patch_tiles * ELE
+            img32 = jnp.asarray(np.asarray(img), jnp.float32)
+            self.acc, self.wsum = _weighted_feed(
+                self.acc, self.wsum, img32, jnp.asarray(H, jnp.float32),
+                jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
+                patch_hw=(patch_px, patch_px), weight_type=self.weight_type)
+            self.frames_rendered += 1
+            return True
 
     def blended(self, bg: Optional[float] = None):
         if bg is None:
             bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
-        w = np.asarray(self.wsum)
+        with self._lock:
+            w = np.asarray(self.wsum)
+            acc = np.asarray(self.acc)
         covered = w[..., 0] > 0
-        out = np.where(covered[..., None],
-                       np.asarray(self.acc) / np.maximum(w, 1e-12), bg)
+        out = np.where(covered[..., None], acc / np.maximum(w, 1e-12), bg)
         return np.clip(out, 0, 255), covered
 
     def save(self, filename: str) -> bool:

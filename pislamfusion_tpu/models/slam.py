@@ -87,6 +87,10 @@ class SLAM:
         if self.tracker is not None:
             return
         cfg = self.cfg
+        log_file = cfg.get_string("LogFile", "")
+        if log_file:   # DIYSLAM.cpp:196-201
+            from ..core import glog
+            glog.logger.add_sink(glog.LogFileSink(log_file))
         self.map = MAPS.create(cfg.get_string("Map", "Hash"), cfg)
         self.mapper = MAPPERS.create(cfg.get_string("Mapper", "demo"),
                                      self.map, cfg)

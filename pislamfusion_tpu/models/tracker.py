@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import glog
 from ..core.registry import TRACKERS
 from ..core.timer import timer
 from ..ops import ba, init2view, lie, matching, ransac
@@ -83,7 +84,10 @@ class Tracker:
 
     # ------------------------------------------------------------------ API
     def track(self, frame: Frame) -> bool:
-        with timer.scope("Tracker::track"):
+        with timer.scope("Tracker::track"), \
+                glog.ScopedLogger(self.cfg, bit=1) as lg:
+            self._log = lg
+            lg << f"frame {frame.id} [{self.status.name}]"
             if self.status == Status.INIT:
                 self.ensure_features(frame)
                 ok = self._initialize(frame)
@@ -95,6 +99,9 @@ class Tracker:
                 self.motion = np.asarray(
                     lie.se3_mul(Ti, jnp.asarray(frame.pose_c2w)))
             self.last_frame = frame
+            lg << (f",inliers {getattr(self, '_n_inliers', 0)},"
+                   f"{'OK' if ok else 'FAIL'}"
+                   f"{',KF' if frame.is_keyframe else ''}")
             return ok
 
     # ----------------------------------------------------------- bootstrap
@@ -248,6 +255,7 @@ class Tracker:
         w = np.asarray(res.weight)
         th = self.chi2_px / cam.fx ** 2
         inl = (w > 0) & (chi2 < th)
+        self._log << f",fused {int(inl.sum())}"
         if inl.sum() < 20:
             return False
         # bind current keypoints to the matched last-frame map points
@@ -401,6 +409,7 @@ class Tracker:
                 if kf.id not in seen:
                     seen.add(kf.id)
                     candidates.append(kf)
+        self._log << f",refKF x{len(candidates)}"
         for kf in candidates:
             pos, has = self._gather_frame_points(kf)
             idx, ok = matching.match_descriptors(
@@ -424,11 +433,65 @@ class Tracker:
                                   jnp.asarray(w),
                                   threshold=3.0 / frame.camera.fx)
             if not bool(res.ok):
+                # scarce 3D: mixed epipolar + inverse-depth fallback
+                # (trackRefKeyframe, TrackerOpt.cpp:904-1105)
+                if self._track_ref_kf_epipolar(frame, kf):
+                    return True
                 continue
             T_c2w = np.asarray(lie.se3_inv(res.model))
             if self._solve_pose(frame, T_c2w, pos, has, idxn, okn, kf):
                 return True
         return False
+
+    def _track_ref_kf_epipolar(self, frame: Frame, kf: Frame) -> bool:
+        """Mixed PnP + epipolar pose vs a keyframe: 2D-2D matches carry
+        per-match inverse-depth unknowns, the few 3D anchors pin the scale
+        (TrackerOpt::trackRefKeyframe :904-1105 + optimizePose's
+        EdgeSE3InvDepth edges)."""
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            kf.desc_kind, ratio=0.8)
+        okn = np.asarray(ok)
+        if okn.sum() < 40:
+            return False
+        idxn = np.asarray(idx)
+        n = kf.n_kp
+        pos, has = self._gather_frame_points(kf)
+        # anchors: matched kf keypoints WITH map points
+        anchor = okn & has
+        if anchor.sum() < 3:
+            return False
+        rays_cur = frame.rays[np.where(okn, idxn, 0)][:, :2]
+        w2d = (okn & ~has).astype(np.float32)
+        w3d = anchor.astype(np.float32)
+        # inverse-depth init: anchors use true depth, rest the median
+        Tw2c_kf = np.asarray(lie.se3_inv(jnp.asarray(kf.pose_c2w)))
+        pc = np.asarray(lie.se3_apply(jnp.asarray(Tw2c_kf),
+                                      jnp.asarray(pos)))
+        depths = np.where(has & (pc[:, 2] > 0.1), pc[:, 2], np.nan)
+        med = np.nanmedian(depths) if np.isfinite(depths).any() else 1.0
+        idepth0 = np.where(np.isfinite(depths), 1.0 / np.maximum(
+            depths, 1e-6), 1.0 / max(med, 1e-6)).astype(np.float32)
+        T_init = lie.se3_inv(jnp.asarray(kf.pose_c2w))
+        T, cost, q, chi2_2d, chi2_3d = ba.optimize_pose_invdepth(
+            T_init, jnp.asarray(kf.pose_c2w),
+            jnp.asarray(kf.rays[:, :2]), jnp.asarray(rays_cur),
+            jnp.asarray(w2d), jnp.asarray(idepth0),
+            jnp.asarray(pos), jnp.asarray(rays_cur), jnp.asarray(w3d),
+            iters=15,
+            huber_delta=float(np.sqrt(self.chi2_px)) / frame.camera.fx)
+        th = self.chi2_px / frame.camera.fx ** 2
+        inl2 = (w2d > 0) & (np.asarray(chi2_2d) < th)
+        inl3 = (w3d > 0) & (np.asarray(chi2_3d) < th)
+        if inl2.sum() + 2 * inl3.sum() < self.min_inliers:
+            return False
+        frame.pose_c2w = np.asarray(lie.se3_inv(T)).astype(np.float32)
+        frame.kp2mp[:] = -1
+        for s in np.nonzero(inl3)[0]:
+            frame.kp2mp[idxn[s]] = kf.kp2mp[s]
+        self._n_inliers = int(inl2.sum() + inl3.sum())
+        return True
 
     def _track_local_map(self, frame: Frame) -> bool:
         """Project the local map into the frame and refine

@@ -385,6 +385,111 @@ def optimize_pose(T_w2c, p3d, p2n, weight, iters: int = 10,
     return T, cost, chi2
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
+def optimize_pose_invdepth(T_cur_w2c, T_ref_c2w, rays_ref, rays_cur, w2d,
+                           idepth0, p3d, p2n, w3d, iters: int = 12,
+                           huber_delta: float = 0.0061):
+    """Mixed pose optimization: PnP edges on known 3D points PLUS epipolar
+    2D-2D edges with per-match inverse-depth variables.
+
+    The reference's optimizePose (optimizerG2O/Optimizer.cpp:445-492,
+    EdgeSE3InvDepth) used by trackRefKeyframe (TrackerOpt.cpp:904-1105) when
+    3D points are scarce: each ref-keyframe match contributes a depth
+    unknown q; X_world = T_ref_c2w @ (ray_ref / q). The depth blocks are
+    1x1 scalars, so the Schur elimination is a cheap per-edge division —
+    everything stays a fixed-shape batched program.
+
+    Args: rays_ref/rays_cur [M, 2] normalized coords in ref/current frames;
+    w2d [M] edge weights (0 = invalid); idepth0 [M] initial inverse depths;
+    p3d/p2n/w3d: standard pose-only PnP edges (points fixed).
+    Returns (T_w2c, cost, idepth, chi2_2d [M], chi2_3d [N])."""
+    z6 = jnp.zeros(6, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+    M = rays_ref.shape[0]
+    ray3 = jnp.concatenate([rays_ref, jnp.ones((M, 1))], -1)     # [M, 3]
+
+    def residual_2d(dpose, dq, T, q, ray_r, ray_c):
+        Tl = lie.se3_mul(lie.se3_exp(dpose), T)
+        qq = jnp.maximum(q + dq, 1e-6)
+        Xw = lie.se3_apply(T_ref_c2w, ray_r / qq)
+        pc = lie.se3_apply(Tl, Xw)
+        zz = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+        r = pc[:2] / zz - ray_c
+        return jnp.where(pc[2] > 1e-6, r, jnp.zeros_like(r))
+
+    val2 = jax.vmap(residual_2d, in_axes=(None, 0, None, 0, 0, 0))
+    jac2 = jax.vmap(jax.jacfwd(residual_2d, argnums=(0, 1)),
+                    in_axes=(None, 0, None, 0, 0, 0))
+
+    def cost_fn(T, q):
+        r2d = val2(z6, jnp.zeros(M), T, q, ray3, rays_cur)
+        r2 = jnp.sum(r2d * r2d, -1)
+        d = huber_delta
+        c2 = jnp.where(r2 <= d * d, r2,
+                       2 * d * jnp.sqrt(jnp.maximum(r2, 1e-18)) - d * d)
+        Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
+        r3d = _reproj_val(z6, z3, Tb, p3d, p2n)
+        r3 = jnp.sum(r3d * r3d, -1)
+        c3 = jnp.where(r3 <= d * d, r3,
+                       2 * d * jnp.sqrt(jnp.maximum(r3, 1e-18)) - d * d)
+        return jnp.sum(w2d * c2) + jnp.sum(w3d * c3)
+
+    def step(state, _):
+        T, q, lam, cost = state
+        # 2D-2D terms
+        r = val2(z6, jnp.zeros(M), T, q, ray3, rays_cur)         # [M, 2]
+        Jp, Jq = jac2(z6, jnp.zeros(M), T, q, ray3, rays_cur)    # [M,2,6],[M,2]
+        hw = w2d * _huber_weight(jnp.sum(r * r, -1), huber_delta)
+        sw = jnp.sqrt(hw)[:, None]
+        Jp = Jp * sw[..., None]
+        Jq = Jq * sw
+        rw = r * sw
+        # 3D terms
+        Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
+        r3 = _reproj_val(z6, z3, Tb, p3d, p2n)
+        J3, _ = _reproj_jac(z6, z3, Tb, p3d, p2n)
+        hw3 = w3d * _huber_weight(jnp.sum(r3 * r3, -1), huber_delta)
+        sw3 = jnp.sqrt(hw3)[:, None]
+        J3 = J3 * sw3[..., None]
+        r3w = r3 * sw3
+        # normal equations with scalar Schur elimination of each q
+        Hpp = jnp.einsum("mki,mkj->ij", Jp, Jp) \
+            + jnp.einsum("mki,mkj->ij", J3, J3)                  # [6, 6]
+        bp = -jnp.einsum("mki,mk->i", Jp, rw) \
+            - jnp.einsum("mki,mk->i", J3, r3w)                   # [6]
+        Hqq = jnp.sum(Jq * Jq, -1)                               # [M]
+        Hqq_d = Hqq * (1.0 + lam) + 1e-9
+        bq = -jnp.sum(Jq * rw, -1)                               # [M]
+        Hpq = jnp.einsum("mki,mk->mi", Jp, Jq)                   # [M, 6]
+        S = Hpp - jnp.einsum("mi,mj->ij", Hpq / Hqq_d[:, None], Hpq)
+        b_red = bp - jnp.sum(Hpq * (bq / Hqq_d)[:, None], 0)
+        Sd = S + lam * jnp.eye(6) * jnp.maximum(jnp.trace(S) / 6.0, 1e-6)
+        dp = jnp.linalg.solve(Sd + 1e-9 * jnp.eye(6), b_red)
+        dq = (bq - Hpq @ dp) / Hqq_d
+        T_new = lie.se3_mul(lie.se3_exp(dp), T)
+        q_new = jnp.maximum(q + dq, 1e-6)
+        new_cost = cost_fn(T_new, q_new)
+        accept = new_cost < cost
+        T = jnp.where(accept, T_new, T)
+        q = jnp.where(accept, q_new, q)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (T, q, lam, cost), cost
+
+    q0 = jnp.maximum(jnp.asarray(idepth0, jnp.float32), 1e-6)
+    (T, q, _, cost), _ = jax.lax.scan(
+        step, (T_cur_w2c, q0, jnp.float32(1e-4), cost_fn(T_cur_w2c, q0)),
+        None, length=iters)
+    r2d = val2(z6, jnp.zeros(M), T, q, ray3, rays_cur)
+    chi2_2d = jnp.sum(r2d ** 2, -1)
+    Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
+    r3d = _reproj_val(z6, z3, Tb, p3d, p2n)
+    chi2_3d = jnp.sum(r3d ** 2, -1)
+    z3d = lie.se3_apply(T, p3d)[..., 2]
+    chi2_3d = jnp.where(z3d > 1e-6, chi2_3d, jnp.inf)
+    return T, cost, q, chi2_2d, chi2_3d
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def optimize_se3_graph(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
                        iters: int = 30):

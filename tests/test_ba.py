@@ -245,3 +245,48 @@ def test_se3_graph_cg_padded_rows_inert(rng):
         jnp.asarray(w_p), iters=25, cg_iters=50)
     np.testing.assert_allclose(np.asarray(padded)[:24], np.asarray(base),
                                atol=2e-4)
+
+
+def test_optimize_pose_invdepth(rng):
+    """InvDepthBundleSimulate-style: mixed PnP + epipolar inverse-depth pose
+    refinement (Optimizer.cpp:445-492 EdgeSE3InvDepth) must recover the pose
+    with only a handful of 3D anchors when 2D-2D matches carry the rest."""
+    n2, n3 = 160, 8
+    pts = rng.uniform(-2, 2, (n2 + n3, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    T_ref_c2w = jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32)
+    T_cur_c2w = jnp.asarray(np.concatenate([
+        [0.8, -0.3, 0.1],
+        np.array([0.02, 0.03, -0.01, 1.0]) / np.linalg.norm(
+            [0.02, 0.03, -0.01, 1.0])]), jnp.float32)
+    T_cur_true = lie.se3_inv(T_cur_c2w)
+
+    def project(T_w2c, X):
+        pc = np.asarray(lie.se3_apply(T_w2c, jnp.asarray(X)))
+        return pc[:, :2] / pc[:, 2:], pc[:, 2]
+
+    rays_ref, zr = project(lie.se3_inv(T_ref_c2w), pts)
+    rays_cur, _ = project(T_cur_true, pts)
+    noise = rng.normal(0, 0.5 / 400.0, rays_cur.shape).astype(np.float32)
+    rays_cur = rays_cur + noise
+    # split: first n2 matches are 2D-2D (depth unknown), last n3 are 3D
+    w2d = np.zeros(n2 + n3, np.float32)
+    w2d[:n2] = 1.0
+    w3d = np.zeros(n2 + n3, np.float32)
+    w3d[n2:] = 1.0
+    idepth0 = np.full(n2 + n3, 1.0 / np.median(zr), np.float32)
+    T_init = np.asarray(lie.se3_inv(jnp.asarray(
+        [0.6, -0.1, 0.0, 0, 0, 0, 1.0], jnp.float32)))  # off init
+    T, cost, q, chi2_2d, chi2_3d = ba.optimize_pose_invdepth(
+        jnp.asarray(T_init, jnp.float32), T_ref_c2w,
+        jnp.asarray(rays_ref, jnp.float32),
+        jnp.asarray(rays_cur, jnp.float32), jnp.asarray(w2d),
+        jnp.asarray(idepth0), jnp.asarray(pts),
+        jnp.asarray(rays_cur, jnp.float32), jnp.asarray(w3d), iters=25)
+    T_est_c2w = np.asarray(lie.se3_inv(T))
+    t_err = np.linalg.norm(T_est_c2w[:3] - np.asarray(T_cur_c2w)[:3])
+    assert t_err < 0.05, t_err
+    # recovered inverse depths match truth for the 2D edges
+    q_est = np.asarray(q)[:n2]
+    rel = np.abs(1.0 / q_est - zr[:n2]) / zr[:n2]
+    assert np.median(rel) < 0.08, np.median(rel)

@@ -1,0 +1,94 @@
+"""CLI / app-glue e2e: a synthetic .npudronemap unified dataset on disk
+driven through run_slam (the `python -m pislamfusion_tpu` path): dataset
+factory by extension, GPS frame interleaving, fusion consumer, and all
+output artifacts (result.png, trajectory.txt, map.ply, viz snapshots)."""
+import os
+
+import numpy as np
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.gps import LocalFrame
+from pislamfusion_tpu.core.svar import Svar
+
+from synth_survey import make_ground, lawnmower, render_view
+
+pytestmark = pytest.mark.e2e
+
+ORIGIN = (116.35, 39.96, 40.0)
+
+
+def _write_dataset(root, rng, n_rows=2):
+    """Unified DroneMapUnified layout: config.cfg + frames.txt + gps.txt
+    + images (DatasetNPUDroneMap.cpp:246-338)."""
+    from pislamfusion_tpu.models.map2d import _write_png
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = lawnmower(y1=30.0 + 8.0 * n_rows)
+    local = LocalFrame(*ORIGIN)
+    with open(os.path.join(root, "config.cfg"), "w") as cfg:
+        cfg.write("Camera.Paraments=320 240 260 260 160 120\n")
+    with open(os.path.join(root, "frames.txt"), "w") as ff, \
+            open(os.path.join(root, "gps.txt"), "w") as gf:
+        for i, p in enumerate(poses):
+            img = render_view(ground, cam, p)
+            name = f"images/{i:04d}.png"
+            _write_png(os.path.join(root, name),
+                       np.clip(img, 0, 255).astype(np.uint8))
+            ff.write(f"{float(i):.6f} {name}\n")
+            noisy = p[:3] + rng.normal(0, 0.4, 3)
+            lla = local.local_to_lla(noisy)
+            gf.write(f"{float(i) - 0.01:.6f} "
+                     + " ".join(f"{v:.9f}" for v in lla) + "\n")
+    ds_file = os.path.join(root, "survey.npudronemap")
+    open(ds_file, "w").close()
+    return ds_file, poses
+
+
+def test_cli_end_to_end(tmp_path):
+    rng = np.random.default_rng(4)
+    ds_file, poses = _write_dataset(str(tmp_path / "ds"), rng)
+    out = str(tmp_path / "out")
+    from pislamfusion_tpu.app import run_slam
+    cfg = Svar()
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("Plane.MinPoints", "400")
+    cfg.set("PrepareFrameNum", "8")
+    cfg.set("Map2D.BandNumber", "4")
+    cfg.set("Viz.Dir", os.path.join(out, "viz"))
+    cfg.set("Viz.Every", "10")
+    cfg.set("Map2DFusionFolder", os.path.join(out, "m2df"))
+    cfg.set("MapFusionFile", os.path.join(out, "map.mf"))
+    cfg.set("GeoTiles.Dir", os.path.join(out, "tiles"))
+    slam, fusion = run_slam(cfg, [ds_file], out_dir=out)
+
+    assert slam.frames_tracked >= 0.85 * slam.frames_total
+    assert slam.mapper.gps_fitted, "dataset GPS must geo-register the map"
+    assert fusion.error is None, fusion.error
+    assert fusion.frames_fed > 0.8 * slam.frames_tracked
+    # artifacts
+    for f in ("result.png", "trajectory.txt", "map.ply"):
+        assert os.path.isfile(os.path.join(out, f)), f
+    assert os.path.isfile(os.path.join(out, "viz", "map.png"))
+    assert os.path.isfile(os.path.join(out, "m2df", "config.cfg"))
+    assert os.path.isfile(os.path.join(out, "map.mf"))
+    tiles = [f for r, _, fs in os.walk(os.path.join(out, "tiles"))
+             for f in fs]
+    assert tiles, "geo tiles missing"
+    # geo-registration: est centers in meters vs truth (anchor = 1st fix)
+    frames = [f for f in slam.map.frames()
+              if f.n_tracked() > 0 or f.is_keyframe]
+    est = np.stack([f.pose_c2w[:3] for f in frames])
+    # timestamps match the pose index
+    ids = np.asarray([int(round(f.timestamp)) for f in frames])
+    gt = poses[ids][:, :3]
+    err = est - gt
+    err = err - err.mean(0)       # remove the anchor common-mode offset
+    ate = float(np.sqrt(np.mean(np.sum(err ** 2, -1))))
+    assert ate < 2.0, f"geo ATE {ate:.2f} m"

@@ -104,3 +104,32 @@ def test_scommand():
     bus.call("MapWidget Map2DUpdate 108.9 34.2")
     assert seen == ["Map2DUpdate 108.9 34.2"]
     bus.call("Unknown foo")  # no raise
+
+
+def test_glog_sinks_and_scoped_logger(tmp_path):
+    """Glog.h equivalents: sinks + severity gating + ScopedLogger bitmask."""
+    from pislamfusion_tpu.core import glog
+    from pislamfusion_tpu.core.svar import Svar
+    path = str(tmp_path / "run.log")
+    sink = glog.LogFileSink(path)
+    glog.logger.add_sink(sink)
+    glog.logger.info("hello info")
+    glog.logger.error("bad thing")
+    glog.logger.remove_sink(sink)
+    sink.close()
+    text = open(path).read()
+    assert "hello info" in text and "bad thing" in text
+    assert text.splitlines()[0].startswith("I")
+    # ScopedLogger: flushes only when the Verbose bit is set
+    cfg = Svar()
+    got = []
+    with glog.ScopedLogger(cfg, bit=1, sink=got.append) as lg:
+        lg << "frame 1" << ",tracked"
+    assert got == []            # SLAM.Verbose unset
+    cfg.set("SLAM.Verbose", "1")
+    with glog.ScopedLogger(cfg, bit=1, sink=got.append) as lg:
+        lg << "frame 2" << ",tracked"
+    assert got == ["frame 2,tracked"]
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        glog.check(False, "fatal check")
