@@ -49,18 +49,49 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
     if viz_dir:
         from . import viz
         visualizer = viz.Visualizer(viz_dir, cfg.get_int("Viz.Every", 25))
+    # native decode-ahead pipeline (C++ worker threads, native/imageio.cpp)
+    # — the reference's dataset prepare thread (DatasetRTMapper.cpp:171-205)
+    prefetcher = None
+    if cfg.get_bool("Dataset.NativeIO", True):
+        from .io import native_io
+        if native_io.available():
+            prefetcher = native_io.Prefetcher(
+                threads=cfg.get_int("Dataset.PrefetchThreads", 2))
+    depth = max(1, cfg.get_int("Dataset.PrefetchDepth", 4))
+
     t0 = time.perf_counter()
     n_images = 0
     last_gps = None
+    from collections import deque
     for ds in datasets:
+        pending = deque()   # (frame, ticket-or-None)
+
+        def fill():
+            while len(pending) < depth:
+                nxt = ds.grab_frame(load=False)
+                if nxt is None:
+                    return False
+                t = None
+                if prefetcher is not None and nxt.image_path \
+                        and nxt.image is None and not nxt.is_gps_only:
+                    t = prefetcher.submit(nxt.image_path)
+                pending.append((nxt, t))
+            return True
+
         while True:
-            fr = ds.grab_frame()
-            if fr is None:
+            fill()
+            if not pending:
                 break
+            fr, ticket = pending.popleft()
             if fr.is_gps_only:
                 last_gps = fr                       # attach to next image
                 continue
-            img = fr.load_image()
+            img = None
+            if ticket is not None:
+                with timer.scope("App::prefetchWait"):
+                    img = prefetcher.wait(ticket)
+            if img is None:
+                img = fr.load_image()
             if img is None:
                 continue
             gps_src = fr if fr.gps_lla is not None else last_gps
@@ -81,6 +112,8 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
                 dt = t0 + n_images * period - time.perf_counter()
                 if dt > 0:
                     time.sleep(dt)
+    if prefetcher is not None:
+        prefetcher.close()
     slam.finish()
     if slam.mapper is not None:
         slam.mapper.force_plane()   # publish plane even on short runs

@@ -81,12 +81,13 @@ class Dataset:
     def __len__(self):
         return len(self._frames)
 
-    def grab_frame(self) -> Optional[RawFrame]:
+    def grab_frame(self, load: bool = True) -> Optional[RawFrame]:
         if self._idx >= len(self._frames):
             return None
         fr = self._frames[self._idx]
         self._idx += 1
-        fr.load_image()
+        if load:
+            fr.load_image()
         return fr
 
     def rewind(self):

@@ -74,6 +74,7 @@ class SLAM:
         self.detector = None
         self.vocabulary = None   # optional BoW vocab (set or cfg-loaded)
         self._local_frame = None    # gps.LocalFrame once first fix arrives
+        self._undistort_xy = None   # lazy Undistorter remap table
         self._online = False
         self.trans_queue = _default_trans          # (image, pose) -> mosaic
         self.plane_queue = _default_trans_plane    # ground plane -> mosaic
@@ -176,6 +177,19 @@ class SLAM:
             self._track_one(frame)
         return frame
 
+    def _undistort_for_mosaic(self, img):
+        """The mosaic warp assumes a pinhole camera; distorted models
+        (ATAN/OpenCV) get remapped through the Undistorter table first
+        (Undistorter.h prepareReMap/undistortFast; the reference's
+        saveMap2DFusion does the same before handing frames to Map2D)."""
+        if self.camera.name in ("PinHole", "Ideal"):
+            return img
+        if self._undistort_xy is None:
+            from ..core.camera import undistort_map
+            self._undistort_xy = undistort_map(self.camera)
+        return np.asarray(im.remap(jnp.asarray(img, jnp.float32),
+                                   self._undistort_xy))
+
     def _track_one(self, frame: Frame):
         self.frames_total += 1
         ok = self.tracker.track(frame)
@@ -183,6 +197,7 @@ class SLAM:
             self.frames_tracked += 1
             # feed the mosaic queue (TrackerOpt.cpp:374-384)
             img = frame.color if frame.color is not None else frame.image
+            img = self._undistort_for_mosaic(img)
             self.trans_queue.product((img, frame.pose_c2w.copy()))
             if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",
                                                        True):

@@ -228,3 +228,15 @@ def rgb_to_gray(img):
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def warp_perspective_jit(img, h_dst2src, out_hw):
     return warp_perspective(img, h_dst2src, out_hw)
+
+
+@jax.jit
+def remap(img, map_xy):
+    """Dense remap (cv::remap / Undistorter::undistortFast equivalent):
+    out[y, x] = bilinear(img, map_xy[y, x]) with border replication.
+    img: [H, W] or [H, W, C] float; map_xy: [Ho, Wo, 2] source coords."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    out = bilinear_sample(img, map_xy, 0.0, "replicate")[0]
+    return out[..., 0] if squeeze else out

@@ -105,3 +105,29 @@ def test_rgb_to_gray():
     g = image.rgb_to_gray(img)
     np.testing.assert_allclose(g, 100 * 0.299 + 50 * 0.587 + 25 * 0.114,
                                atol=1e-3)
+
+
+def test_remap_undistorts_atan():
+    """remap + undistort_map must invert an ATAN camera's distortion
+    (Undistorter.h prepareReMap/undistortFast semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pislamfusion_tpu.core.camera import Camera, CameraATAN, undistort_map
+
+    cam = CameraATAN(160, 120, 130.0, 130.0, 80.0, 60.0, 0.9)
+    pin = Camera(160, 120, 130.0, 130.0, 80.0, 60.0)
+
+    def scene(rays):
+        # smooth pattern over ray direction
+        return (128 + 90 * np.sin(6.0 * np.asarray(rays[..., 0]))
+                * np.cos(5.0 * np.asarray(rays[..., 1]))).astype(np.float32)
+
+    ys, xs = np.meshgrid(np.arange(120, dtype=np.float32),
+                         np.arange(160, dtype=np.float32), indexing="ij")
+    grid = jnp.stack([xs, ys], -1)
+    img_dist = scene(np.asarray(cam.unproject(grid)))
+    expected = scene(np.asarray(pin.unproject(grid)))
+    out = np.asarray(image.remap(jnp.asarray(img_dist), undistort_map(cam)))
+    # compare away from the border (replication pollutes the edge)
+    err = np.abs(out[10:-10, 10:-10] - expected[10:-10, 10:-10])
+    assert np.percentile(err, 95) < 3.0, np.percentile(err, 95)
