@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.messenger import messenger as _messenger
 from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
 from ..core.timer import timer
@@ -554,6 +555,8 @@ class Mapper:
         self.apply_sim3(S)
         self.gps_fitted = True
         self.cfg.set("GPS.Fitted", "1")
+        # `fitted_map` topic (DIYSLAM.cpp:204 advertise + tryFitGPS publish)
+        _messenger.advertise("fitted_map").publish(self.map)
         return True
 
     def apply_sim3(self, S: np.ndarray):

@@ -506,6 +506,104 @@ def optimize_se3_graph(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
     return new_poses, cost
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_sim3_graph(sims, fixed, rel_i, rel_j, rel_meas, rel_weight,
+                        iters: int = 30):
+    """7-DoF SIM3 pose-graph optimization (BundleGraph.sim3Graph,
+    Optimizer.h:165: edges measure SIM3_1^{-1} * SIM3_2) — the monocular
+    scale-drift-correcting loop closure. Same dense LM structure as the
+    SE3 graph, with sim3 exp/log and 7x7 blocks."""
+    F = sims.shape[0]
+    z7 = jnp.zeros(7, jnp.float32)
+
+    def residual(di, dj, Si, Sj, meas):
+        Si = lie.sim3_mul(lie.sim3_exp(di), Si)
+        Sj = lie.sim3_mul(lie.sim3_exp(dj), Sj)
+        return lie.sim3_log(lie.sim3_mul(
+            lie.sim3_inv(meas), lie.sim3_mul(lie.sim3_inv(Si), Sj)))
+
+    val = jax.vmap(residual, in_axes=(None, None, 0, 0, 0))
+    jac = jax.vmap(jax.jacfwd(residual, argnums=(0, 1)),
+                   in_axes=(None, None, 0, 0, 0))
+
+    def cost_fn(S):
+        r = val(z7, z7, S[rel_i], S[rel_j], rel_meas)
+        return jnp.sum(rel_weight * jnp.sum(r * r, -1))
+
+    def step(state, _):
+        S, lam, cost = state
+        r = val(z7, z7, S[rel_i], S[rel_j], rel_meas)            # [E, 7]
+        Ji, Jj = jac(z7, z7, S[rel_i], S[rel_j], rel_meas)       # [E, 7, 7]
+        sw = jnp.sqrt(rel_weight)[:, None, None]
+        fi = (~fixed[rel_i]).astype(jnp.float32)[:, None, None]
+        fj = (~fixed[rel_j]).astype(jnp.float32)[:, None, None]
+        Ji = Ji * sw * fi
+        Jj = Jj * sw * fj
+        rw = r * jnp.sqrt(rel_weight)[:, None]
+        Hm = jnp.zeros((F, F, 7, 7))
+        Hm = Hm.at[rel_i, rel_i].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
+        Hm = Hm.at[rel_j, rel_j].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
+        Hm = Hm.at[rel_i, rel_j].add(jnp.einsum("eki,ekj->eij", Ji, Jj))
+        Hm = Hm.at[rel_j, rel_i].add(jnp.einsum("eki,ekj->eij", Jj, Ji))
+        b = jnp.zeros((F, 7))
+        b = b.at[rel_i].add(-jnp.einsum("eki,ek->ei", Ji, rw))
+        b = b.at[rel_j].add(-jnp.einsum("eki,ek->ei", Jj, rw))
+        diag = Hm[jnp.arange(F), jnp.arange(F)]
+        damp = lam * jnp.eye(7)[None] * jnp.maximum(
+            jnp.trace(diag, axis1=-2, axis2=-1)[:, None, None] / 7.0, 1e-6)
+        Hm = Hm.at[jnp.arange(F), jnp.arange(F)].add(damp)
+        Hmat = Hm.transpose(0, 2, 1, 3).reshape(7 * F, 7 * F)
+        mask = jnp.repeat(~fixed, 7).astype(jnp.float32)
+        Hmat = Hmat * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        dx = jnp.linalg.solve(Hmat + 1e-9 * jnp.eye(7 * F),
+                              b.reshape(-1) * mask).reshape(F, 7)
+        S_new = lie.sim3_mul(lie.sim3_exp(dx), S)
+        S_new = jnp.where(fixed[:, None], S, S_new)
+        new_cost = cost_fn(S_new)
+        accept = new_cost < cost
+        S = jnp.where(accept, S_new, S)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (S, lam, cost), cost
+
+    (S, _, cost), _ = jax.lax.scan(
+        step, (sims, jnp.float32(1e-4), cost_fn(sims)), None, length=iters)
+    return S, cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def optimize_icp(pa, pb, weight, iters: int = 8, huber_delta: float = 0.5,
+                 fix_scale: bool = False):
+    """SIM3/SE3 from 3D-3D correspondences (Optimizer::optimizeICP,
+    Optimizer.h:210-217): IRLS-Horn — the closed-form weighted fit
+    re-weighted by the Huber kernel each iteration. pa -> pb. Returns
+    (SIM3 [8], inlier_chi2 [N])."""
+    from . import ransac as _ransac
+
+    def step(w_huber, _):
+        w = weight * w_huber
+        S = _ransac.sim3_horn(pa, pb, w)
+        if fix_scale:
+            S = lie.sim3(lie.sim3_t(S), lie.sim3_q(S),
+                         jnp.ones_like(lie.sim3_s(S)))
+        r2 = jnp.sum((lie.sim3_apply(S, pa) - pb) ** 2, -1)
+        return _huber_weight(r2, huber_delta), S
+
+    w0 = jnp.ones(pa.shape[0], pa.dtype)
+    wN, Ss = jax.lax.scan(step, w0, None, length=iters)
+    S = jax.tree.map(lambda x: x[-1], Ss)
+    chi2 = jnp.sum((lie.sim3_apply(S, pa) - pb) ** 2, -1)
+    return S, chi2
+
+
+def fit_sim3(T1s, T2s, weight=None):
+    """SIM3 between two synchronized trajectories (Optimizer::fitSim3,
+    Optimizer.h:220-225) from the camera centers (Horn closed form — the
+    same approach as EstimatorOpenCV::findSIM3)."""
+    from . import ransac as _ransac
+    return _ransac.sim3_horn(T1s[..., :3], T2s[..., :3], weight)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
 def optimize_se3_graph_cg(poses, fixed, rel_i, rel_j, rel_meas, rel_weight,
                           iters: int = 15, cg_iters: int = 40):

@@ -301,6 +301,63 @@ def sim3_to_se3(S):
     return S[..., :7]
 
 
+def _sim3_w_coeffs(phi, sigma):
+    """The W-matrix coefficients (C, A, B) of Sim3 exp such that
+    W = C I + A hat(phi) + B hat(phi)^2 (Strasdat's thesis / Sophus
+    sim3.hpp calc_W). All branches handled with where-guards."""
+    theta2 = jnp.sum(phi * phi, -1, keepdims=True)
+    theta = jnp.sqrt(theta2.clip(_EPS * _EPS))
+    s = jnp.exp(sigma)
+    sig_small = jnp.abs(sigma) < 1e-5
+    th_small = theta2 < _EPS
+    sig_safe = jnp.where(sig_small, 1.0, sigma)
+    th_safe = jnp.where(th_small, 1.0, theta)
+    C = jnp.where(sig_small, 1.0 + sigma / 2.0, (s - 1.0) / sig_safe)
+    a = s * jnp.sin(theta)
+    b = s * jnp.cos(theta)
+    s2t2 = sig_safe * sig_safe + th_safe * th_safe
+    # sigma ~ 0 branches (pure rotation):
+    A0 = (1.0 - jnp.cos(theta)) / th_safe ** 2
+    B0 = (theta - jnp.sin(theta)) / th_safe ** 3
+    # general branches:
+    A1 = (a * sig_safe + (1.0 - b) * th_safe) / (th_safe * s2t2)
+    B1 = (C - ((b - 1.0) * sig_safe + a * th_safe) / s2t2) / th_safe ** 2
+    # theta ~ 0, sigma != 0:
+    A2 = jnp.where(sig_small, 0.5,
+                   ((sig_safe - 1.0) * s + 1.0) / (sig_safe ** 2))
+    B2 = jnp.where(
+        sig_small, 1.0 / 6.0,
+        (s * 0.5 * sig_safe ** 2 + s - 1.0 - sig_safe * s)
+        / (sig_safe ** 3))
+    A = jnp.where(th_small, A2, jnp.where(sig_small, A0, A1))
+    B = jnp.where(th_small, B2, jnp.where(sig_small, B0, B1))
+    return C, A, B
+
+
+def sim3_exp(xi):
+    """Sim3 exponential: xi [..., 7] = (rho, phi, sigma) -> SIM3 [..., 8]
+    (Sophus sim3.hpp expmap; SIM3.h of the reference)."""
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6:7]
+    C, A, B = _sim3_w_coeffs(phi, sigma)
+    H = so3_hat(phi)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), H.shape)
+    W = C[..., None] * I + A[..., None] * H + B[..., None] * (H @ H)
+    t = jnp.einsum("...ij,...j->...i", W, rho)
+    return sim3(t, so3_exp(phi), jnp.exp(sigma))
+
+
+def sim3_log(S):
+    """Sim3 log: SIM3 [..., 8] -> (rho, phi, sigma) [..., 7]."""
+    phi = so3_log(sim3_q(S))
+    sigma = jnp.log(sim3_s(S).clip(_EPS))
+    C, A, B = _sim3_w_coeffs(phi, sigma)
+    H = so3_hat(phi)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), H.shape)
+    W = C[..., None] * I + A[..., None] * H + B[..., None] * (H @ H)
+    rho = jnp.linalg.solve(W, sim3_t(S)[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # misc
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Batch ablation harness: run the pipeline across module combinations.
+
+Equivalent of GSLAM-DIYSLAM/scripts/batch_evaluat.py (:1-60): spawn the
+binary per (Map/FeatureDetector/Matcher/Tracker/Mapper/...) combination,
+redirect stdout per run into named result directories for comparison.
+Here each combination runs `examples/pipeline_demo.py`-style synthetic
+surveys in-process per subprocess and records the JSON metrics.
+
+Usage:
+    python scripts/batch_evaluate.py /tmp/ablation \
+        "FeatureDetector=ORB,Sift" "SLAM.LoopClose=0,1"
+
+Each `key=v1,v2` argument enumerates values; the cartesian product runs.
+"""
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import json, sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/examples")
+from pipeline_demo import run_demo
+m = run_demo({out!r}, verbose=False, **json.loads(sys.argv[2]))
+print("METRICS " + json.dumps(m))
+"""
+
+
+def main(argv):
+    if len(argv) < 1:
+        print(__doc__)
+        return 1
+    out_root = argv[0]
+    axes = []
+    for spec in argv[1:]:
+        key, _, vals = spec.partition("=")
+        axes.append([(key, v) for v in vals.split(",")])
+    combos = list(itertools.product(*axes)) if axes else [()]
+    results = {}
+    for combo in combos:
+        name = "_".join(f"{k.split('.')[-1]}-{v}" for k, v in combo) \
+            or "default"
+        out_dir = os.path.join(out_root, name)
+        os.makedirs(out_dir, exist_ok=True)
+        kwargs = {}
+        for k, v in combo:
+            if k == "SLAM.LoopClose":
+                kwargs["loop_close"] = v not in ("0", "false")
+            elif k == "SLAM.nFeature":
+                kwargs["n_feats"] = int(v)
+        print(f"== {name} ==", flush=True)
+        code = RUNNER.format(repo=REPO, out=out_dir)
+        with open(os.path.join(out_dir, "stdout.log"), "w") as log:
+            r = subprocess.run(
+                [sys.executable, "-c", code, json.dumps(dict(combo)),
+                 json.dumps(kwargs)],
+                stdout=subprocess.PIPE, stderr=log, text=True)
+        metrics = None
+        for line in r.stdout.splitlines():
+            if line.startswith("METRICS "):
+                metrics = json.loads(line[8:])
+        results[name] = metrics
+        open(os.path.join(out_dir, "metrics.json"), "w").write(
+            json.dumps(metrics, indent=1))
+        if metrics:
+            print(f"   tracked {100 * metrics['tracked_ratio']:.0f}% "
+                  f"ATE {metrics['ate_pct']:.2f}% "
+                  f"PSNR {metrics['psnr']:.1f} dB "
+                  f"({metrics['wall_s']:.0f}s)", flush=True)
+        else:
+            print("   FAILED (see stdout.log)", flush=True)
+    open(os.path.join(out_root, "summary.json"), "w").write(
+        json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -290,3 +290,83 @@ def test_optimize_pose_invdepth(rng):
     q_est = np.asarray(q)[:n2]
     rel = np.abs(1.0 / q_est - zr[:n2]) / zr[:n2]
     assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_sim3_graph_corrects_scale_drift(rng):
+    """SIM3GraphSimulate (OptimizerTest.cpp:313): a circular chain whose
+    odometry carries cumulative SCALE drift; the sim3 graph with one loop
+    edge must recover both the poses and the unit scales."""
+    n = 12
+    sims_true = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        t = np.array([np.cos(a), np.sin(a), 0.0]) * 3.0
+        q = np.array([0.0, 0.0, np.sin(a / 2), np.cos(a / 2)])
+        sims_true.append(np.concatenate([t, q, [1.0]]))
+    sims_true = jnp.asarray(np.stack(sims_true), jnp.float32)
+    ei, ej, meas = [], [], []
+    for i in range(n - 1):
+        ei.append(i)
+        ej.append(i + 1)
+        Sij = lie.sim3_mul(lie.sim3_inv(sims_true[i]), sims_true[i + 1])
+        nz = lie.sim3_exp(jnp.asarray(
+            np.concatenate([rng.normal(0, 0.02, 6), [0.02]]), jnp.float32))
+        meas.append(np.asarray(lie.sim3_mul(nz, Sij)))  # scale-drifting odo
+    ei.append(n - 1)
+    ej.append(0)
+    meas.append(np.asarray(lie.sim3_mul(lie.sim3_inv(sims_true[n - 1]),
+                                        sims_true[0])))
+    init = [np.asarray(sims_true[0])]
+    for i in range(n - 1):
+        init.append(np.asarray(lie.sim3_mul(jnp.asarray(init[i]),
+                                            jnp.asarray(meas[i]))))
+    init = np.stack(init)
+    drift_scale = abs(init[-1, 7] - 1.0)
+    assert drift_scale > 0.1          # the fixture genuinely drifts
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    out, cost = ba.optimize_sim3_graph(
+        jnp.asarray(init, jnp.float32), jnp.asarray(fixed),
+        jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(meas), jnp.float32),
+        jnp.ones(n, jnp.float32), iters=40)
+    out = np.asarray(out)
+    terr0 = np.sqrt(np.mean(np.sum((init[:, :3]
+                                    - np.asarray(sims_true)[:, :3]) ** 2,
+                                   -1)))
+    terr1 = np.sqrt(np.mean(np.sum((out[:, :3]
+                                    - np.asarray(sims_true)[:, :3]) ** 2,
+                                   -1)))
+    assert terr1 < 0.5 * terr0, (terr0, terr1)
+    assert np.abs(out[:, 7] - 1.0).max() < 0.08, out[:, 7]
+
+
+def test_optimize_icp_recovers_sim3(rng):
+    """ICPSimulate (OptimizerTest.cpp:213): 3D-3D with outliers."""
+    n = 200
+    pa = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    S_true = jnp.asarray(np.concatenate([
+        [0.5, -1.0, 2.0],
+        np.array([0.1, 0.2, -0.1, 1.0]) / np.linalg.norm([0.1, 0.2, -0.1, 1.0]),
+        [1.3]]), jnp.float32)
+    pb = np.array(lie.sim3_apply(S_true, jnp.asarray(pa)))
+    pb += rng.normal(0, 0.01, pb.shape)
+    pb[:20] += rng.uniform(2, 5, (20, 3))   # 10% outliers
+    S, chi2 = ba.optimize_icp(jnp.asarray(pa), jnp.asarray(pb),
+                              jnp.ones(n, jnp.float32), huber_delta=0.1)
+    S = np.asarray(S)
+    assert abs(S[7] - 1.3) < 0.02, S[7]
+    assert np.linalg.norm(S[:3] - np.asarray(S_true)[:3]) < 0.1
+    assert (np.asarray(chi2)[20:] < 0.01).mean() > 0.9
+
+
+def test_fit_sim3_trajectories(rng):
+    T1 = np.zeros((30, 7), np.float32)
+    T1[:, :3] = rng.uniform(-5, 5, (30, 3))
+    T1[:, 6] = 1.0
+    S_true = jnp.asarray([1.0, 2.0, -0.5, 0, 0, 0.3826834, 0.9238795, 0.8],
+                         jnp.float32)
+    T2 = T1.copy()
+    T2[:, :3] = np.asarray(lie.sim3_apply(S_true, jnp.asarray(T1[:, :3])))
+    S = np.asarray(ba.fit_sim3(jnp.asarray(T1), jnp.asarray(T2)))
+    np.testing.assert_allclose(S, np.asarray(S_true), atol=1e-3)

@@ -69,3 +69,22 @@ def test_file_resource(tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
     assert resource.get("embedded/data.bin") == open(src, "rb").read()
+
+
+def test_memory_metric():
+    """MemoryMetric.h parity surface: usage counters + callsite dumps."""
+    from pislamfusion_tpu.core import memory_metric as mm
+    mm.enable()
+    try:
+        blob = [bytearray(200_000) for _ in range(4)]
+        assert mm.used_bytes() > 500_000
+        assert mm.peak_bytes() >= mm.used_bytes()
+        d = mm.dump_by_size(top=5)
+        assert "callsite" in d and len(d.splitlines()) >= 2
+        d2 = mm.dump_by_count(top=5)
+        assert "callsite" in d2
+        del blob
+    finally:
+        mm.disable()
+    assert not mm.is_enabled()
+    assert mm.dump_by_size() == "(memory metric disabled)"
