@@ -195,6 +195,7 @@ def main():
             cfg.set("FeatureDetector", "ORB")
             cfg.set("SLAM.nFeature", str(N))
             cfg.set("SLAM.LoopClose", "0")
+            cfg.set("SLAM.isOnline", "1")   # mapper on its worker thread
             cam = Camera(W, H, fx, fy, cx, cy)
             slam = create_slam(cfg, cam)
             gray_np = np.asarray(frames_gray)

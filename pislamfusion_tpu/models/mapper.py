@@ -54,6 +54,16 @@ class Mapper:
         self.plane_queue = _default_trans_plane
         self.gps_fitted = False
         self.last_gps_fit_rms = None   # diagnostics for tests/logs
+        # online mode: keyframe handling on a 1-worker pool so the tracker
+        # never blocks on BA (MapperDemo.cpp:77-106 ThreadPool(1) +
+        # _abordBundle backpressure)
+        self._online = cfg.get_bool("SLAM.isOnline", False) and \
+            not cfg.get_bool("SLAM.forceOffline", False)
+        self._pool = None
+        self._kf_gen = 0
+        if self._online:
+            from ..core.messenger import ThreadPool
+            self._pool = ThreadPool(1)
         # callback(S_sim3) the SLAM wires to the tracker so its motion
         # model survives the map rescale (the reference shares this via the
         # GPS.Fitted svar + shared frame objects)
@@ -72,6 +82,24 @@ class Mapper:
         self._feed_plane()
 
     def insert_keyframe(self, frame: Frame):
+        if self._pool is not None:
+            self._kf_gen += 1
+            self._pool.add(self._handle_keyframe, frame, self._kf_gen)
+        else:
+            self._handle_keyframe(frame, 0)
+
+    def finish(self, timeout: float = 120.0):
+        """Drain the online worker (call('Finish') path)."""
+        if self._pool is not None:
+            import time as _time
+            t0 = _time.time()
+            while self._pool.pending() and _time.time() - t0 < timeout:
+                _time.sleep(0.02)
+
+    def _handle_keyframe(self, frame: Frame, gen: int):
+        """handleCurrentFrame (MapperDemo.cpp:311). In online mode, when a
+        newer keyframe is already queued the expensive local BA is skipped
+        for this one (the reference's _abordBundle, :83-85,250-251)."""
         with timer.scope("Mapper::insertKeyFrame"):
             self._kf_count += 1
             self._register_observations(frame)
@@ -81,8 +109,9 @@ class Mapper:
                 self._create_new_points(frame)
             with timer.scope("Mapper::dataAssociation"):
                 self._fuse(frame)
-            with timer.scope("Mapper::localOptimization"):
-                self._local_ba(frame)
+            if gen == 0 or gen >= self._kf_gen:
+                with timer.scope("Mapper::localOptimization"):
+                    self._local_ba(frame)
             self._update_normals_descriptors(frame)
             self._cull_keyframes(frame)
             self._maybe_fit_gps()

@@ -169,10 +169,9 @@ class SLAM:
                 np.float32)
             frame.gps_acc = gps_acc
         if self._online:
-            try:
-                self._queue.put_nowait(frame)
-            except queue.Full:
-                pass  # drop (depth-2 backpressure like the reference)
+            # depth-2 backpressure: BLOCK until the tracking thread drains
+            # (the reference's _frameNotFullEvent wait, DIYSLAM.cpp:346-353)
+            self._queue.put(frame)
         else:
             self._track_one(frame)
         return frame
@@ -217,8 +216,10 @@ class SLAM:
         if self._online and self._queue is not None:
             self._queue.put(None)
             self._worker.join(timeout=30)
-        if self.mapper is not None and self.mapper.gps_fitted:
-            self.mapper.fit_gps_all()
+        if self.mapper is not None:
+            self.mapper.finish()
+            if self.mapper.gps_fitted:
+                self.mapper.fit_gps_all()
 
     def call(self, command: str, arg=None):
         """String-command surface (DIYSLAM.cpp:366-394)."""

@@ -135,3 +135,34 @@ def test_exports(slam_run, tmp_path):
     assert slam.map.export_trajectory(str(tmp_path / "traj.txt"))
     lines = open(tmp_path / "traj.txt").read().strip().splitlines()
     assert len(lines) == slam.map.frame_num()
+
+
+def test_slam_online_mode():
+    """SLAM.isOnline=1: the mapper runs on its 1-worker pool
+    (MapperDemo.cpp:77-106); tracking quality must hold and finish()
+    must drain the queue."""
+    rng = np.random.default_rng(11)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 73.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.isOnline", "1")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert slam.mapper._pool is not None
+    assert slam.mapper._pool.pending() == 0, "mapper queue not drained"
+    assert slam.frames_total == len(poses)   # blocking queue: no drops
+    # on this 1-core box the async mapper cannot triangulate fast enough to
+    # keep a fast-moving track alive (tracker and mapper share the core);
+    # assert the pipeline works, not CPU-bound throughput
+    assert slam.frames_tracked > 0.5 * slam.frames_total
+    assert slam.map.point_num() > 200
