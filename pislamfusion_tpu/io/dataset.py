@@ -301,6 +301,62 @@ class DatasetRTMapper(Dataset):
         return bool(self._frames)
 
 
+@DATASETS.register("cfg")
+class DatasetCfg(Dataset):
+    """The GSLAM `.cfg` dataset plugin (GSLAM/GSLAM/plugins/cfg/
+    gslamDB_cfg.cpp): a Svar config with `Video.Type=GSLAM`, `Video.File`
+    listing `timestamp imgfile` rows, the camera under
+    `<Video.CameraInName>.Paraments`, and an optional sibling gps.txt of
+    `timestamp lon lat alt sigma?` rows merged in timestamp order as
+    GPS-only frames (the GPSFrame emission of grabFrame)."""
+
+    def open(self, path: str) -> bool:
+        self.cfg.parse_file(path)
+        if self.cfg.get_string("Video.Type", "") != "GSLAM":
+            return False
+        folder = os.path.dirname(os.path.abspath(path))
+        cam_name = self.cfg.get_string("Video.CameraInName", "")
+        if cam_name:
+            params = self.cfg.get_vec(cam_name + ".Paraments")
+            if params:
+                self.camera = Camera.from_parameters(params)
+        video = self.cfg.get_string("Video.File", "")
+        if video and not os.path.isabs(video):
+            video = os.path.join(folder, video)
+        if not video or not os.path.isfile(video):
+            return False
+        skip = self.cfg.get_int("Video.Skip", 0)
+        entries = []
+        with open(video) as fh:
+            lines = [ln.split() for ln in fh if ln.split()]
+        for i, toks in enumerate(lines[::skip + 1]):
+            if len(toks) >= 2:
+                img = toks[1]
+                if not os.path.isabs(img):
+                    img = os.path.join(folder, img)
+                entries.append(("img", float(toks[0]), img))
+        gps_txt = os.path.join(folder, "gps.txt")
+        if os.path.isfile(gps_txt):
+            with open(gps_txt) as fh:
+                for line in fh:
+                    toks = line.split()
+                    if len(toks) >= 4:
+                        entries.append(("gps", float(toks[0]),
+                                        [float(t) for t in toks[1:4]]))
+        entries.sort(key=lambda e: e[1])
+        for kind, ts, payload in entries:
+            if kind == "img":
+                self._frames.append(RawFrame(timestamp=ts,
+                                             image_path=payload,
+                                             camera=self.camera))
+            else:   # GPSFrame with the plugin's (5, 5, 10) default sigma
+                self._frames.append(RawFrame(
+                    timestamp=ts, gps_lla=np.asarray(payload),
+                    gps_sigma=np.asarray([5.0, 5.0, 10.0]),
+                    is_gps_only=True))
+        return bool(self._frames)
+
+
 @DATASETS.register("npurgbd")
 class DatasetNPURGBD(Dataset):
     """NPU RGB-D (DatasetNPURGBD.cpp): a Svar config naming `Camera` +

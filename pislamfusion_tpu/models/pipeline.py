@@ -83,6 +83,47 @@ class LocalMapStepResult(NamedTuple):
     weight: jnp.ndarray       # [N] per-CUR-slot weight (existing + new)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "fx", "fy", "cx",
+                                             "cy", "width", "height",
+                                             "radius", "radius_local",
+                                             "chi2_th"))
+def fused_track_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
+                     T_pred_w2c, local_pos, local_desc, local_valid,
+                     params: orb.OrbParams = orb.OrbParams(),
+                     fx: float = 260.0, fy: float = 260.0,
+                     cx: float = 160.0, cy: float = 120.0,
+                     width: int = 320, height: int = 240,
+                     radius: float = 20.0, radius_local: float = 8.0,
+                     chi2_th: float = 5.991):
+    """The ENTIRE per-frame tracking hot path as ONE program: extract ->
+    match-vs-last -> pose LM -> project local map -> re-match -> merged
+    pose LM. One device dispatch per frame instead of two — the current
+    keypoint->3D bindings flow between the phases on-chip (the host would
+    reconstruct exactly the same scatter). Local-map arrays are staged by
+    the tracker after each keyframe (one-frame staleness, same as the
+    reference's cross-thread local map)."""
+    res = fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
+                           T_pred_w2c, params=params, fx=fx, fy=fy, cx=cx,
+                           cy=cy, radius=radius, chi2_th=chi2_th)
+    feats = res.feats
+    n = feats["xy"].shape[0]
+    # p3d/w bindings the frame step produced (recompute the scatter — XLA
+    # CSEs it with the one inside fused_frame_step)
+    tgt = jnp.where(res.ok, res.idx, n)
+    p3d_cur = jnp.zeros((n, 3)).at[tgt].set(prev_p3d, mode="drop")
+    w_cur = jnp.zeros((n,)).at[tgt].set(res.ok.astype(jnp.float32),
+                                        mode="drop")
+    # drop bindings the first LM rejected
+    inl = (w_cur > 0) & (res.chi2 < chi2_th / fx ** 2)
+    w_cur = jnp.where(inl, w_cur, 0.0)
+    res2 = fused_localmap_step(
+        feats["desc"], feats["valid"], feats["xy"], res.T_w2c,
+        p3d_cur, w_cur, local_pos, local_desc, local_valid,
+        fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
+        radius=radius_local, chi2_th=chi2_th)
+    return res, res2
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
                                              "width", "height", "radius",
                                              "chi2_th"))

@@ -200,7 +200,10 @@ class SLAM:
             self.trans_queue.product((img, frame.pose_c2w.copy()))
             if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",
                                                        True):
-                self.loop_closer.try_close(frame)
+                if self.loop_closer.try_close(frame):
+                    # the whole map moved: refresh the tracker's staged
+                    # local-map arrays
+                    self.tracker.invalidate_local_stage()
         return ok
 
     def _tracking_loop(self):

@@ -28,7 +28,8 @@ from ..core.timer import timer
 from ..ops import ba, init2view, lie, matching, ransac
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
-from .pipeline import fused_frame_step, fused_localmap_step
+from .pipeline import (fused_frame_step, fused_localmap_step,
+                       fused_track_step)
 from .worldmap import WorldMap
 
 LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
@@ -57,6 +58,7 @@ class Tracker:
         self.loop_detector = None   # wired by SLAM for relocalization
         self.detector = None        # wired by SLAM (feature extractor)
         self.use_fused = False      # wired by SLAM (ORB + SLAM.Fused)
+        self._local_stage = None    # staged local-map arrays (device)
         self.min_inliers = cfg.get_int("SLAM.MinTrackInliers", 30)
         # matching thresholds (MatcherBoW.cpp:133-174)
         self.chi2_px = cfg.get_double("SLAM.Chi2Threshold", 5.991)
@@ -71,6 +73,10 @@ class Tracker:
         translation rescaled (t_rel' = s * t_rel, rotation unchanged)."""
         self.motion = self.motion.copy()
         self.motion[:3] *= float(S[7])
+        self.invalidate_local_stage()   # staged point cloud moved
+
+    def invalidate_local_stage(self):
+        self._local_stage = None
 
     def ensure_features(self, frame: Frame):
         """Extract features on demand (the fused path extracts inside its
@@ -229,46 +235,10 @@ class Tracker:
                 has[i] = True
         return pos, has
 
-    def _track_fused(self, frame: Frame) -> bool:
-        """trackLastFrame + trackLocalMap as TWO fused device programs
-        (models/pipeline.py) — extraction, matching, and pose LM never leave
-        the chip; the host only does index bookkeeping on the results."""
-        last = self.last_frame
-        if last is None or last.desc is None or last.n_tracked() < 20:
-            return False
-        cam = frame.camera
-        pos, has = self._gather_frame_points(last)
-        T_pred_c2w = np.asarray(lie.se3_mul(jnp.asarray(last.pose_c2w),
-                                            jnp.asarray(self.motion)))
-        radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
-        with timer.scope("Tracker::fusedStep"):
-            res = fused_frame_step(
-                jnp.asarray(frame.image, jnp.float32),
-                jnp.asarray(last.desc), jnp.asarray(last.valid),
-                jnp.asarray(pos), jnp.asarray(has),
-                lie.se3_inv(jnp.asarray(T_pred_c2w, jnp.float32)),
-                params=self.detector.params, fx=cam.fx, fy=cam.fy,
-                cx=cam.cx, cy=cam.cy, radius=radius, chi2_th=self.chi2_px)
-            frame.set_features({k: np.asarray(v)
-                                for k, v in res.feats.items()}, "orb")
-        chi2 = np.asarray(res.chi2)
-        w = np.asarray(res.weight)
-        th = self.chi2_px / cam.fx ** 2
-        inl = (w > 0) & (chi2 < th)
-        self._log << f",fused {int(inl.sum())}"
-        if inl.sum() < 20:
-            return False
-        # bind current keypoints to the matched last-frame map points
-        okp = np.asarray(res.ok) & has & (last.kp2mp >= 0)
-        idxp = np.asarray(res.idx)
-        src = np.nonzero(okp)[0]
-        cur = idxp[src]
-        keep = inl[cur]
-        frame.kp2mp[:] = -1
-        frame.kp2mp[cur[keep]] = last.kp2mp[src[keep]]
-        frame.pose_c2w = np.asarray(lie.se3_inv(res.T_w2c)).astype(np.float32)
-
-        # ---- local-map refinement (trackLocalMap) -----------------------
+    def _stage_local_map(self):
+        """Stage the padded local-map arrays on device (refreshed after
+        every keyframe / map transform) so the per-frame hot path is ONE
+        fused dispatch."""
         ref = self.map.frame(self.ref_kf_id)
         local_ids = {self.ref_kf_id}
         if ref is not None:
@@ -281,48 +251,76 @@ class Tracker:
                 continue
             pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
         ids, lpos, ldesc = self.map.point_arrays(sorted(pids))
-        if len(ids) >= 30:
-            lpos_p, maskp = pad_to(lpos, LOCAL_POINT_CAP)
-            ldesc_p, _ = pad_to(np.asarray(ldesc), LOCAL_POINT_CAP)
-            ids_p, _ = pad_to(np.asarray(ids, np.int64), LOCAL_POINT_CAP, -1)
-            # current slot bindings for the merged LM
-            n = frame.n_kp
-            p3d_cur = np.zeros((n, 3), np.float32)
-            w_cur = np.zeros(n, np.float32)
-            bound = np.nonzero(frame.kp2mp >= 0)[0]
-            for ci in bound:
-                mp = self.map.point(int(frame.kp2mp[ci]))
-                if mp is not None and not mp.bad:
-                    p3d_cur[ci] = mp.position
-                    w_cur[ci] = 1.0
-            r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
-            with timer.scope("Tracker::fusedLocalMap"):
-                res2 = fused_localmap_step(
-                    jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                    jnp.asarray(frame.xy), res.T_w2c,
-                    jnp.asarray(p3d_cur), jnp.asarray(w_cur),
-                    jnp.asarray(lpos_p), jnp.asarray(ldesc_p),
-                    jnp.asarray(maskp),
-                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-                    width=cam.width, height=cam.height, radius=r_local,
-                    chi2_th=self.chi2_px)
-            chi2 = np.asarray(res2.chi2)
-            w = np.asarray(res2.weight)
-            inl = (w > 0) & (chi2 < th)
-            if inl.sum() < self.min_inliers:
-                return False
-            frame.pose_c2w = np.asarray(
-                lie.se3_inv(res2.T_w2c)).astype(np.float32)
-            ok2 = np.asarray(res2.ok)
-            idx2 = np.asarray(res2.idx)
-            lp = np.nonzero(ok2)[0]
-            for p in lp:
-                ci = int(idx2[p])
-                if inl[ci] and frame.kp2mp[ci] < 0:
-                    frame.kp2mp[ci] = int(ids_p[p])
-            frame.kp2mp[~inl] = -1
-        elif inl.sum() < self.min_inliers:
+        if len(ids) < 30:
+            self._local_stage = None
+            return
+        lpos_p, maskp = pad_to(lpos, LOCAL_POINT_CAP)
+        ldesc_p, _ = pad_to(np.asarray(ldesc), LOCAL_POINT_CAP)
+        ids_p, _ = pad_to(np.asarray(ids, np.int64), LOCAL_POINT_CAP, -1)
+        self._local_stage = (jnp.asarray(lpos_p), jnp.asarray(ldesc_p),
+                             jnp.asarray(maskp), ids_p)
+
+    def _track_fused(self, frame: Frame) -> bool:
+        """trackLastFrame + trackLocalMap as ONE fused device program
+        (models/pipeline.fused_track_step) — extraction, matching, and both
+        pose LMs never leave the chip; the host only does index bookkeeping
+        on the results. Falls back to the classic path on failure."""
+        last = self.last_frame
+        if last is None or last.desc is None or last.n_tracked() < 20:
             return False
+        if self._local_stage is None:
+            self._stage_local_map()
+            if self._local_stage is None:
+                return False
+        cam = frame.camera
+        pos, has = self._gather_frame_points(last)
+        T_pred_c2w = np.asarray(lie.se3_mul(jnp.asarray(last.pose_c2w),
+                                            jnp.asarray(self.motion)))
+        radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
+        r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
+        lpos, ldesc, lvalid, ids_p = self._local_stage
+        with timer.scope("Tracker::fusedStep"):
+            res, res2 = fused_track_step(
+                jnp.asarray(frame.image, jnp.float32),
+                jnp.asarray(last.desc), jnp.asarray(last.valid),
+                jnp.asarray(pos), jnp.asarray(has),
+                lie.se3_inv(jnp.asarray(T_pred_c2w, jnp.float32)),
+                lpos, ldesc, lvalid,
+                params=self.detector.params, fx=cam.fx, fy=cam.fy,
+                cx=cam.cx, cy=cam.cy, width=cam.width, height=cam.height,
+                radius=radius, radius_local=r_local, chi2_th=self.chi2_px)
+            frame.set_features({k: np.asarray(v)
+                                for k, v in res.feats.items()}, "orb")
+        th = self.chi2_px / cam.fx ** 2
+        chi2_1 = np.asarray(res.chi2)
+        w1 = np.asarray(res.weight)
+        inl1 = (w1 > 0) & (chi2_1 < th)
+        self._log << f",fused {int(inl1.sum())}"
+        if inl1.sum() < 20:
+            return False
+        chi2 = np.asarray(res2.chi2)
+        w = np.asarray(res2.weight)
+        inl = (w > 0) & (chi2 < th)
+        if inl.sum() < self.min_inliers:
+            return False
+        frame.pose_c2w = np.asarray(
+            lie.se3_inv(res2.T_w2c)).astype(np.float32)
+        # bind current keypoints: last-frame matches first, then local-map
+        # growth matches on still-free slots (mirrors the on-chip merge)
+        frame.kp2mp[:] = -1
+        okp = np.asarray(res.ok) & has & (last.kp2mp >= 0)
+        idxp = np.asarray(res.idx)
+        src = np.nonzero(okp)[0]
+        cur = idxp[src]
+        keep = inl[cur]
+        frame.kp2mp[cur[keep]] = last.kp2mp[src[keep]]
+        ok2 = np.asarray(res2.ok)
+        idx2 = np.asarray(res2.idx)
+        for p in np.nonzero(ok2)[0]:
+            ci = int(idx2[p])
+            if inl[ci] and frame.kp2mp[ci] < 0 and ids_p[p] >= 0:
+                frame.kp2mp[ci] = int(ids_p[p])
+        frame.kp2mp[~inl] = -1
         self._n_inliers = int(inl.sum())
         return True
 
@@ -598,3 +596,5 @@ class Tracker:
             if self.mapper is not None:
                 self.mapper.insert_keyframe(frame)
             self.ref_kf_id = frame.id
+            if self.use_fused:
+                self._stage_local_map()   # refresh the fused path's stage

@@ -66,3 +66,21 @@ def test_npurgbd(tmp_path):
     assert fr.image_path.endswith(os.path.join("rgb", "2.png"))
     assert fr.depth_path.endswith(os.path.join("depth", "2.png"))
     assert ds.camera.fx == 525
+
+
+def test_cfg_dataset(tmp_path):
+    root = tmp_path / "cfgds"
+    os.makedirs(root)
+    (root / "video.txt").write_text("1.0 rgb/a.jpg\n2.0 rgb/b.jpg\n")
+    (root / "gps.txt").write_text("0.9 116.0 40.0 95.0 5.0\n"
+                                  "1.9 116.001 40.0 95.0 5.0\n")
+    (root / "play.cfg").write_text(
+        "Video.Type=GSLAM\nVideo.File=video.txt\n"
+        "Video.CameraInName=cam\ncam.Paraments=320 240 260 260 160 120\n")
+    ds = open_dataset(str(root / "play.cfg"))
+    assert ds is not None and ds.is_opened()
+    kinds = [("gps" if f.is_gps_only else "img") for f in ds._frames]
+    assert kinds == ["gps", "img", "gps", "img"]
+    assert ds._frames[0].gps_lla[0] == 116.0
+    assert ds._frames[1].image_path.endswith(os.path.join("rgb", "a.jpg"))
+    assert ds.camera.fx == 260
