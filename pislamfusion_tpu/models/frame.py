@@ -71,11 +71,12 @@ class Frame:
 
     def median_depth(self, points_xyz: np.ndarray) -> float:
         """Median depth of given world points in this camera
-        (MapFrame::getMedianDepth, MapFrame.cpp:135-154)."""
-        from ..ops import lie
-        import jax.numpy as jnp
-        T = lie.se3_inv(jnp.asarray(self.pose_c2w))
-        pc = np.asarray(lie.se3_apply(T, jnp.asarray(points_xyz, jnp.float32)))
+        (MapFrame::getMedianDepth, MapFrame.cpp:135-154). Host numpy — this
+        runs in per-keyframe bookkeeping, no device round trip."""
+        from ..utils import host_se3 as hse3
+        if len(points_xyz) == 0:
+            return 1.0
+        pc = hse3.se3_apply(hse3.se3_inv(self.pose_c2w), points_xyz)
         z = pc[:, 2]
         z = z[z > 0]
         return float(np.median(z)) if len(z) else 1.0

@@ -26,6 +26,7 @@ from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
 from ..core.timer import timer
 from ..ops import ba, lie, matching, ransac
+from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
 from .worldmap import WorldMap
@@ -197,14 +198,12 @@ class Mapper:
                                        jnp.asarray(rb))
             X = np.asarray(X)
             da = np.asarray(da)
-            pb = np.asarray(lie.se3_apply(lie.se3_inv(Tb),
-                                          jnp.asarray(X, jnp.float32)))
+            pb = hse3.se3_apply(hse3.se3_inv(kf.pose_c2w), X)
             db = pb[:, 2]
             cosp = np.asarray(ransac.parallax_cos(
                 Ta, Tb, jnp.asarray(X, jnp.float32)))
             # reprojection checks in both views (:577-616)
-            pa_c = np.asarray(lie.se3_apply(lie.se3_inv(Ta),
-                                            jnp.asarray(X, jnp.float32)))
+            pa_c = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), X)
             ea = np.linalg.norm(pa_c[:, :2] / np.maximum(pa_c[:, 2:], 1e-9)
                                 - ra[:, :2], axis=1)
             eb = np.linalg.norm(pb[:, :2] / np.maximum(pb[:, 2:], 1e-9)
@@ -261,8 +260,7 @@ class Mapper:
         cap = max(256, 1 << int(np.ceil(np.log2(len(ids)))))
         pos_p, maskp = pad_to(pos, cap)
         desc_p, _ = pad_to(np.asarray(desc), cap)
-        Tw2c = lie.se3_inv(jnp.asarray(frame.pose_c2w))
-        pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos_p)))
+        pc = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), pos_p)
         infront = pc[:, 2] > 1e-3
         uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
         pix = np.asarray(frame.camera.project(
@@ -354,8 +352,8 @@ class Mapper:
         obs_f = np.asarray(obs_f[:self.ba_o], np.int32)
         obs_p = np.asarray(obs_p[:self.ba_o], np.int32)
         obs_uv = np.asarray(obs_uv[:self.ba_o], np.float32)
-        poses = np.stack([np.asarray(lie.se3_inv(jnp.asarray(f.pose_c2w)))
-                          for f in frames])
+        poses = hse3.se3_inv(np.stack([f.pose_c2w for f in frames])).astype(
+            np.float32)
         fixed = np.array([fid not in free_set for fid in frame_ids])
         # gauge: with < 3 frames total keep the oldest free frame fixed too
         if fixed.sum() == 0:
@@ -388,8 +386,8 @@ class Mapper:
                     T_prior_c2w = fr.pose_c2w.copy()
                     T_prior_c2w[:3] = fr.gps_enu
                     gps_f.append(fidx[fid])
-                    gps_pose.append(np.asarray(
-                        lie.se3_inv(jnp.asarray(T_prior_c2w))))
+                    gps_pose.append(hse3.se3_inv(T_prior_c2w).astype(
+                        np.float32))
                     info = np.zeros(6, np.float32)
                     info[:3] = 1.0 / max(fr.gps_acc, 0.1) ** 2
                     gps_info.append(info)
@@ -414,10 +412,9 @@ class Mapper:
             huber_delta=float(np.sqrt(5.991)) * sigma)
         new_poses = np.asarray(new_poses)
         new_points = np.asarray(new_points)
+        new_c2w = hse3.se3_inv(new_poses).astype(np.float32)
         for fid in free_ids:
-            i = fidx[fid]
-            self.map.frame(fid).pose_c2w = np.asarray(
-                lie.se3_inv(jnp.asarray(new_poses[i]))).astype(np.float32)
+            self.map.frame(fid).pose_c2w = new_c2w[fidx[fid]]
         for pid in pids:
             self.map.point(pid).position = new_points[pidx[pid]].astype(
                 np.float32)

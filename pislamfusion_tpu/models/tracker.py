@@ -26,6 +26,7 @@ from ..core import glog
 from ..core.registry import TRACKERS
 from ..core.timer import timer
 from ..ops import ba, init2view, lie, matching, ransac
+from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
 from .pipeline import (fused_frame_step, fused_localmap_step,
@@ -101,9 +102,9 @@ class Tracker:
                 ok = self._track_frame(frame)
             self.last_prev = self.last_frame
             if ok and self.last_frame is not None:
-                Ti = lie.se3_inv(jnp.asarray(self.last_frame.pose_c2w))
-                self.motion = np.asarray(
-                    lie.se3_mul(Ti, jnp.asarray(frame.pose_c2w)))
+                self.motion = hse3.se3_mul(
+                    hse3.se3_inv(self.last_frame.pose_c2w),
+                    frame.pose_c2w).astype(np.float32)
             self.last_frame = frame
             lg << (f",inliers {getattr(self, '_n_inliers', 0)},"
                    f"{'OK' if ok else 'FAIL'}"
@@ -274,8 +275,7 @@ class Tracker:
                 return False
         cam = frame.camera
         pos, has = self._gather_frame_points(last)
-        T_pred_c2w = np.asarray(lie.se3_mul(jnp.asarray(last.pose_c2w),
-                                            jnp.asarray(self.motion)))
+        T_pred_w2c = hse3.se3_inv(hse3.se3_mul(last.pose_c2w, self.motion))
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         lpos, ldesc, lvalid, ids_p = self._local_stage
@@ -284,40 +284,34 @@ class Tracker:
                 jnp.asarray(frame.image, jnp.float32),
                 jnp.asarray(last.desc), jnp.asarray(last.valid),
                 jnp.asarray(pos), jnp.asarray(has),
-                lie.se3_inv(jnp.asarray(T_pred_c2w, jnp.float32)),
+                jnp.asarray(T_pred_w2c, jnp.float32),
                 lpos, ldesc, lvalid,
                 params=self.detector.params, fx=cam.fx, fy=cam.fy,
                 cx=cam.cx, cy=cam.cy, width=cam.width, height=cam.height,
                 radius=radius, radius_local=r_local, chi2_th=self.chi2_px)
-            frame.set_features({k: np.asarray(v)
-                                for k, v in res.feats.items()}, "orb")
+            # ONE host transfer for the whole result pytree (a field-by-
+            # field np.asarray would round-trip the tunnel ~15 times)
+            res, res2 = jax.device_get((res, res2))
+            frame.set_features(dict(res.feats), "orb")
         th = self.chi2_px / cam.fx ** 2
-        chi2_1 = np.asarray(res.chi2)
-        w1 = np.asarray(res.weight)
-        inl1 = (w1 > 0) & (chi2_1 < th)
+        inl1 = (res.weight > 0) & (res.chi2 < th)
         self._log << f",fused {int(inl1.sum())}"
         if inl1.sum() < 20:
             return False
-        chi2 = np.asarray(res2.chi2)
-        w = np.asarray(res2.weight)
-        inl = (w > 0) & (chi2 < th)
+        inl = (res2.weight > 0) & (res2.chi2 < th)
         if inl.sum() < self.min_inliers:
             return False
-        frame.pose_c2w = np.asarray(
-            lie.se3_inv(res2.T_w2c)).astype(np.float32)
+        frame.pose_c2w = hse3.se3_inv(res2.T_w2c).astype(np.float32)
         # bind current keypoints: last-frame matches first, then local-map
         # growth matches on still-free slots (mirrors the on-chip merge)
         frame.kp2mp[:] = -1
-        okp = np.asarray(res.ok) & has & (last.kp2mp >= 0)
-        idxp = np.asarray(res.idx)
+        okp = res.ok & has & (last.kp2mp >= 0)
         src = np.nonzero(okp)[0]
-        cur = idxp[src]
+        cur = res.idx[src]
         keep = inl[cur]
         frame.kp2mp[cur[keep]] = last.kp2mp[src[keep]]
-        ok2 = np.asarray(res2.ok)
-        idx2 = np.asarray(res2.idx)
-        for p in np.nonzero(ok2)[0]:
-            ci = int(idx2[p])
+        for p in np.nonzero(res2.ok)[0]:
+            ci = int(res2.idx[p])
             if inl[ci] and frame.kp2mp[ci] < 0 and ids_p[p] >= 0:
                 frame.kp2mp[ci] = int(ids_p[p])
         frame.kp2mp[~inl] = -1
@@ -582,8 +576,7 @@ class Tracker:
         ids, pos, _ = self.map.point_arrays(
             [int(p) for p in frame.kp2mp[frame.kp2mp >= 0]])
         med_depth = frame.median_depth(pos) if len(ids) else 1.0
-        rel = np.asarray(lie.se3_mul(lie.se3_inv(jnp.asarray(ref.pose_c2w)),
-                                     jnp.asarray(frame.pose_c2w)))
+        rel = hse3.se3_mul(hse3.se3_inv(ref.pose_c2w), frame.pose_c2w)
         t_shift = float(np.linalg.norm(rel[:3]))
         ang = 2.0 * np.arccos(min(abs(float(rel[6])), 1.0))
         fov = 2.0 * np.arctan(0.5 * frame.camera.width / frame.camera.fx)

@@ -137,3 +137,29 @@ def test_so3_from_euler_matches_reference():
               cr * cp * sy - sr * sp * cy,
               cr * cp * cy + sr * sp * sy]
     np.testing.assert_allclose(lie.so3_from_euler(p, y, r), expect, atol=1e-6)
+
+
+def test_host_se3_matches_device(rng):
+    """utils/host_se3 numpy helpers must match ops/lie exactly (they feed
+    per-frame host bookkeeping to avoid device round trips)."""
+    from pislamfusion_tpu.utils import host_se3 as H
+    q = np.asarray(random_quats(rng, 8))
+    t = rng.normal(size=(8, 3))
+    T = np.concatenate([t, q], -1).astype(np.float64)
+    T2 = np.asarray(lie.se3(jnp.asarray(rng.normal(size=(8, 3)), jnp.float32),
+                            random_quats(rng, 8)))
+    np.testing.assert_allclose(
+        H.se3_mul(T, T2), np.asarray(lie.se3_mul(
+            jnp.asarray(T, jnp.float32), jnp.asarray(T2, jnp.float32))),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        H.se3_inv(T), np.asarray(lie.se3_inv(jnp.asarray(T, jnp.float32))),
+        atol=1e-5)
+    p = rng.normal(size=(8, 3))
+    np.testing.assert_allclose(
+        H.se3_apply(T, p), np.asarray(lie.se3_apply(
+            jnp.asarray(T, jnp.float32), jnp.asarray(p, jnp.float32))),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        H.quat_to_matrix(q), np.asarray(lie.quat_to_matrix(
+            jnp.asarray(q, jnp.float32))), atol=1e-6)
