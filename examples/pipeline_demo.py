@@ -33,14 +33,23 @@ from pislamfusion_tpu.ops import image as im, lie, ransac, mosaic as M
 GROUND_SCALE = 0.1  # m per ground-texture pixel
 
 
-def make_ground(rng, n=1024):
-    """Corner-rich texture: random rectangles for ORB to latch onto."""
+def make_ground(rng, n=1024, rects=900):
+    """Corner-rich APERIODIC texture (flat same-intensity rectangles would
+    alias along the flight track into ghost layers — see
+    tests/synth_survey.py); per-rect gradients + broadband noise model real
+    aerial micro-texture."""
     g = np.full((n, n, 3), 120.0, np.float32)
-    g += rng.normal(0, 4, (n, n, 3)).astype(np.float32)
-    for _ in range(900):
+    g += rng.normal(0, 8, (n, n, 3)).astype(np.float32)
+    ramp = np.linspace(-14.0, 14.0, 64, dtype=np.float32)
+    for _ in range(rects):
         y, x = rng.integers(10, n - 40, 2)
         h, w = rng.integers(6, 36, 2)
-        g[y:y + h, x:x + w] = rng.uniform(20, 235, 3)
+        base = rng.uniform(20, 235, 3).astype(np.float32)
+        patch = base[None, None, :] + ramp[:h, None, None] \
+            * rng.uniform(-1, 1) + ramp[:w][None, :, None] \
+            * rng.uniform(-1, 1)
+        patch = patch + rng.normal(0, 6, (h, w, 3))
+        g[y:y + h, x:x + w] = patch
     return np.clip(g, 0, 255)
 
 

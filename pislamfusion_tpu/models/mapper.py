@@ -79,7 +79,7 @@ class Mapper:
         self._kf_count = 2
         for mp in self.map.points():
             self._recent_points.append(mp.id)
-            self._plane_buffer.append(mp.position)
+            self._plane_buffer.append(mp.id)
         self._feed_plane()
 
     def insert_keyframe(self, frame: Frame):
@@ -144,18 +144,21 @@ class Mapper:
                 other.connections[frame.id] = c
 
     def _cull_map_points(self, frame: Frame):
-        """Recent points must gather >= 2 observations within 3 keyframes
-        (mapPointCulling:464-490)."""
+        """Recent points must reach >= 3 observations within 3 keyframes or
+        die (mapPointCulling, MapperDemo.cpp:464-490: `observationNum()<=2`
+        after 3 frames -> erase). This is what kills two-view ghost points —
+        wrong-instance matches on repetitive texture triangulate to coherent
+        phantom layers that are geometrically self-consistent in exactly
+        their two creating views."""
         keep = []
         for pid in self._recent_points:
             mp = self.map.point(pid)
             if mp is None:
                 continue
             age = self._kf_count - mp.created_at_kf
-            if mp.n_obs() >= 3 or age < 3:
-                if mp.n_obs() < 3:
-                    keep.append(pid)
-            elif mp.n_obs() < 2:
+            if age < 3:
+                keep.append(pid)
+            elif mp.n_obs() <= 2:
                 self.map.erase_point(pid)
         self._recent_points = keep
 
@@ -192,6 +195,25 @@ class Mapper:
             # masking afterwards costs nothing on device
             ra = frame.rays
             rb = kf.rays[np.where(okn, idxn, 0)]
+            # EPIPOLAR GATE: on repetitive texture the unconstrained
+            # descriptor match pairs different instances of the same motif;
+            # such pairs triangulate to self-consistent GHOST layers (they
+            # reproject perfectly in their two creating views by
+            # construction). The known relative pose kills them: require
+            # rb on ra's epipolar line (the reference's matchers search
+            # along epipolar lines / windows instead of globally).
+            T_ba = hse3.se3_mul(hse3.se3_inv(kf.pose_c2w), frame.pose_c2w)
+            R_ba = hse3.quat_to_matrix(T_ba[3:7])
+            t_ba = T_ba[:3]
+            tx = np.array([[0, -t_ba[2], t_ba[1]],
+                           [t_ba[2], 0, -t_ba[0]],
+                           [-t_ba[1], t_ba[0], 0]])
+            E = tx @ R_ba
+            lines = ra @ E.T                       # epipolar lines in view b
+            num = np.abs(np.sum(rb * lines, -1))
+            den = np.hypot(lines[:, 0], lines[:, 1])
+            epi_err = num / np.maximum(den, 1e-12)
+            okn = okn & (epi_err < 2.0 * sigma * np.sqrt(5.991))
             Ta = jnp.asarray(frame.pose_c2w)
             Tb = jnp.asarray(kf.pose_c2w)
             X, da = ransac.triangulate(Ta, Tb, jnp.asarray(ra),
@@ -237,7 +259,7 @@ class Mapper:
                 self.map.add_observation(pid, frame.id, ka)
                 self.map.add_observation(pid, kf.id, kb)
                 self._recent_points.append(pid)
-                self._plane_buffer.append(mp.position)
+                self._plane_buffer.append(pid)
                 created += 1
         return created
 
@@ -602,10 +624,7 @@ class Mapper:
             new_pos = np.asarray(lie.sim3_apply(Sj, pos))
             for p, x in zip(points, new_pos):
                 p.position = np.asarray(x, np.float32)
-        # plane + buffered plane points live in map coords too
-        self._plane_buffer = [np.asarray(lie.sim3_apply(Sj, jnp.asarray(b)),
-                                         np.float32)
-                              for b in self._plane_buffer]
+        # (the plane buffer holds point IDS — positions resolve live)
         if self.plane_se3 is not None:
             newp = np.asarray(lie.sim3_mul(
                 Sj, lie.sim3_from_se3(jnp.asarray(self.plane_se3,
@@ -622,7 +641,7 @@ class Mapper:
         Plane.MinPoints; the reference would simply never blend)."""
         if not self._plane_sent:
             if len(self._plane_buffer) < 50:  # buffer lost/short: use map
-                self._plane_buffer = [p.position for p in self.map.points()]
+                self._plane_buffer = [p.id for p in self.map.points()]
             self._feed_plane(min_points=50)
         return self.plane_se3
 
@@ -630,13 +649,30 @@ class Mapper:
         """Dominant ground plane for the mosaic (src/RANSAC.cpp:103-116)."""
         if min_points is None:
             min_points = self.plane_min
-        if self._plane_sent or len(self._plane_buffer) < min_points:
+        if self._plane_sent:
             return
-        pts = np.stack(self._plane_buffer[:self.plane_min * 2])
+        live = []
+        for pid in self._plane_buffer:
+            mp = self.map.point(pid)
+            if mp is not None and not mp.bad:
+                live.append(mp.position)
+            if len(live) >= self.plane_min * 2:
+                break
+        if len(live) < min_points:
+            return
+        pts = np.stack(live)
+        # SCALE-AWARE sigma: the reference's 0.15 (src/RANSAC.cpp:52) lives
+        # in a map normalized to median depth ~1; after GPS fitting our map
+        # is metric, so the threshold must scale with the scene depth or
+        # the RANSAC prefers thin aliased ghost layers over the (noisier,
+        # thicker) true ground
+        kfs = self.map.keyframes()
+        med = kfs[-1].median_depth(pts) if kfs else 1.0
+        sigma = self.cfg.get_double("Plane.Sigma", 0.15) * max(med, 1e-6)
         res = ransac.find_plane(self._next_key(),
                                 jnp.asarray(pts, jnp.float32),
                                 jnp.ones(len(pts), bool),
-                                sigma=0.15)
+                                sigma=float(sigma))
         if bool(res.ok):
             self.plane_se3 = np.asarray(res.model)
             self.plane_queue.product(self.plane_se3)
