@@ -239,6 +239,9 @@ class MultiBandMap2D(Map2DBase):
         """Full-canvas blended RGB image (float32 0..255) + coverage mask."""
         if bg is None:
             bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
+        if not self.canvas_lap:   # prepare() hasn't allocated yet
+            return (np.zeros((ELE, ELE, 3), np.float32),
+                    np.zeros((ELE, ELE), bool))
         with self._lock:
             out, covered = M.reconstruct_canvas(
                 [c for c in self.canvas_lap], [w for w in self.canvas_w],
@@ -313,6 +316,9 @@ class WeightedMap2D(Map2DBase):
     def blended(self, bg: Optional[float] = None):
         if bg is None:
             bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
+        if self.acc is None:      # prepare() hasn't allocated yet
+            return (np.zeros((ELE, ELE, 3), np.float32),
+                    np.zeros((ELE, ELE), bool))
         with self._lock:
             w = np.asarray(self.wsum)
             acc = np.asarray(self.acc)

@@ -53,7 +53,10 @@ class SiftDetector:
     def __init__(self, cfg):
         from ..ops.features import sift
         self.params = sift.SiftParams(
-            n_features=cfg.get_int("SLAM.nFeature", 1000))
+            n_features=cfg.get_int("SLAM.nFeature", 1000),
+            contrast_threshold=cfg.get_double("Sift.ContrastThreshold",
+                                              0.02),
+            n_octaves=cfg.get_int("Sift.nOctaves", 4))
         self.kind = "sift"
 
     def __call__(self, gray):

@@ -12,30 +12,7 @@ from pislamfusion_tpu.ops import image as im, lie, ransac, mosaic as M
 
 pytestmark = pytest.mark.e2e   # heavy fixture: full SLAM run on 1 core
 
-GROUND_SCALE = 0.1
-
-
-def make_ground(rng, n=1024):
-    """Corner-rich texture: random rectangles for ORB to latch onto."""
-    g = np.full((n, n, 3), 120.0, np.float32)
-    g += rng.normal(0, 4, (n, n, 3)).astype(np.float32)
-    for _ in range(600):
-        y, x = rng.integers(10, n - 40, 2)
-        h, w = rng.integers(6, 36, 2)
-        g[y:y + h, x:x + w] = rng.uniform(20, 235, 3)
-    return np.clip(g, 0, 255)
-
-
-def nadir_pose(x, y, z):
-    return np.array([x, y, z, 1.0, 0.0, 0.0, 0.0])
-
-
-def render_view(ground, cam, pose):
-    H = M.homography_canvas_to_image_np(pose, cam, (0.0, 0.0), GROUND_SCALE)
-    img, _ = im.warp_perspective(jnp.asarray(ground),
-                                 jnp.asarray(np.linalg.inv(H), jnp.float32),
-                                 (cam.height, cam.width), border="replicate")
-    return np.asarray(img)
+from synth_survey import make_ground, nadir_pose, render_view  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -166,3 +143,32 @@ def test_slam_online_mode():
     # assert the pipeline works, not CPU-bound throughput
     assert slam.frames_tracked > 0.35 * slam.frames_total
     assert slam.map.point_num() > 200
+
+
+def test_slam_sift_path():
+    """FeatureDetector=Sift (the reference's Default.cfg detector): SIFT
+    extraction + L2 matching through the classic (non-fused) tracker path
+    must initialize and track a short strip."""
+    rng = np.random.default_rng(11)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 61.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "Sift")
+    cfg.set("SLAM.nFeature", "400")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    cfg.set("SLAM.MinInitMatches", "50")
+    # smooth synthetic texture needs a lower DoG contrast gate
+    cfg.set("Sift.ContrastThreshold", "0.005")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert not slam.tracker.use_fused        # fused path is ORB-only
+    assert slam.frames_tracked > 0.7 * slam.frames_total, \
+        (slam.frames_tracked, slam.frames_total)
+    assert slam.map.point_num() > 100
