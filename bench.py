@@ -34,15 +34,18 @@ def main():
     from pislamfusion_tpu.ops import mosaic as M
     from pislamfusion_tpu.ops.features import orb
 
-    H, W = 1080, 1920
-    K = 8                       # frames staged per scan
-    REPEATS = 4
-    N = 1000                    # SLAM.nFeature
-    BANDS = 5
-    fx = fy = 1200.0
+    # BENCH_SMALL=1 runs the identical program at toy sizes (CPU smoke
+    # validation of the code path; the real benchmark is 1080p on the TPU)
+    small = os.environ.get("BENCH_SMALL", "") == "1"
+    H, W = (240, 320) if small else (1080, 1920)
+    K = 4 if small else 8       # frames staged per scan
+    REPEATS = 2 if small else 4
+    N = 256 if small else 1000  # SLAM.nFeature
+    BANDS = 3 if small else 5
+    fx = fy = 300.0 if small else 1200.0
     cx, cy = W / 2.0, H / 2.0
     alt = 120.0
-    params = orb.OrbParams(n_features=N)
+    params = orb.OrbParams(n_features=N, n_levels=4 if small else 8)
 
     # --- synthetic 1080p survey: texture plane viewed from a moving nadir
     # cam. Setup stays pure numpy so the only device program is the pipeline.
@@ -216,9 +219,11 @@ def main():
             slam_tracked = int(slam.frames_tracked)
         except Exception as exc:  # noqa: BLE001
             print(f"slam-path bench failed: {exc}", file=sys.stderr)
+    label = ("track+fuse FPS @320x240 (BENCH_SMALL smoke run)" if small else
+             "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
+             "5-band mosaic composite, single chip)")
     print(json.dumps({
-        "metric": "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
-                  "5-band mosaic composite, single chip)",
+        "metric": label,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
