@@ -77,3 +77,43 @@ def test_batched_detect_sharded(rng):
     assert np.asarray(feats["valid"]).sum(axis=1).min() > 10
     idx, ok = batch.batched_consecutive_match(feats, "orb", mesh=mesh)
     assert idx.shape == (B, 128)
+
+
+def test_dist_mosaic_matches_single_device(rng):
+    """Row-striped canvas compositing over the 8-device mesh must equal the
+    single-device result bit-for-bit (same program, GSPMD-partitioned)."""
+    import jax.numpy as jnp
+    from pislamfusion_tpu.ops import mosaic as M
+    from pislamfusion_tpu.parallel import make_mesh, dist_mosaic
+
+    bands = 3
+    h_tiles = w_tiles = 8           # 2048px canvas, divisible by 8 devs
+    patch_hw = (512, 512)
+    K = 4
+    imgs = rng.uniform(0, 255, (K, 240, 320, 3)).astype(np.float32)
+    h_mats = []
+    origins = []
+    for k in range(K):
+        s = 0.45 + 0.1 * rng.uniform()
+        h_mats.append(np.array([[s, 0.0, 5.0 + k], [0.0, s, 3.0 + k],
+                                [1e-5 * k, 0.0, 1.0]], np.float32))
+        origins.append([256 * (k % 3), 256 * ((k * 2) % 3)])
+    h_mats = np.stack(h_mats)
+    origins = np.asarray(origins, np.int32)
+
+    lap0, w0 = M.alloc_canvas(h_tiles, w_tiles, bands)
+    single_lap, single_w = dist_mosaic.feed_frames(
+        lap0, w0, imgs, h_mats, origins, bands, patch_hw, mesh=None)
+
+    mesh = make_mesh(jax.devices()[:8])
+    lap1, w1 = M.alloc_canvas(h_tiles, w_tiles, bands)
+    shard_lap, shard_w = dist_mosaic.feed_frames(
+        lap1, w1, imgs, h_mats, origins, bands, patch_hw, mesh=mesh)
+    # result stays distributed between frames
+    assert len(shard_lap[0].sharding.device_set) == 8
+    for a, b in zip(single_lap, shard_lap):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-5)
+    for a, b in zip(single_w, shard_w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
