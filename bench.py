@@ -28,6 +28,8 @@ BASELINE_FPS = 30.0   # the reference's real-time feed rate (Video.fps)
 
 
 def main():
+    from pislamfusion_tpu.core.jaxcache import enable_persistent_cache
+    enable_persistent_cache()   # reuse compiled programs across runs
     import jax
     import jax.numpy as jnp
     from pislamfusion_tpu.ops import ba, image as im, lie, matching
@@ -194,28 +196,29 @@ def main():
             from pislamfusion_tpu.core.camera import Camera
             from pislamfusion_tpu.core.svar import Svar
             from pislamfusion_tpu.models.slam import create_slam
-            cfg = Svar()
-            cfg.set("FeatureDetector", "ORB")
-            cfg.set("SLAM.nFeature", str(N))
-            cfg.set("SLAM.LoopClose", "0")
-            cfg.set("SLAM.isOnline", "1")   # mapper on its worker thread
             cam = Camera(W, H, fx, fy, cx, cy)
-            slam = create_slam(cfg, cam)
             gray_np = np.asarray(frames_gray)
             order = list(range(K)) + list(range(K - 2, -1, -1))
-            n_warm = K  # first pass: init + compiles
-            t_slam = None
-            n_timed = 0
-            for j, fi in enumerate(order):
-                if j == n_warm:
-                    t_slam = time.perf_counter()
-                slam.track(gray_np[fi], float(j))
-                if j >= n_warm:
-                    n_timed += 1
-            slam.finish()
-            if t_slam is not None and n_timed:
-                slam_fps = round(n_timed
-                                 / (time.perf_counter() - t_slam), 2)
+
+            def run_slam_pass():
+                cfg = Svar()
+                cfg.set("FeatureDetector", "ORB")
+                cfg.set("SLAM.nFeature", str(N))
+                cfg.set("SLAM.LoopClose", "0")
+                cfg.set("SLAM.isOnline", "1")  # mapper on worker thread
+                slam = create_slam(cfg, cam)
+                for j, fi in enumerate(order):
+                    slam.track(gray_np[fi], float(j))
+                slam.finish()
+                return slam
+            # pass 1 (untimed): compiles every program on the path —
+            # extract+fused track, triangulation, local BA, KF handling
+            run_slam_pass()
+            # pass 2: steady state, timed end-to-end incl. bootstrap
+            t_slam = time.perf_counter()
+            slam = run_slam_pass()
+            slam_fps = round(len(order)
+                             / (time.perf_counter() - t_slam), 2)
             slam_tracked = int(slam.frames_tracked)
         except Exception as exc:  # noqa: BLE001
             print(f"slam-path bench failed: {exc}", file=sys.stderr)

@@ -101,8 +101,11 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
                 gps_acc = float(np.mean(gps_src.gps_sigma))
             last_gps = None
             with timer.scope("App::track"):
-                tracked = slam.track(img, fr.timestamp, gps_lla=gps_lla,
-                                     gps_acc=gps_acc)
+                tracked = slam.track(
+                    img, fr.timestamp, gps_lla=gps_lla, gps_acc=gps_acc,
+                    pyr=(gps_src.pyr if gps_src is not None else None),
+                    height_ground=(gps_src.height_ground
+                                   if gps_src is not None else None))
             if tracked is not None and fr.image_path:
                 tracked.image_path = fr.image_path   # for .mf/folder export
             if visualizer is not None:
@@ -164,7 +167,9 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .core.jaxcache import enable_persistent_cache
     from .core.svar import svar
+    enable_persistent_cache()
     if argv is None:
         argv = sys.argv[1:]
     positional = svar.parse_main(argv)

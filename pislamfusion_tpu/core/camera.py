@@ -21,6 +21,13 @@ import dataclasses
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _xp(a):
+    """Array module of `a`: numpy in, numpy out (host bookkeeping never
+    pays a device round trip); jax in, jax out (traceable under jit)."""
+    return jnp if isinstance(a, jnp.ndarray) else np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,15 +81,17 @@ class Camera:
     # -- project / unproject --------------------------------------------------
     def project(self, p3d):
         """[..., 3] camera-frame points -> [..., 2] pixels."""
+        xp = _xp(p3d)
         z_inv = 1.0 / p3d[..., 2]
         xn, yn = self._distort(p3d[..., 0] * z_inv, p3d[..., 1] * z_inv)
-        return jnp.stack([self.fx * xn + self.cx, self.fy * yn + self.cy], -1)
+        return xp.stack([self.fx * xn + self.cx, self.fy * yn + self.cy], -1)
 
     def unproject(self, p2d):
         """[..., 2] pixels -> [..., 3] normalized rays (X/Z, Y/Z, 1)."""
+        xp = _xp(p2d)
         xn, yn = self._undistort((p2d[..., 0] - self.cx) / self.fx,
                                  (p2d[..., 1] - self.cy) / self.fy)
-        return jnp.stack([xn, yn, jnp.ones_like(xn)], -1)
+        return xp.stack([xn, yn, xp.ones_like(xn)], -1)
 
     def in_view(self, p2d, margin: float = 0.0):
         """Boolean mask of pixels inside the image."""
@@ -106,18 +115,20 @@ class CameraATAN(Camera):
     def _distort(self, xn, yn):
         if self.d == 0.0:
             return xn, yn
-        tan2w = 2.0 * jnp.tan(self.d / 2.0)
-        r = jnp.sqrt(xn * xn + yn * yn).clip(1e-12)
-        rd = jnp.arctan(r * tan2w) / self.d
+        xp = _xp(xn)
+        tan2w = 2.0 * float(np.tan(self.d / 2.0))
+        r = xp.sqrt(xn * xn + yn * yn).clip(1e-12)
+        rd = xp.arctan(r * tan2w) / self.d
         k = rd / r
         return xn * k, yn * k
 
     def _undistort(self, xd, yd):
         if self.d == 0.0:
             return xd, yd
-        tan2w = 2.0 * jnp.tan(self.d / 2.0)
-        rd = jnp.sqrt(xd * xd + yd * yd).clip(1e-12)
-        r = jnp.tan(rd * self.d) / tan2w
+        xp = _xp(xd)
+        tan2w = 2.0 * float(np.tan(self.d / 2.0))
+        rd = xp.sqrt(xd * xd + yd * yd).clip(1e-12)
+        r = xp.tan(rd * self.d) / tan2w
         k = r / rd
         return xd * k, yd * k
 

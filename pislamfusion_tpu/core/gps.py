@@ -136,3 +136,42 @@ class GPSArray:
         t0, t1 = ts[i - 1], ts[i]
         a = 0.0 if t1 <= t0 else float(np.clip((t - t0) / (t1 - t0), 0.0, 1.0))
         return (1.0 - a) * lla[i - 1] + a * lla[i]
+
+
+# ---------------------------------------------------------------------------
+# attitude priors (GPS+IMU priory pose)
+# ---------------------------------------------------------------------------
+
+def _quat_from_euler(pitch: float, yaw: float, roll: float) -> np.ndarray:
+    """numpy twin of SO3::FromEuler (radians; GSLAM/core/SO3.h:391-412):
+    x = sr*cp*cy - cr*sp*sy, y = cr*sp*cy + sr*cp*sy,
+    z = cr*cp*sy - sr*sp*cy, w = cr*cp*cy + sr*sp*sy."""
+    cp, sp = np.cos(pitch * 0.5), np.sin(pitch * 0.5)
+    cy, sy = np.cos(yaw * 0.5), np.sin(yaw * 0.5)
+    cr, sr = np.cos(roll * 0.5), np.sin(roll * 0.5)
+    return np.array([sr * cp * cy - cr * sp * sy,
+                     cr * sp * cy + sr * cp * sy,
+                     cr * cp * sy - sr * sp * cy,
+                     cr * cp * cy + sr * sp * sy], np.float64)
+
+
+def pyr_to_rotation(pitch: float, yaw: float, roll: float) -> np.ndarray:
+    """Drone attitude (pitch/yaw/roll, DEGREES) -> camera-to-ENU quaternion
+    [x, y, z, w].
+
+    Mirrors PYR2Rotation (GSLAM-DIYSLAM/src/MapFrame.cpp:360-367): gimbal
+    roll near ±180 is folded, the IMU->world rotation is FromEulerAngle
+    (-pitch, 90-yaw, roll), and camera axes map to IMU axes through the
+    fixed quaternion (-0.5, 0.5, -0.5, 0.5). The reference then places this
+    "local" frame into ECEF with east/north/up columns (MapFrame.cpp:387-396)
+    — i.e. its local frame IS the ENU frame this build uses, so the output
+    composes directly with gps ENU fixes."""
+    from ..utils import host_se3 as hse3
+    if abs(180.0 - abs(roll)) < 10.0:
+        roll = roll + 180.0
+    d2r = np.pi / 180.0
+    imu2world = _quat_from_euler(-pitch * d2r, (90.0 - yaw) * d2r,
+                                 roll * d2r)
+    cam2imu = np.array([-0.5, 0.5, -0.5, 0.5], np.float64)
+    q = hse3.quat_mul(imu2world, cam2imu)
+    return (q / np.linalg.norm(q)).astype(np.float64)

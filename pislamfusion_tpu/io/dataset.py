@@ -50,6 +50,7 @@ class RawFrame:
     gps_lla: Optional[np.ndarray] = None    # (lon, lat, alt)
     gps_sigma: Optional[np.ndarray] = None  # (sx, sy, sz)
     pyr: Optional[np.ndarray] = None        # (pitch, yaw, roll) degrees
+    height_ground: Optional[float] = None   # height above ground (m)
     pose_c2w: Optional[np.ndarray] = None   # known pose (KF datasets)
     is_gps_only: bool = False               # GPSFrame (no image)
     depth_path: Optional[str] = None        # RGB-D depth image (npurgbd)
@@ -96,22 +97,28 @@ class Dataset:
 
 def _parse_gpshpyr(vals):
     """Decode the reference's _gpshpyr layouts (6/8/11/12/14 doubles,
-    DatasetRTMapper.cpp:155-159) into (lla, sigma, pyr)."""
+    DatasetRTMapper.cpp:155-159) into (lla, sigma, pyr, height).
+
+    pyr follows getPitchYawRoll (MapFrame.h:46-51) including its
+    sigma-validity gates; height follows getHeight2Ground (MapFrame.h:77-80:
+    sizes 8/14 carry (height, sigma), valid when sigma < 100)."""
     v = [float(x) for x in vals]
-    lla = sigma = pyr = None
+    lla = sigma = pyr = height = None
     n = len(v)
     if n >= 6:
         lla = np.asarray(v[0:3])
         # reference getGPSLLASigma (MapFrame.h:65-69): its size()>=6 branch
         # reads sigma = v[3:6] for every layout (the ==7 arm is unreachable).
         sigma = np.asarray(v[3:6])
-    if n == 11:
+    if n == 11 and v[8] < 20:
         pyr = np.asarray(v[5:8])
-    elif n == 12:
+    elif n == 12 and v[9] < 20:
         pyr = np.asarray(v[6:9])
-    elif n == 14:
+    elif n == 14 and v[11] < 20:
         pyr = np.asarray(v[8:11])
-    return lla, sigma, pyr
+    if n in (8, 14) and v[7] < 100:
+        height = v[6]
+    return lla, sigma, pyr, height
 
 
 @DATASETS.register("npudronemap")
@@ -232,12 +239,13 @@ class DatasetRTMapper(Dataset):
                 img = toks[0]
                 if not os.path.isabs(img):
                     img = os.path.join(folder, img)
-                lla, sigma, pyr = _parse_gpshpyr(toks[1:])
+                lla, sigma, pyr, height = _parse_gpshpyr(toks[1:])
                 m = re.search(r"(\d+\.?\d*)", os.path.basename(img))
                 ts = float(m.group(1)) if m else float(i)
                 self._frames.append(RawFrame(
                     timestamp=ts, image_path=img, camera=self.camera,
-                    gps_lla=lla, gps_sigma=sigma, pyr=pyr))
+                    gps_lla=lla, gps_sigma=sigma, pyr=pyr,
+                    height_ground=height))
         return bool(self._frames)
 
     def _open_xml(self, path: str) -> bool:
@@ -294,10 +302,11 @@ class DatasetRTMapper(Dataset):
                 if sub is None:
                     continue
                 vals.extend(float(sub.get(a, 0.0)) for a in attrs)
-            lla, sigma, pyr = _parse_gpshpyr(vals)
+            lla, sigma, pyr, height = _parse_gpshpyr(vals)
             self._frames.append(RawFrame(
                 timestamp=ts, image_path=img, camera=self.camera,
-                gps_lla=lla, gps_sigma=sigma, pyr=pyr))
+                gps_lla=lla, gps_sigma=sigma, pyr=pyr,
+                height_ground=height))
         return bool(self._frames)
 
 

@@ -7,7 +7,15 @@ camera, image, padded feature arrays (the device-side products of
 and its pose; a map point carries position/normal/color/descriptor and a
 bidirectionally-consistent observation dict.
 
-Host containers hold numpy; device arrays are materialized per kernel call.
+Feature storage is DEVICE-FIRST: the fused tracker leaves the padded
+feature arrays on the TPU (`feats_dev`) and host numpy views materialize
+lazily on first access (one batched transfer). Ordinary tracked frames are
+never materialized at all — only keyframes (the mapper reads descriptors)
+and bootstrap frames pay the transfer. This is the TPU analogue of the
+reference keeping descriptors in GPU memory inside SiftGPU and downloading
+once per frame (SiftGPU/SiftMatchCU) — except we skip the download for the
+~90% of frames that never need it.
+
 The reference's 32x32 feature grid (MapFrame.cpp:226-304 getFeaturesInArea)
 is unnecessary here: windowed search is a dense [N, M] mask on the MXU
 (ops.matching.window_mask).
@@ -21,6 +29,11 @@ import numpy as np
 
 from ..core.camera import Camera
 
+# padded per-keypoint arrays produced by ops.features.*_detect
+_FEAT_KEYS = ("xy", "desc", "angle", "octave", "response", "valid")
+_FEAT_DTYPES = {"xy": np.float32, "angle": np.float32, "octave": np.int32,
+                "response": np.float32, "valid": bool}
+
 
 @dataclasses.dataclass
 class Frame:
@@ -29,42 +42,151 @@ class Frame:
     camera: Camera
     image: Optional[np.ndarray] = None          # [H, W] gray or [H, W, 3]
     color: Optional[np.ndarray] = None          # [H, W, 3] for the mosaic
-    xy: Optional[np.ndarray] = None             # [N, 2] keypoints (px)
-    desc: Optional[np.ndarray] = None           # [N, D] (256 bits / 128 f32)
     desc_kind: str = "orb"
-    angle: Optional[np.ndarray] = None          # [N]
-    octave: Optional[np.ndarray] = None         # [N]
-    response: Optional[np.ndarray] = None       # [N]
-    valid: Optional[np.ndarray] = None          # [N] bool
-    rays: Optional[np.ndarray] = None           # [N, 3] unprojected (z=1)
     pose_c2w: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32))
     kp2mp: Optional[np.ndarray] = None          # [N] int64 mappoint id or -1
     gps_lla: Optional[np.ndarray] = None        # (lon, lat, alt)
     gps_enu: Optional[np.ndarray] = None        # local-frame xyz
     gps_acc: float = 5.0
+    pyr: Optional[np.ndarray] = None            # (pitch, yaw, roll) degrees
+    height_ground: Optional[float] = None       # height above ground (m)
     is_keyframe: bool = False
     # keyframe connection weights: {frame_id: shared point count}
     connections: Dict[int, int] = dataclasses.field(default_factory=dict)
     # lazy BoW word set (MapFrame.cpp:156-209 lazy BoW via global vocab)
     bow_words: Optional[np.ndarray] = None
     image_path: Optional[str] = None   # source file (dataset frames)
+    # device-resident padded feature dict (jnp arrays); host cache below
+    feats_dev: Optional[dict] = dataclasses.field(default=None, repr=False)
+    _feats: Optional[dict] = dataclasses.field(default=None, repr=False)
+    _rays: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
 
+    # ------------------------------------------------------------- features
     def set_features(self, feats: dict, kind: str):
-        """Install padded feature arrays (from ops.features.*_detect)."""
-        self.xy = np.asarray(feats["xy"], np.float32)
-        self.desc = np.asarray(feats["desc"])
-        self.angle = np.asarray(feats["angle"], np.float32)
-        self.octave = np.asarray(feats["octave"], np.int32)
-        self.response = np.asarray(feats["response"], np.float32)
-        self.valid = np.asarray(feats["valid"], bool)
+        """Install padded feature arrays host-side (eager numpy copy)."""
+        self._feats = {k: np.asarray(feats[k], _FEAT_DTYPES.get(k))
+                       for k in _FEAT_KEYS if k in feats}
         self.desc_kind = kind
-        self.rays = np.asarray(self.camera.unproject(self.xy), np.float32)
-        self.kp2mp = np.full(len(self.xy), -1, np.int64)
+        self._rays = None
+        self.kp2mp = np.full(len(self._feats["xy"]), -1, np.int64)
+
+    def set_features_device(self, feats_dev: dict, kind: str):
+        """Install DEVICE feature arrays; host views materialize lazily."""
+        self.feats_dev = {k: feats_dev[k] for k in _FEAT_KEYS
+                          if k in feats_dev}
+        self.desc_kind = kind
+        self._feats = None
+        self._rays = None
+        self.kp2mp = np.full(int(feats_dev["xy"].shape[0]), -1, np.int64)
+
+    def _materialize(self):
+        """One batched device->host fetch of every feature array."""
+        if self.feats_dev is None:
+            return
+        import jax
+        host = jax.device_get(self.feats_dev)
+        self._feats = {k: np.asarray(v, _FEAT_DTYPES.get(k))
+                       for k, v in host.items()}
+
+    def ensure_host_features(self):
+        if self._feats is None and self.feats_dev is not None:
+            self._materialize()
+
+    def release_device_features(self):
+        """Drop device buffers (called once the frame is no longer the
+        tracker's staging input). Keyframes keep/acquire host copies; plain
+        frames simply free the HBM."""
+        if self.feats_dev is not None and self._feats is None \
+                and self.is_keyframe:
+            self._materialize()
+        self.feats_dev = None
+
+    def _host(self, key):
+        if self._feats is None:
+            if self.feats_dev is None:
+                return None
+            self._materialize()
+        return self._feats.get(key)
+
+    def _set_host(self, key, value):
+        if self._feats is None:
+            self._feats = {}
+        if value is None:
+            self._feats.pop(key, None)
+        else:
+            self._feats[key] = np.asarray(value, _FEAT_DTYPES.get(key))
+        if key == "xy":
+            self._rays = None
+
+    # feature accessors (checkpoint load writes through the setters)
+    @property
+    def xy(self):
+        return self._host("xy")
+
+    @xy.setter
+    def xy(self, v):
+        self._set_host("xy", v)
+
+    @property
+    def desc(self):
+        return self._host("desc")
+
+    @desc.setter
+    def desc(self, v):
+        self._set_host("desc", v)
+
+    @property
+    def angle(self):
+        return self._host("angle")
+
+    @angle.setter
+    def angle(self, v):
+        self._set_host("angle", v)
+
+    @property
+    def octave(self):
+        return self._host("octave")
+
+    @octave.setter
+    def octave(self, v):
+        self._set_host("octave", v)
+
+    @property
+    def response(self):
+        return self._host("response")
+
+    @response.setter
+    def response(self, v):
+        self._set_host("response", v)
+
+    @property
+    def valid(self):
+        return self._host("valid")
+
+    @valid.setter
+    def valid(self, v):
+        self._set_host("valid", v)
+
+    @property
+    def rays(self):
+        """[N, 3] unprojected pixel rays (z=1), lazily from xy."""
+        if self._rays is None and self.xy is not None:
+            self._rays = np.asarray(self.camera.unproject(self.xy),
+                                    np.float32)
+        return self._rays
+
+    @rays.setter
+    def rays(self, v):
+        self._rays = None if v is None else np.asarray(v, np.float32)
 
     @property
     def n_kp(self) -> int:
-        return 0 if self.xy is None else len(self.xy)
+        if self._feats is not None and "xy" in self._feats:
+            return len(self._feats["xy"])
+        if self.feats_dev is not None:
+            return int(self.feats_dev["xy"].shape[0])
+        return 0
 
     def n_tracked(self) -> int:
         return 0 if self.kp2mp is None else int((self.kp2mp >= 0).sum())
@@ -80,6 +202,26 @@ class Frame:
         z = pc[:, 2]
         z = z[z > 0]
         return float(np.median(z)) if len(z) else 1.0
+
+    def priory_pose(self):
+        """GPS+attitude prior pose in the local ENU frame:
+        (SE3 c2w [7] float32, scale) or None.
+
+        MapFrame::getPrioryPose (MapFrame.cpp:369-401) re-based from ECEF to
+        the ENU local frame this build geo-registers in: the reference's
+        local2ECEF rotation (east/north/up columns) is exactly the ENU->ECEF
+        change of basis, so camera->ENU is PYR2Rotation alone with the ENU
+        fix as translation. Scale is height-above-ground when measured, else
+        the caller substitutes median depth."""
+        if self.gps_enu is None or self.pyr is None:
+            return None
+        from ..core.gps import pyr_to_rotation
+        q = pyr_to_rotation(*[float(v) for v in self.pyr[:3]])
+        scale = (float(self.height_ground)
+                 if self.height_ground is not None else 1.0)
+        T = np.concatenate([np.asarray(self.gps_enu, np.float64),
+                            q]).astype(np.float32)
+        return T, scale
 
 
 @dataclasses.dataclass

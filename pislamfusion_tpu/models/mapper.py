@@ -102,6 +102,11 @@ class Mapper:
         newer keyframe is already queued the expensive local BA is skipped
         for this one (the reference's _abordBundle, :83-85,250-251)."""
         with timer.scope("Mapper::insertKeyFrame"):
+            # the tracker leaves features on device; keyframe handling is
+            # host-heavy (descriptor gathers per map point), so pull the
+            # one host copy here — on the mapper thread, off the track loop
+            frame.ensure_host_features()
+            frame.feats_dev = None
             self._kf_count += 1
             self._register_observations(frame)
             self._make_connections(frame)
@@ -186,10 +191,10 @@ class Mapper:
                 jnp.asarray(frame.desc), jnp.asarray(free_a),
                 jnp.asarray(kf.desc), jnp.asarray(free_b),
                 frame.desc_kind, ratio=0.8)
-            okn = np.asarray(ok)
+            # one batched fetch (each bare np.asarray is a tunnel roundtrip)
+            idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 5:
                 continue
-            idxn = np.asarray(idx)
             # FIXED-SHAPE triangulation over all N keypoint slots (matched
             # or not) — a `sel`-sized call would recompile per match count;
             # masking afterwards costs nothing on device
@@ -216,14 +221,16 @@ class Mapper:
             okn = okn & (epi_err < 2.0 * sigma * np.sqrt(5.991))
             Ta = jnp.asarray(frame.pose_c2w)
             Tb = jnp.asarray(kf.pose_c2w)
-            X, da = ransac.triangulate(Ta, Tb, jnp.asarray(ra),
-                                       jnp.asarray(rb))
-            X = np.asarray(X)
-            da = np.asarray(da)
+            X, da = jax.device_get(ransac.triangulate(
+                Ta, Tb, jnp.asarray(ra), jnp.asarray(rb)))
             pb = hse3.se3_apply(hse3.se3_inv(kf.pose_c2w), X)
             db = pb[:, 2]
-            cosp = np.asarray(ransac.parallax_cos(
-                Ta, Tb, jnp.asarray(X, jnp.float32)))
+            # parallax angle host-side (tiny numpy; saves a device dispatch)
+            va = X - frame.pose_c2w[None, :3]
+            vb = X - kf.pose_c2w[None, :3]
+            cosp = np.sum(va * vb, -1) / np.maximum(
+                np.linalg.norm(va, axis=-1) * np.linalg.norm(vb, axis=-1),
+                1e-12)
             # reprojection checks in both views (:577-616)
             pa_c = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), X)
             ea = np.linalg.norm(pa_c[:, :2] / np.maximum(pa_c[:, 2:], 1e-9)
@@ -285,9 +292,10 @@ class Mapper:
         pc = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), pos_p)
         infront = pc[:, 2] > 1e-3
         uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
-        pix = np.asarray(frame.camera.project(
-            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
-        inview = np.asarray(frame.camera.in_view(jnp.asarray(pix)))
+        pix = frame.camera.project(
+            np.concatenate([uv, np.ones_like(uv[:, :1])],
+                           -1)).astype(np.float32)
+        inview = frame.camera.in_view(pix)
         pvalid = maskp & infront & inview
         wmask = matching.window_mask(jnp.asarray(pix), jnp.asarray(frame.xy),
                                      4.0)
@@ -295,8 +303,7 @@ class Mapper:
             jnp.asarray(desc_p), jnp.asarray(pvalid),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             frame.desc_kind, window=wmask)
-        okn = np.asarray(ok)
-        idxn = np.asarray(idx)
+        idxn, okn = jax.device_get((idx, ok))
         for pi in np.nonzero(okn)[0]:
             ci = int(idxn[pi])
             pid = ids[pi]
@@ -565,11 +572,52 @@ class Mapper:
             return
         kfs = [f for f in self.map.keyframes() if f.gps_enu is not None]
         if not self.gps_fitted:
+            # attitude-assisted early fit needs no trajectory spread
+            if self.fit_gps_priory():
+                return
             if len(kfs) < self.cfg.get_int("GPS.MinFrames2Fit", 5):
                 return
             self.fit_gps_all(min_frames=len(kfs), check_spread=True)
         elif self._kf_count % self.cfg.get_int("GPS.RefitEvery", 4) == 0:
             self.fit_gps_all()
+
+    def fit_gps_priory(self) -> bool:
+        """Two-frame attitude-assisted geo-registration — the reference's
+        `SIM3WithPYR` branch of Tracker::fitGPS (TrackerOpt.cpp:388-431):
+        when two keyframes carry full GPS+IMU priors (getPrioryPose), the
+        map->ENU SIM3 is S.se3 = priory1 * est1^-1 with scale =
+        |enu2 - enu1| / |est2 - est1|, validated by the second frame's
+        center landing within 1 m (scaled by GPS accuracy) of its prior."""
+        kfs = [f for f in self.map.keyframes()
+               if f.priory_pose() is not None]
+        if len(kfs) < 2:
+            return False
+        f1, f2 = kfs[0], kfs[-1]
+        P1, _ = f1.priory_pose()
+        P2, _ = f2.priory_pose()
+        d_gps = float(np.linalg.norm(P2[:3] - P1[:3]))
+        sigma = np.linalg.norm([f2.gps_acc] * 3)
+        min_d = max(sigma, self.cfg.get_double("GPS.MinDistance2Fit", 10.0))
+        if d_gps < min_d:
+            return False
+        d_est = float(np.linalg.norm(f2.pose_c2w[:3] - f1.pose_c2w[:3]))
+        if d_est < 1e-9:
+            return False
+        scale = d_gps / d_est
+        se3_part = hse3.se3_mul(P1, hse3.se3_inv(f1.pose_c2w))
+        S = np.concatenate([se3_part, [scale]]).astype(np.float32)
+        err = np.linalg.norm(
+            np.asarray(lie.sim3_apply(jnp.asarray(S),
+                                      jnp.asarray(f2.pose_c2w[:3])))
+            - P2[:3])
+        if err > max(1.0, 0.3 * sigma):   # reference: error.norm() > 1.
+            return False
+        self.apply_sim3(S)
+        self.gps_fitted = True
+        self.last_gps_fit_rms = float(err)
+        self.cfg.set("GPS.Fitted", "1")
+        _messenger.advertise("fitted_map").publish(self.map)
+        return True
 
     def fit_gps_all(self, min_frames: int = 3, check_spread: bool = False):
         """SIM3 Horn fit of all GPS-tagged keyframe centers to their ENU

@@ -139,7 +139,8 @@ class SLAM:
 
     # ------------------------------------------------------------------ API
     def track(self, image: np.ndarray, timestamp: float,
-              gps_lla=None, gps_acc: float = 5.0) -> Optional[Frame]:
+              gps_lla=None, gps_acc: float = 5.0,
+              pyr=None, height_ground=None) -> Optional[Frame]:
         """Feed one frame. image: [H, W] gray or [H, W, 3] RGB uint8/f32."""
         self._ensure_modules()
         if self.camera is None:
@@ -151,8 +152,14 @@ class SLAM:
                 raise ValueError("no camera configured")
         image = np.asarray(image)
         color = image if image.ndim == 3 else None
-        gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image, jnp.float32)))
-                if image.ndim == 3 else image.astype(np.float32))
+        if self.tracker.use_fused:
+            # the fused step gray-converts and casts ON DEVICE: keep the
+            # raw (typically uint8) frame and upload it as-is
+            gray = image
+        else:
+            gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image,
+                                                          jnp.float32)))
+                    if image.ndim == 3 else image.astype(np.float32))
         frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
                       camera=self.camera, image=gray, color=color)
         if not self.tracker.use_fused:
@@ -171,6 +178,10 @@ class SLAM:
             frame.gps_enu = self._local_frame.to_local(*gps_lla).astype(
                 np.float32)
             frame.gps_acc = gps_acc
+            if pyr is not None:         # attitude prior (getPrioryPose)
+                frame.pyr = np.asarray(pyr, np.float64)
+            if height_ground is not None:
+                frame.height_ground = float(height_ground)
         if self._online:
             # depth-2 backpressure: BLOCK until the tracking thread drains
             # (the reference's _frameNotFullEvent wait, DIYSLAM.cpp:346-353)

@@ -30,7 +30,7 @@ from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
 from .pipeline import (fused_frame_step, fused_localmap_step,
-                       fused_track_step)
+                       fused_track_packed, fused_track_step)
 from .worldmap import WorldMap
 
 LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
@@ -84,7 +84,11 @@ class Tracker:
         jit; every other path needs them host-side first)."""
         if frame.desc is None and self.detector is not None:
             with timer.scope("Tracker::extract"):
-                feats = self.detector(jnp.asarray(frame.image, jnp.float32))
+                img = jnp.asarray(frame.image, jnp.float32)
+                if img.ndim == 3:
+                    from ..ops import image as im
+                    img = im.rgb_to_gray(img)
+                feats = self.detector(img)
                 frame.set_features({k: np.asarray(v)
                                     for k, v in feats.items()},
                                    self.detector.kind)
@@ -100,6 +104,13 @@ class Tracker:
                 ok = self._initialize(frame)
             else:
                 ok = self._track_frame(frame)
+            # frame t-2's device feature buffers are no longer inputs to
+            # any step: free the HBM (keyframes are materialized/released
+            # by the mapper on its own thread)
+            prev2 = getattr(self, "last_prev", None)
+            if prev2 is not None and prev2 is not self.last_frame \
+                    and not prev2.is_keyframe:
+                prev2.release_device_features()
             self.last_prev = self.last_frame
             if ok and self.last_frame is not None:
                 self.motion = hse3.se3_mul(
@@ -279,39 +290,55 @@ class Tracker:
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         lpos, ldesc, lvalid, ids_p = self._local_stage
+        # previous frame's features: reuse the DEVICE handles from its own
+        # fused step when present (zero re-upload), else stage from host
+        if last.feats_dev is not None:
+            last_desc, last_valid = (last.feats_dev["desc"],
+                                     last.feats_dev["valid"])
+        else:
+            last_desc = jnp.asarray(last.desc)
+            last_valid = jnp.asarray(last.valid)
         with timer.scope("Tracker::fusedStep"):
-            res, res2 = fused_track_step(
-                jnp.asarray(frame.image, jnp.float32),
-                jnp.asarray(last.desc), jnp.asarray(last.valid),
+            feats, small, a, b = fused_track_packed(
+                jnp.asarray(frame.image),   # raw dtype; gray+f32 in-jit
+                last_desc, last_valid,
                 jnp.asarray(pos), jnp.asarray(has),
                 jnp.asarray(T_pred_w2c, jnp.float32),
                 lpos, ldesc, lvalid,
                 params=self.detector.params, fx=cam.fx, fy=cam.fy,
                 cx=cam.cx, cy=cam.cy, width=cam.width, height=cam.height,
                 radius=radius, radius_local=r_local, chi2_th=self.chi2_px)
-            # ONE host transfer for the whole result pytree (a field-by-
-            # field np.asarray would round-trip the tunnel ~15 times)
-            res, res2 = jax.device_get((res, res2))
-            frame.set_features(dict(res.feats), "orb")
+            # the frame's features STAY ON DEVICE (keyframes materialize a
+            # host copy in the mapper; plain frames never pay the transfer)
+            frame.set_features_device(feats, "orb")
+            # fetch the packed per-frame results: 3 leaves = 3 round trips
+            # (every extra pytree leaf costs a sync round trip per frame)
+            small, a, b = jax.device_get((small, a, b))
+        idx1 = a[0].astype(np.int64)
+        ok1 = a[1] > 0.5
+        chi2_1, w1, chi2_2, w2 = a[2], a[3], a[4], a[5]
+        idx2 = b[0].astype(np.int64)
+        ok2 = b[1] > 0.5
+        T2_w2c = small[8:15]
         th = self.chi2_px / cam.fx ** 2
-        inl1 = (res.weight > 0) & (res.chi2 < th)
+        inl1 = (w1 > 0) & (chi2_1 < th)
         self._log << f",fused {int(inl1.sum())}"
         if inl1.sum() < 20:
             return False
-        inl = (res2.weight > 0) & (res2.chi2 < th)
+        inl = (w2 > 0) & (chi2_2 < th)
         if inl.sum() < self.min_inliers:
             return False
-        frame.pose_c2w = hse3.se3_inv(res2.T_w2c).astype(np.float32)
+        frame.pose_c2w = hse3.se3_inv(T2_w2c).astype(np.float32)
         # bind current keypoints: last-frame matches first, then local-map
         # growth matches on still-free slots (mirrors the on-chip merge)
         frame.kp2mp[:] = -1
-        okp = res.ok & has & (last.kp2mp >= 0)
+        okp = ok1 & has & (last.kp2mp >= 0)
         src = np.nonzero(okp)[0]
-        cur = res.idx[src]
+        cur = idx1[src]
         keep = inl[cur]
         frame.kp2mp[cur[keep]] = last.kp2mp[src[keep]]
-        for p in np.nonzero(res2.ok)[0]:
-            ci = int(res2.idx[p])
+        for p in np.nonzero(ok2)[0]:
+            ci = int(idx2[p])
             if inl[ci] and frame.kp2mp[ci] < 0 and ids_p[p] >= 0:
                 frame.kp2mp[ci] = int(ids_p[p])
         frame.kp2mp[~inl] = -1
@@ -330,8 +357,9 @@ class Tracker:
         pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos)))
         infront = pc[:, 2] > 1e-3
         uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
-        pix = np.asarray(frame.camera.project(
-            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
+        pix = frame.camera.project(
+            np.concatenate([uv, np.ones_like(uv[:, :1])],
+                           -1)).astype(np.float32)
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         wmask = matching.window_mask(jnp.asarray(pix),
                                      jnp.asarray(frame.xy), radius)
@@ -339,10 +367,9 @@ class Tracker:
             jnp.asarray(last.desc), jnp.asarray(has & infront & last.valid),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             last.desc_kind, window=wmask)
-        okn = np.asarray(ok)
+        idxn, okn = jax.device_get((idx, ok))
         if okn.sum() < 20:
             return False
-        idxn = np.asarray(idx)
         return self._solve_pose(frame, T_pred, pos, has, idxn, okn, last)
 
     def _solve_pose(self, frame, T_init_c2w, pos, has, idxn, okn, src_frame):
@@ -408,10 +435,9 @@ class Tracker:
                 jnp.asarray(kf.desc), jnp.asarray(has & kf.valid),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
                 kf.desc_kind, ratio=0.8)
-            okn = np.asarray(ok)
+            idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 15:
                 continue
-            idxn = np.asarray(idx)
             n = frame.n_kp
             p3d = np.zeros((n, 3), np.float32)
             w = np.zeros(n, bool)
@@ -444,10 +470,9 @@ class Tracker:
             jnp.asarray(kf.desc), jnp.asarray(kf.valid),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             kf.desc_kind, ratio=0.8)
-        okn = np.asarray(ok)
+        idxn, okn = jax.device_get((idx, ok))
         if okn.sum() < 40:
             return False
-        idxn = np.asarray(idx)
         n = kf.n_kp
         pos, has = self._gather_frame_points(kf)
         # anchors: matched kf keypoints WITH map points
@@ -510,9 +535,10 @@ class Tracker:
         pc = np.asarray(lie.se3_apply(Tw2c, jnp.asarray(pos_p)))
         infront = pc[:, 2] > 1e-3
         uv = pc[:, :2] / np.maximum(pc[:, 2:], 1e-6)
-        pix = np.asarray(frame.camera.project(
-            jnp.asarray(np.concatenate([uv, np.ones_like(uv[:, :1])], -1))))
-        inview = np.asarray(frame.camera.in_view(jnp.asarray(pix)))
+        pix = frame.camera.project(
+            np.concatenate([uv, np.ones_like(uv[:, :1])],
+                           -1)).astype(np.float32)
+        inview = frame.camera.in_view(pix)
         pvalid = maskp & infront & inview
         radius = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         wmask = matching.window_mask(jnp.asarray(pix), jnp.asarray(frame.xy),
@@ -521,8 +547,7 @@ class Tracker:
             jnp.asarray(desc_p), jnp.asarray(pvalid),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             frame.desc_kind, window=wmask)
-        okn = np.asarray(ok)
-        idxn = np.asarray(idx)
+        idxn, okn = jax.device_get((idx, ok))
         # merge: point -> cur kp assignments (keep existing from track_last)
         n = frame.n_kp
         p3d = np.zeros((n, 3), np.float32)

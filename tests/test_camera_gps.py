@@ -84,11 +84,52 @@ def test_parse_gpshpyr_layouts():
     """Sigma decoding parity with MapFrame.h:65-69 (size>=6 reads v[3:6])."""
     from pislamfusion_tpu.io.dataset import _parse_gpshpyr
     v11 = [116.0, 40.0, 100.0, 1.5, 2.5, 3.5, 0.1, 0.2, 0.3, 9.0, 9.0]
-    lla, sigma, pyr = _parse_gpshpyr(v11)
+    lla, sigma, pyr, height = _parse_gpshpyr(v11)
     np.testing.assert_allclose(lla, [116.0, 40.0, 100.0])
     np.testing.assert_allclose(sigma, [1.5, 2.5, 3.5])
     np.testing.assert_allclose(pyr, [3.5, 0.1, 0.2])
+    assert height is None
     v14 = list(range(14))
-    lla, sigma, pyr = _parse_gpshpyr(v14)
+    lla, sigma, pyr, height = _parse_gpshpyr(v14)
     np.testing.assert_allclose(sigma, [3, 4, 5])
     np.testing.assert_allclose(pyr, [8, 9, 10])
+    assert height == 6.0   # getHeight2Ground: (v[6], sigma v[7] < 100)
+    v8 = [116.0, 40.0, 100.0, 1.0, 1.0, 2.0, 55.0, 3.0]
+    lla, sigma, pyr, height = _parse_gpshpyr(v8)
+    assert height == 55.0 and pyr is None
+
+
+def test_pyr_to_rotation_nadir():
+    """PYR2Rotation parity (MapFrame.cpp:360-367): a nadir gimbal
+    (pitch=-90, yaw=0, roll=0) must look straight down in ENU with the
+    image x-axis east."""
+    from pislamfusion_tpu.core.gps import pyr_to_rotation
+    from pislamfusion_tpu.utils import host_se3 as hse3
+    q = pyr_to_rotation(-90.0, 0.0, 0.0)
+    view = hse3.quat_rotate(q, np.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(view, [0, 0, -1], atol=1e-6)
+    xaxis = hse3.quat_rotate(q, np.array([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(xaxis, [1, 0, 0], atol=1e-6)
+    # the near-180 roll fold (fabs(180-fabs(roll))<10 -> roll+180)
+    q_folded = pyr_to_rotation(-90.0, 0.0, 175.0)
+    q_explicit = pyr_to_rotation(-90.0, 0.0, -5.0)   # 355 == 175+180 mod 360
+    d = min(np.linalg.norm(q_folded - q_explicit),
+            np.linalg.norm(q_folded + q_explicit))
+    assert d < 1e-6
+
+
+def test_priory_pose_frame():
+    """Frame.priory_pose: ENU fix + attitude -> camera-to-ENU SE3."""
+    from pislamfusion_tpu.models.frame import Frame
+    from pislamfusion_tpu.utils import host_se3 as hse3
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    fr = Frame(id=0, timestamp=0.0, camera=cam)
+    assert fr.priory_pose() is None
+    fr.gps_enu = np.array([10.0, 20.0, 30.0], np.float32)
+    fr.pyr = np.array([-90.0, 0.0, 0.0])
+    fr.height_ground = 30.0
+    T, scale = fr.priory_pose()
+    np.testing.assert_allclose(T[:3], [10, 20, 30], atol=1e-5)
+    assert scale == 30.0
+    view = hse3.quat_rotate(T[3:7], np.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(view, [0, 0, -1], atol=1e-5)

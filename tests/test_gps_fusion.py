@@ -118,3 +118,38 @@ def test_gps_bounds_drift_vs_gps_off(gps_run):
     # GPS run (vs noisy fixes!) should stay within a few sigma of the
     # gauge-aligned noise-free-geometry run
     assert ate_on < ate_off + 4.0 * GPS_SIGMA, (ate_on, ate_off)
+
+
+def test_fit_gps_priory_two_frames():
+    """The SIM3WithPYR early fit (TrackerOpt::fitGPS, :388-431): two
+    keyframes with GPS+attitude priors geo-register the map with no
+    trajectory spread requirement."""
+    from pislamfusion_tpu.models.frame import Frame
+    from pislamfusion_tpu.models.mapper import Mapper
+    from pislamfusion_tpu.models.worldmap import WorldMap
+    from pislamfusion_tpu.utils import host_se3 as hse3
+
+    cfg = Svar()
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    wmap = WorldMap(cfg)
+    mapper = Mapper(wmap, cfg)
+    # true map->ENU similarity: scale 12.5, identity rotation, offset
+    scale_true = 12.5
+    offset = np.array([100.0, -40.0, 60.0], np.float32)
+    for i, t_est in enumerate([np.zeros(3), np.array([1.6, 0.0, 0.0])]):
+        fr = Frame(id=i, timestamp=float(i), camera=cam)
+        fr.pose_c2w = np.concatenate(
+            [t_est, [0, 0, 0, 1]]).astype(np.float32)
+        fr.is_keyframe = True
+        fr.gps_enu = (offset + scale_true * t_est).astype(np.float32)
+        fr.pyr = np.array([-90.0, 0.0, 0.0])
+        fr.height_ground = 25.0
+        fr.kp2mp = np.zeros(0, np.int64)
+        wmap.insert_frame(fr)
+    assert mapper.fit_gps_priory()
+    assert mapper.gps_fitted
+    f0 = wmap.frame(0)
+    np.testing.assert_allclose(f0.pose_c2w[:3], offset, atol=1e-3)
+    # camera now looks down in ENU (rotation came from the attitude prior)
+    view = hse3.quat_rotate(f0.pose_c2w[3:7], np.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(view, [0, 0, -1], atol=1e-4)
