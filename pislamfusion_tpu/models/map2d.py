@@ -263,16 +263,104 @@ class MultiBandMap2D(Map2DBase):
         return True
 
 
+@MAP2DS.register("4")
+@MAP2DS.register("render")
+class RenderMap2D(MultiBandMap2D):
+    """Batched multiband compositor — the Map2DRender analogue.
+
+    The reference's Map2DRender (Map2DFusion/Map2DRender.cpp) differs from
+    the per-frame engines by rendering queued frames in BATCHES per draw
+    call (`renderFrames`), with seams resolved by draw order / optional
+    seam finding. Here the batch is ONE compiled lax.scan program
+    (ops.mosaic.composite_frames_batch) over Map2D.RenderBatch frames —
+    per-dispatch host latency is paid once per batch, which is how
+    bench.py's 1080p pipeline reaches its headline throughput. Seams are
+    max-weight winner-take-all per band (same rule as MultiBand; the
+    GL/graph-cut seam path has no TPU analogue, and max-weight is the
+    seam the CUDA engine uses)."""
+
+    def __init__(self, cfg=None):
+        super().__init__(cfg)
+        self.batch = max(1, int(self.cfg.get_int("Map2D.RenderBatch", 8)))
+        self._pending: List = []   # (img_np, pose_plane)
+
+    def render_frame(self, img, pose_plane) -> bool:
+        self._pending.append((np.asarray(img), pose_plane))
+        if len(self._pending) >= self.batch:
+            self.flush()
+        return True
+
+    def queue_size(self) -> int:
+        return max(0, len(self._pending) - self.batch + 1)
+
+    def flush(self):
+        """Composite every pending frame in one scan program."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+            if not pending:
+                return
+            # pass 1: union footprint -> grow the canvas once, so every
+            # origin below is computed against the settled min_xy
+            boxes = []
+            for img, pp in pending:
+                pts, ok = M.plane_corners_np(pp, self.camera)
+                boxes.append(pts if ok else None)
+            live = [b for b in boxes if b is not None]
+            self.frames_skipped += len(boxes) - len(live)
+            if not live:
+                return
+            allpts = np.concatenate(live, 0)
+            self._maybe_grow(allpts[:, 0].min(), allpts[:, 1].min(),
+                             allpts[:, 0].max(), allpts[:, 1].max())
+            # pass 2: per-frame geometry (growth is now a no-op)
+            imgs, hs, origins, won = [], [], [], []
+            for (img, pp), box in zip(pending, boxes):
+                if box is None:
+                    continue
+                geo = self._frame_geometry(pp)
+                if geo is None:
+                    self.frames_skipped += 1
+                    continue
+                (ty0, tx0), H = geo
+                if img.ndim == 2:
+                    img = np.repeat(img[..., None], 3, -1)
+                imgs.append(img)
+                hs.append(H)
+                origins.append((ty0 * ELE, tx0 * ELE))
+                won.append(1.0)
+            if not imgs:
+                return
+            patch_px = self.patch_tiles * ELE
+            # pad to the static batch size so the scan compiles once
+            while len(imgs) < self.batch:
+                imgs.append(imgs[-1])
+                hs.append(hs[-1])
+                origins.append(origins[-1])
+                won.append(0.0)
+            with timer.scope("RenderMap2D::renderFrames"):
+                self.canvas_lap, self.canvas_w = M.composite_frames_batch(
+                    self.canvas_lap, self.canvas_w,
+                    jnp.asarray(np.stack(imgs), jnp.float32),
+                    jnp.asarray(np.stack(hs), jnp.float32),
+                    jnp.asarray(np.asarray(origins), jnp.int32),
+                    jnp.asarray(won, jnp.float32),
+                    bands=self.bands, patch_hw=(patch_px, patch_px),
+                    weight_type=self.weight_type)
+            self.frames_rendered += int(np.sum(np.asarray(won) > 0))
+
+    def blended(self, bg: Optional[float] = None):
+        self.flush()
+        return super().blended(bg)
+
+
 @MAP2DS.register("1")
 @MAP2DS.register("2")
-@MAP2DS.register("4")
 @MAP2DS.register("weighted")
 class WeightedMap2D(Map2DBase):
     """Single-band weighted running blend (Map2DCPU / Map2DGPU semantics:
     per-pixel accumulate weight*color and weight, display sum/weight —
-    UtilGPU.cu renderFramesKernel:311-381). Registered for Map2D.Type 1, 2
-    and 4 (the Render variant differs in the reference only by its OpenGL
-    seam path, which has no TPU analogue)."""
+    UtilGPU.cu renderFramesKernel:311-381). Registered for Map2D.Type 1
+    and 2."""
 
     def __init__(self, cfg=None):
         super().__init__(cfg)

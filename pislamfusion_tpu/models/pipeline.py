@@ -150,10 +150,12 @@ def fused_track_packed(image, prev_desc, prev_valid, prev_p3d, prev_has,
     Packing shrinks the fetch to 3 leaves (plus the feature dict, which
     stays on device).
 
-    Returns (feats, small [16], a [6, N], b [2, P]):
-      small = [T1(7), n_inl1, T2(7), n_inl2]
-      a     = [idx1, ok1, chi2_1, w1, chi2_2, w2]  (per current-kp slot)
-      b     = [idx2, ok2]                          (per local-map point)
+    Returns (feats, packed [16 + 6N + 2P] float32):
+      packed[:16]          = [T1(7), n_inl1, T2(7), n_inl2]
+      packed[16:16+6N]     = [idx1, ok1, chi2_1, w1, chi2_2, w2] (per kp)
+      packed[16+6N:]       = [idx2, ok2]            (per local-map point)
+    A single output leaf means a single host round trip per frame — each
+    extra leaf in the fetched pytree costs a full backend round trip.
     """
     res, res2 = fused_track_step(
         image, prev_desc, prev_valid, prev_p3d, prev_has, T_pred_w2c,
@@ -161,13 +163,13 @@ def fused_track_packed(image, prev_desc, prev_valid, prev_p3d, prev_has,
         cx=cx, cy=cy, width=width, height=height, radius=radius,
         radius_local=radius_local, chi2_th=chi2_th)
     f32 = jnp.float32
-    small = jnp.concatenate([
+    packed = jnp.concatenate([
         res.T_w2c, res.n_inliers[None].astype(f32),
-        res2.T_w2c, res2.n_inliers[None].astype(f32)])
-    a = jnp.stack([res.idx.astype(f32), res.ok.astype(f32),
-                   res.chi2, res.weight, res2.chi2, res2.weight])
-    b = jnp.stack([res2.idx.astype(f32), res2.ok.astype(f32)])
-    return res.feats, small, a, b
+        res2.T_w2c, res2.n_inliers[None].astype(f32),
+        res.idx.astype(f32), res.ok.astype(f32),
+        res.chi2, res.weight, res2.chi2, res2.weight,
+        res2.idx.astype(f32), res2.ok.astype(f32)])
+    return res.feats, packed
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",

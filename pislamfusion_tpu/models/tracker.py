@@ -285,7 +285,8 @@ class Tracker:
             if self._local_stage is None:
                 return False
         cam = frame.camera
-        pos, has = self._gather_frame_points(last)
+        with timer.scope("Tracker::fusedGather"):
+            pos, has = self._gather_frame_points(last)
         T_pred_w2c = hse3.se3_inv(hse3.se3_mul(last.pose_c2w, self.motion))
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
@@ -298,12 +299,14 @@ class Tracker:
         else:
             last_desc = jnp.asarray(last.desc)
             last_valid = jnp.asarray(last.valid)
-        with timer.scope("Tracker::fusedStep"):
-            feats, small, a, b = fused_track_packed(
-                jnp.asarray(frame.image),   # raw dtype; gray+f32 in-jit
-                last_desc, last_valid,
-                jnp.asarray(pos), jnp.asarray(has),
-                jnp.asarray(T_pred_w2c, jnp.float32),
+        with timer.scope("Tracker::fusedUpload"):
+            img_dev = jnp.asarray(frame.image)  # raw dtype; gray+f32 in-jit
+            pos_dev = jnp.asarray(pos)
+            has_dev = jnp.asarray(has)
+            T_dev = jnp.asarray(T_pred_w2c, jnp.float32)
+        with timer.scope("Tracker::fusedDispatch"):
+            feats, packed = fused_track_packed(
+                img_dev, last_desc, last_valid, pos_dev, has_dev, T_dev,
                 lpos, ldesc, lvalid,
                 params=self.detector.params, fx=cam.fx, fy=cam.fy,
                 cx=cam.cx, cy=cam.cy, width=cam.width, height=cam.height,
@@ -311,15 +314,19 @@ class Tracker:
             # the frame's features STAY ON DEVICE (keyframes materialize a
             # host copy in the mapper; plain frames never pay the transfer)
             frame.set_features_device(feats, "orb")
-            # fetch the packed per-frame results: 3 leaves = 3 round trips
-            # (every extra pytree leaf costs a sync round trip per frame)
-            small, a, b = jax.device_get((small, a, b))
+        with timer.scope("Tracker::fusedFetch"):
+            # ONE leaf fetched = ONE backend round trip per frame
+            packed = np.asarray(packed)
+        n = frame.n_kp
+        P = int(lpos.shape[0])
+        a = packed[16:16 + 6 * n].reshape(6, n)
+        b = packed[16 + 6 * n:].reshape(2, P)
         idx1 = a[0].astype(np.int64)
         ok1 = a[1] > 0.5
         chi2_1, w1, chi2_2, w2 = a[2], a[3], a[4], a[5]
         idx2 = b[0].astype(np.int64)
         ok2 = b[1] > 0.5
-        T2_w2c = small[8:15]
+        T2_w2c = packed[8:15]
         th = self.chi2_px / cam.fx ** 2
         inl1 = (w1 > 0) & (chi2_1 < th)
         self._log << f",fused {int(inl1.sum())}"

@@ -204,6 +204,41 @@ def composite_frame(canvas_lap, canvas_w, img, h_patch2img, origin_yx,
     return composite_patch(canvas_lap, canvas_w, patch_lap, patch_w, origin_yx)
 
 
+@functools.partial(jax.jit, static_argnames=("bands", "patch_hw",
+                                              "weight_type"),
+                   donate_argnums=(0, 1))
+def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
+                           weights_on, bands: int,
+                           patch_hw: Tuple[int, int],
+                           weight_type: int = 0):
+    """Composite a BATCH of frames in one compiled program (lax.scan).
+
+    The reference's Map2DRender engine renders frames in batches per draw
+    call (Map2DRender.cpp renderFrames); this is its TPU analogue and the
+    same shape as bench.py's scan pipeline: per-dispatch host latency is
+    paid once per batch instead of once per frame.
+
+    imgs: [K, H, W, 3]; hs: [K, 3, 3] patch->image homographies;
+    origins_yx: [K, 2] int32 band-0 canvas offsets (tile aligned);
+    weights_on: [K] float32 — 0 disables a frame (padding slot).
+    """
+    def step(carry, inp):
+        c_lap, c_w = carry
+        img, h, oyx, won = inp
+        warped, w = warp_frame_to_patch(img, h, patch_hw, weight_type)
+        w = w * won
+        p_lap = im.build_laplacian_pyramid(warped, bands)
+        p_w = [w]
+        for _ in range(bands):
+            p_w.append(im.pyr_down(p_w[-1]))
+        c_lap, c_w = composite_patch(c_lap, c_w, p_lap, p_w, oyx)
+        return (c_lap, c_w), 0.0
+
+    (canvas_lap, canvas_w), _ = jax.lax.scan(
+        step, (canvas_lap, canvas_w), (imgs, hs, origins_yx, weights_on))
+    return canvas_lap, canvas_w
+
+
 @functools.partial(jax.jit, static_argnames=("bg",))
 def reconstruct_canvas(canvas_lap, canvas_w, bg: float = 255.0):
     """Blend result: restore from the Laplacian pyramid, background color where

@@ -174,3 +174,39 @@ def test_save_png(tmp_path, world):
     out = tmp_path / "result.png"
     assert m.save(str(out))
     assert out.stat().st_size > 1000
+
+
+def test_render_batch_equals_multiband(world):
+    """RenderMap2D (type 4, lax.scan batch) must produce the SAME canvas as
+    the per-frame MultiBandMap2D — the batch is a scheduling change, not a
+    blending change (Map2DRender analogue)."""
+    from pislamfusion_tpu.models.map2d import RenderMap2D
+    ground, cam, poses, frames = world
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    m1 = MultiBandMap2D(_cfg())
+    m2 = RenderMap2D(_cfg(**{"Map2D.RenderBatch": 4}))
+    assert m1.prepare(plane, cam, [(None, p) for p in poses])
+    assert m2.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames:
+        m1.feed(img, p)
+        m2.feed(img, p)
+    out1, cov1 = m1.blended()   # RenderMap2D.blended flushes the remainder
+    out2, cov2 = m2.blended()
+    assert m2.frames_rendered == m1.frames_rendered
+    np.testing.assert_array_equal(cov1, cov2)
+    np.testing.assert_allclose(out1, out2, atol=1e-3)
+
+
+def test_render_batch_remainder_flush(world):
+    """A partial batch (fewer pending frames than RenderBatch) still
+    composites correctly via the padded scan (weight 0 padding rows)."""
+    from pislamfusion_tpu.models.map2d import RenderMap2D
+    ground, cam, poses, frames = world
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    m = RenderMap2D(_cfg(**{"Map2D.RenderBatch": 64}))  # never auto-flushes
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames[:3]:
+        m.feed(img, p)
+    out, covered = m.blended()
+    assert m.frames_rendered == 3
+    assert covered.sum() > 1000
