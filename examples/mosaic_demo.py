@@ -55,6 +55,7 @@ def render_view(ground, cam, pose):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "."
+    os.makedirs(out_dir, exist_ok=True)
     m2d_type = 3
     if "--type" in sys.argv:
         m2d_type = int(sys.argv[sys.argv.index("--type") + 1])

@@ -52,6 +52,7 @@ def render_view(ground, cam, pose):
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "."
+    os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(11)
     ground = make_ground(rng)
     cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
