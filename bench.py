@@ -207,18 +207,22 @@ def main():
                 cfg.set("SLAM.LoopClose", "0")
                 cfg.set("SLAM.isOnline", "1")  # mapper on worker thread
                 slam = create_slam(cfg, cam)
+                t0 = time.perf_counter()
                 for j, fi in enumerate(order):
                     slam.track(gray_np[fi], float(j))
                 slam.finish()
-                return slam
-            # pass 1 (untimed): compiles every program on the path —
-            # extract+fused track, triangulation, local BA, KF handling
-            run_slam_pass()
-            # pass 2: steady state, timed end-to-end incl. bootstrap
-            t_slam = time.perf_counter()
-            slam = run_slam_pass()
-            slam_fps = round(len(order)
-                             / (time.perf_counter() - t_slam), 2)
+                return slam, time.perf_counter() - t0
+            # pass 1 warms every program on the path (extract+fused track,
+            # triangulation, local BA, KF handling — the persistent compile
+            # cache usually makes this fast); pass 2 is steady state. Skip
+            # pass 2 when pass 1 ate the budget (driver wall-clock limit).
+            budget = float(os.environ.get("BENCH_SLAM_BUDGET", "240"))
+            slam, dt1 = run_slam_pass()
+            dt = dt1
+            if dt1 < budget:
+                slam, dt2 = run_slam_pass()
+                dt = min(dt1, dt2)
+            slam_fps = round(len(order) / dt, 2)
             slam_tracked = int(slam.frames_tracked)
         except Exception as exc:  # noqa: BLE001
             print(f"slam-path bench failed: {exc}", file=sys.stderr)

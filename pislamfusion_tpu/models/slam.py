@@ -96,6 +96,12 @@ class SLAM:
             from ..core import glog
             glog.logger.add_sink(glog.LogFileSink(log_file))
         self.map = MAPS.create(cfg.get_string("Map", "Hash"), cfg)
+        # resume from a map checkpoint (DIYSLAM.cpp:256-258 loads
+        # MapFile2Load on the first frame; tracking then relocalizes)
+        import os as _os
+        map_load = cfg.get_string("MapFile2Load", "")
+        self._loaded_map = bool(map_load and _os.path.isfile(map_load)
+                                and self.map.load(map_load))
         self.mapper = MAPPERS.create(cfg.get_string("Mapper", "demo"),
                                      self.map, cfg)
         self.mapper.plane_queue = self.plane_queue
@@ -126,6 +132,13 @@ class SLAM:
                               cfg.get_string("SLAM.Feature", "ORB"))
         self.detector = FEATURE_DETECTORS.create(feat, cfg)
         self.tracker.detector = self.detector
+        if self._loaded_map:
+            kfs = self.map.keyframes()
+            if kfs:
+                from .tracker import Status
+                self.tracker.ref_kf_id = kfs[-1].id
+                self.tracker.status = Status.LOST   # relocalize into it
+                self.mapper._kf_count = len(kfs)
         # fused device path (extract+match+pose in one jit) for ORB
         self.tracker.use_fused = (self.detector.kind == "orb"
                                   and cfg.get_bool("SLAM.Fused", True))

@@ -461,10 +461,16 @@ class Tracker:
                 # scarce 3D: mixed epipolar + inverse-depth fallback
                 # (trackRefKeyframe, TrackerOpt.cpp:904-1105)
                 if self._track_ref_kf_epipolar(frame, kf):
+                    # the matched candidate becomes the reference keyframe
+                    # (relocalize(): the local map must re-center on it)
+                    self.ref_kf_id = kf.id
+                    self.invalidate_local_stage()
                     return True
                 continue
             T_c2w = np.asarray(lie.se3_inv(res.model))
             if self._solve_pose(frame, T_c2w, pos, has, idxn, okn, kf):
+                self.ref_kf_id = kf.id
+                self.invalidate_local_stage()
                 return True
         return False
 

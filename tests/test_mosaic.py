@@ -203,7 +203,7 @@ def test_render_batch_remainder_flush(world):
     from pislamfusion_tpu.models.map2d import RenderMap2D
     ground, cam, poses, frames = world
     plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
-    m = RenderMap2D(_cfg(**{"Map2D.RenderBatch": 64}))  # never auto-flushes
+    m = RenderMap2D(_cfg(**{"Map2D.RenderBatch": 8}))   # never auto-flushes
     assert m.prepare(plane, cam, [(None, p) for p in poses])
     for img, p in frames[:3]:
         m.feed(img, p)

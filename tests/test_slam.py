@@ -172,3 +172,42 @@ def test_slam_sift_path():
     assert slam.frames_tracked > 0.7 * slam.frames_total, \
         (slam.frames_tracked, slam.frames_total)
     assert slam.map.point_num() > 100
+
+
+def test_map_checkpoint_resume(slam_run, tmp_path):
+    """MapFile2Load resume (DIYSLAM.cpp:256-258): a fresh SLAM instance
+    loads the finished map and RELOCALIZES into it instead of
+    re-initializing — frames track against the loaded keyframes."""
+    slam, gt = slam_run
+    ckpt = str(tmp_path / "map.ckpt")
+    assert slam.map.save(ckpt)
+    n_pts = slam.map.point_num()
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("MapFile2Load", ckpt)
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    slam2 = create_slam(cfg, slam.camera)
+    rng = np.random.default_rng(11)
+    ground = make_ground(rng)
+    # revisit three poses from the original survey
+    track = []
+    for i, p in enumerate([gt[5], gt[6], gt[7]]):
+        img = render_view(ground, slam2.camera, p)
+        fr = slam2.track(img, 100.0 + i)
+        track.append(fr.pose_c2w[:3].copy())
+    assert slam2.map.point_num() >= n_pts          # map was loaded, not rebuilt
+    assert slam2.frames_tracked >= 2, "did not relocalize into loaded map"
+    # the loaded no-GPS map lives in its own monocular gauge, so compare
+    # SHAPE, not meters: the three revisited ground-truth poses are equally
+    # spaced along a straight line — the relocalized ones must be too
+    d1 = track[1] - track[0]
+    d2 = track[2] - track[1]
+    n1, n2 = np.linalg.norm(d1), np.linalg.norm(d2)
+    assert n1 > 1e-4 and n2 > 1e-4       # actually moved in map gauge
+    assert abs(n1 - n2) < 0.3 * max(n1, n2), (n1, n2)   # equal spacing
+    cos = float(d1 @ d2) / (n1 * n2)
+    assert cos > 0.96, f"revisit path not collinear (cos {cos:.3f})"
