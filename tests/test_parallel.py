@@ -117,3 +117,37 @@ def test_dist_mosaic_matches_single_device(rng):
     for a, b in zip(single_w, shard_w):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+def test_dist_ransac_pnp_beats_single_device(rng):
+    """Sharded PnP RANSAC: D devices x iters hypotheses, global best via
+    all_gather. Must find the true pose on a low-inlier problem and never
+    do worse than a single device at the same per-device budget."""
+    from pislamfusion_tpu.ops import ransac
+    from pislamfusion_tpu.parallel import make_mesh, dist_ransac
+
+    mesh = make_mesh(jax.devices()[:8])
+    N = 256
+    # ground-truth pose: translation + mild rotation
+    T_true = np.array([0.4, -0.2, 0.3, 0.1, 0.05, 0.0, 0.99], np.float32)
+    T_true[3:7] /= np.linalg.norm(T_true[3:7])
+    pts = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    pc = np.asarray(lie.se3_apply(jnp.asarray(T_true), jnp.asarray(pts)))
+    p2n = (pc[:, :2] / pc[:, 2:]).astype(np.float32)
+    # only 30% inliers: the rest get large outlier noise
+    out = rng.random(N) > 0.3
+    p2n[out] += rng.normal(0, 0.3, (out.sum(), 2)).astype(np.float32)
+    valid = np.ones(N, bool)
+    key = jax.random.PRNGKey(5)
+    r = dist_ransac.find_pnp_sharded(
+        key, jnp.asarray(pts), jnp.asarray(p2n), jnp.asarray(valid),
+        mesh=mesh, threshold=0.01, iters_per_device=64)
+    assert bool(r.ok)
+    inl = np.asarray(r.inliers)
+    # recovered inlier set is dominated by true inliers
+    assert inl[~out].sum() > 0.8 * (~out).sum()
+    assert inl[out].sum() < 0.1 * out.sum()
+    T = np.asarray(r.model)
+    err_t = np.linalg.norm(T[:3] - T_true[:3])
+    assert err_t < 0.05, err_t
