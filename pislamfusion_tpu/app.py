@@ -42,6 +42,25 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
     slam = create_slam(cfg, camera)
     fusion = FusionSystem(cfg, camera).start()
 
+    # SLAM_Call command surface (gui/pislam.cpp:43 RegisterCommand):
+    # Start/Pause/Stop gate the feed loop; everything else forwards to the
+    # plugin's call() (DIYSLAM.cpp:366-394) — usable from other threads or
+    # embedded callers via core.svar.scommand.
+    from .core.svar import scommand
+    run_state = {"paused": False, "stop": False}
+
+    def _slam_call(arg: str):
+        a = arg.strip()
+        if a == "Start":
+            run_state["paused"] = False
+        elif a == "Pause":
+            run_state["paused"] = True
+        elif a == "Stop":
+            run_state["stop"] = True
+        else:
+            slam.call(a)
+    scommand.register("SLAM_Call", _slam_call)
+
     freq = cfg.get_double("Frequency", 0.0)   # gui/pislam.cpp:134 (100 Hz)
     period = 1.0 / freq if freq > 0 else 0.0
     viz_dir = cfg.get_string("Viz.Dir", "")
@@ -64,6 +83,8 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
     last_gps = None
     from collections import deque
     for ds in datasets:
+        if run_state["stop"]:
+            break
         pending = deque()   # (frame, ticket-or-None)
 
         def fill():
@@ -79,6 +100,10 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
             return True
 
         while True:
+            if run_state["stop"]:
+                break
+            while run_state["paused"] and not run_state["stop"]:
+                time.sleep(0.02)
             fill()
             if not pending:
                 break

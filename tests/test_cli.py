@@ -92,3 +92,30 @@ def test_cli_end_to_end(tmp_path):
     err = err - err.mean(0)       # remove the anchor common-mode offset
     ate = float(np.sqrt(np.mean(np.sum(err ** 2, -1))))
     assert ate < 2.0, f"geo ATE {ate:.2f} m"
+
+
+def test_scommand_slam_call_stop(tmp_path):
+    """The SLAM_Call command bus (gui/pislam.cpp:43): `SLAM_Call Stop`
+    from another thread terminates the feed loop early."""
+    import threading
+    import time as _time
+    rng = np.random.default_rng(6)
+    ds_file, poses = _write_dataset(str(tmp_path / "ds"), rng)
+    out = str(tmp_path / "out")
+    from pislamfusion_tpu.app import run_slam
+    from pislamfusion_tpu.core.svar import scommand
+    cfg = Svar()
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("Dataset.NativeIO", "0")
+    cfg.set("Frequency", "4")      # slow feed so Stop lands mid-run
+
+    def stopper():
+        _time.sleep(1.5)
+        scommand.call("SLAM_Call Stop")
+    t = threading.Thread(target=stopper, daemon=True)
+    t.start()
+    slam, fusion = run_slam(cfg, [ds_file], out_dir=out)
+    t.join()
+    assert slam.frames_total < len(poses), (
+        "Stop did not interrupt the feed loop")
