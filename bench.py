@@ -102,89 +102,37 @@ def main():
     min_xy = np.array([90.0 - 0.5 * patch_px * lp,
                        120.0 - 0.5 * patch_px * lp])
 
-    canvas_lap, canvas_w = M.alloc_canvas(canvas_tiles, canvas_tiles, BANDS)
+    # the benchmark measures the SHIPPED batch engine (models/fastvo.py):
+    # one lax.scan program, pose chain + Laplacian canvas device-resident
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.models.fastvo import FastVO
 
-    def plane_points(xy, pose):
-        """Unproject keypoints to the ground plane z=0 (pseudo map points)."""
-        rays = jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy,
-                          jnp.ones(xy.shape[0])], -1)
-        Rw = lie.quat_rotate(jnp.broadcast_to(pose[3:7], (xy.shape[0], 4)),
-                             rays)
-        o = pose[:3]
-        s = o[2] / jnp.where(jnp.abs(Rw[:, 2]) < 1e-6, 1e-6, Rw[:, 2])
-        return o[None, :] - Rw * s[:, None]
-
-    def step(carry, inputs):
-        prev_desc, prev_valid, prev_p3d, pose_est, c_lap, c_w = carry
-        gray, rgb, pose_true = inputs
-        feats = orb.orb_detect(gray, params)
-        # window match against previous frame's plane points
-        T_pred = lie.se3_inv(pose_est)          # world->cam (constant-ish)
-        pc = lie.se3_apply(T_pred, prev_p3d)
-        z = jnp.maximum(pc[:, 2], 1e-6)
-        pix = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
-        wmask = matching.window_mask(pix, feats["xy"], 60.0)
-        dist = matching.hamming_matrix(prev_desc, feats["desc"])
-        idx, ok = matching.match(dist, prev_valid, feats["valid"],
-                                 max_dist=80.0, window_mask=wmask)
-        tgt = jnp.where(ok, idx, N)
-        p3d = jnp.zeros((N, 3)).at[tgt].set(prev_p3d, mode="drop")
-        wgt = jnp.zeros((N,)).at[tgt].set(ok.astype(jnp.float32),
-                                          mode="drop")
-        rays_xy = jnp.stack([(feats["xy"][:, 0] - cx) / fx,
-                             (feats["xy"][:, 1] - cy) / fy], -1)
-        T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt, iters=8,
-                                       huber_delta=2.45 / fx)
-        pose_new = lie.se3_inv(T_ref)
-        # mosaic feed with the refined pose
-        origin_t = jnp.floor((pose_new[:2] - jnp.asarray(min_xy, jnp.float32))
-                             / (ELE * lp)).astype(jnp.int32)
-        origin_t = jnp.clip(origin_t, 0, canvas_tiles - patch_tiles)
-        origin_xy = jnp.asarray(min_xy, jnp.float32) \
-            + origin_t.astype(jnp.float32) * (ELE * lp)
-        Hc2i = M.homography_canvas_to_image(pose_new, fx, fy, cx, cy,
-                                            origin_xy, lp)
-        warped, wmap = M.warp_frame_to_patch(rgb, Hc2i, (patch_px, patch_px))
-        p_lap = im.build_laplacian_pyramid(warped, BANDS)
-        p_w = [wmap]
-        for _ in range(BANDS):
-            p_w.append(im.pyr_down(p_w[-1]))
-        oyx = jnp.stack([origin_t[1], origin_t[0]]) * ELE
-        c_lap, c_w = M.composite_patch(c_lap, c_w, p_lap, p_w, oyx)
-        new_p3d = plane_points(feats["xy"], pose_new)
-        return ((feats["desc"], feats["valid"], new_p3d, pose_new,
-                 c_lap, c_w), T_ref[0])
-
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(4, 5))
-    def pipeline(gray, rgb, poses, first_pose, c_lap, c_w):
-        f0 = orb.orb_detect(gray[0], params)
-        p3d0 = plane_points(f0["xy"], first_pose)
-        carry = (f0["desc"], f0["valid"], p3d0, first_pose, c_lap, c_w)
-        carry, _ = jax.lax.scan(step, carry, (gray, rgb, poses))
-        return carry[4], carry[5], carry[3]
+    cam = Camera(W, H, fx, fy, cx, cy)
+    vo = FastVO(cam, min_xy, canvas_tiles, lp, bands=BANDS, n_features=N,
+                n_levels=params.n_levels, window_radius=60.0,
+                patch_tiles=patch_tiles)
+    frames_dev = jnp.asarray(frames_rgb_np)   # staged once in HBM
 
     print(f"compiling pipeline ({K} frames @ {W}x{H}, N={N}, "
           f"patch {patch_px}px, canvas {canvas_tiles} tiles)...",
           file=sys.stderr)
-    c_lap, c_w, last_pose = pipeline(frames_gray, frames_rgb, poses_j,
-                                     poses_j[0], canvas_lap, canvas_w)
-    jax.block_until_ready(jax.tree.leaves((c_lap, c_w, last_pose)))
+    est, n_match = vo.process(frames_dev, poses_j[0])
     verbose = os.environ.get("BENCH_VERBOSE", "")
     times = []
     for r in range(REPEATS):
         t0 = time.perf_counter()
-        c_lap, c_w, last_pose = pipeline(frames_gray, frames_rgb, poses_j,
-                                         poses_j[0], c_lap, c_w)
-        jax.block_until_ready(jax.tree.leaves((c_lap, c_w, last_pose)))
+        est, n_match = vo.process(frames_dev, poses_j[0])
         times.append(time.perf_counter() - t0)
         if verbose:
             print(f"call {r}: {times[-1] * 1e3:.2f} ms "
-                  f"({K / times[-1]:.1f} fps), canvas checksum "
-                  f"{float(jnp.sum(jnp.abs(c_lap[0]))):.3e}", file=sys.stderr)
+                  f"({K / times[-1]:.1f} fps), matches {n_match.tolist()}",
+                  file=sys.stderr)
     dt = min(times)  # best-of: excludes host jitter on the tunnel
     fps = K / dt
+    # tracking sanity on the last run: every frame matched + stayed on pose
+    assert (n_match[1:] > 50).all(), f"VO lost track: {n_match}"
+    drift = np.linalg.norm(est[-1, :3] - poses[K - 1, :3])
+    print(f"VO drift over {K} frames: {drift:.3f} m", file=sys.stderr)
 
     # --- the SHIPPED SLAM class on the same frames (host bookkeeping +
     # fused device steps; per-frame dispatch latency included). The scan

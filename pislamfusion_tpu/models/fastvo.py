@@ -48,7 +48,8 @@ class FastVO:
     def __init__(self, camera, min_xy, canvas_tiles: int,
                  length_pixel: float, bands: int = 5,
                  n_features: int = 1000, n_levels: int = 8,
-                 window_radius: float = 60.0, patch_tiles: int = 0):
+                 window_radius: float = 60.0, patch_tiles: int = 0,
+                 fast_warp: bool = True):
         self.cam = camera
         self.min_xy = np.asarray(min_xy, np.float64)
         self.canvas_tiles = int(canvas_tiles)
@@ -56,6 +57,9 @@ class FastVO:
         self.bands = int(bands)
         self.params = orb.OrbParams(n_features=n_features, n_levels=n_levels)
         self.window_radius = float(window_radius)
+        # half-res gather + pyr_up: the warp is gather-index-bound on TPU
+        # and the canvas is ~2x oversampled vs the source (Map2D.Scale)
+        self.fast_warp = bool(fast_warp)
         if not patch_tiles:
             diag = float(np.hypot(camera.width, camera.height))
             patch_tiles = int(np.ceil(diag * 1.0 / ELE)) + 1
@@ -114,7 +118,8 @@ class FastVO:
         patch_px = self.patch_tiles * ELE
         rgb3 = rgb if rgb.ndim == 3 else jnp.repeat(rgb[..., None], 3, -1)
         warped, wmap = M.warp_frame_to_patch(rgb3.astype(jnp.float32), Hc2i,
-                                             (patch_px, patch_px))
+                                             (patch_px, patch_px),
+                                             half_res=self.fast_warp)
         p_lap = im.build_laplacian_pyramid(warped, self.bands)
         p_w = [wmap]
         for _ in range(self.bands):

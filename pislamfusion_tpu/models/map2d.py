@@ -189,6 +189,8 @@ class MultiBandMap2D(Map2DBase):
         super().__init__(cfg)
         self.bands = int(self.cfg.get_int("Map2D.BandNumber", 5))
         self.weight_type = int(self.cfg.get_int("Map2D.WeightType", 0))
+        # Map2D.FastWarp: half-res gather + pyr_up (see ops.mosaic)
+        self.fast_warp = bool(self.cfg.get_int("Map2D.FastWarp", 0))
         self.canvas_lap: List[jnp.ndarray] = []
         self.canvas_w: List[jnp.ndarray] = []
 
@@ -231,7 +233,7 @@ class MultiBandMap2D(Map2DBase):
                 jnp.asarray(H, jnp.float32),
                 jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
                 bands=self.bands, patch_hw=(patch_px, patch_px),
-                weight_type=self.weight_type)
+                weight_type=self.weight_type, half_res=self.fast_warp)
         self.frames_rendered += 1
         return True
 

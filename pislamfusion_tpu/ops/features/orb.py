@@ -105,19 +105,24 @@ class OrbParams:
 def fast_score_map(img):
     """Dense FAST-16 corner score (max t such that 9 contiguous circle pixels
     are all brighter/darker than center by t). img: [H, W] float."""
-    shifted = []
-    for dx, dy in _CIRCLE:
-        shifted.append(jnp.roll(img, (-dy, -dx), (0, 1)))
-    d = jnp.stack(shifted) - img[None]          # [16, H, W]
-    d2 = jnp.concatenate([d, d[:9]], 0)          # wraparound arcs
-    bright_arcs = []
-    dark_arcs = []
-    for s in range(16):
-        arc = d2[s:s + 9]
-        bright_arcs.append(jnp.min(arc, 0))
-        dark_arcs.append(jnp.min(-arc, 0))
-    score = jnp.maximum(jnp.max(jnp.stack(bright_arcs), 0),
-                        jnp.max(jnp.stack(dark_arcs), 0))
+    # per-tap difference images kept as a LIST (never stacked into a
+    # [16, H, W] buffer): the 9-length arc minima come from a log-depth
+    # tree of pairwise minima, so XLA fuses the whole score into a few
+    # elementwise passes instead of materializing 25 full-res planes
+    d = [jnp.roll(img, (-dy, -dx), (0, 1)) - img for dx, dy in _CIRCLE]
+    d = d + d[:9]                                # wraparound arcs (25)
+
+    def arc_score(ds):
+        m2 = [jnp.minimum(ds[i], ds[i + 1]) for i in range(len(ds) - 1)]
+        m4 = [jnp.minimum(m2[i], m2[i + 2]) for i in range(len(m2) - 2)]
+        m8 = [jnp.minimum(m4[i], m4[i + 4]) for i in range(len(m4) - 4)]
+        m9 = [jnp.minimum(m8[i], ds[i + 8]) for i in range(16)]
+        out = m9[0]
+        for m in m9[1:]:
+            out = jnp.maximum(out, m)
+        return out
+
+    score = jnp.maximum(arc_score(d), arc_score([-x for x in d]))
     # kill the 3px circle border (rolled values wrap)
     H, W = img.shape
     ys = jnp.arange(H)[:, None]

@@ -33,7 +33,7 @@ def test_fastvo_tracks_and_blends(survey):
     span = poses[:, :2].max(0) - min_xy + 3 * es
     tiles = int(np.ceil(span.max() / es)) + 2
     vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
-                n_levels=4, window_radius=40.0)
+                n_levels=4, window_radius=40.0, fast_warp=False)
     est, n_match = vo.process(frames, poses[0])
     assert (n_match[1:] > 50).all(), n_match
     # pose error: frame-to-frame VO on a plane should stay centimetric
@@ -75,3 +75,27 @@ def test_fastvo_second_batch_continues(survey):
     assert cov2 >= cov1
     err = np.linalg.norm(est2[-1, :3] - poses[8, :3])
     assert err < 0.8, err
+
+
+def test_fastvo_fast_warp_quality(survey):
+    """fast_warp=True (half-res gather + pyr_up) trades a bounded softening
+    for ~3x warp throughput; the mosaic must stay within ~2 dB of exact."""
+    ground, cam, poses, frames = survey
+    lp, _ = M.auto_resolution(cam, 25.0, 0.5)
+    es = M.ELE_PIXELS * lp
+    min_xy = poses[:, :2].min(0) - 3 * es
+    span = poses[:, :2].max(0) - min_xy + 3 * es
+    tiles = int(np.ceil(span.max() / es)) + 2
+    vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
+                n_levels=4, window_radius=40.0, fast_warp=True)
+    est, n_match = vo.process(frames, poses[0])
+    assert (n_match[1:] > 50).all()
+    img, covered = vo.blended()
+    ys, xs = np.nonzero(covered)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img[ys, xs].astype(np.float64) - ground[gy, gx]
+    psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+    assert psnr > 22.5, f"fast-warp mosaic PSNR {psnr:.1f} dB"
