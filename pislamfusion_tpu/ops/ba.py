@@ -122,6 +122,30 @@ _reproj_jac = jax.vmap(
 _reproj_val = jax.vmap(_reproj_residual, in_axes=(None, None, 0, 0, 0))
 
 
+def _pose_jac_analytic(T_w2c, p3d, uv):
+    """(residual [N,2], J [N,2,6]) wrt a LEFT se3 perturbation, closed
+    form — numerically identical to jacfwd(_reproj_residual) but ~10x
+    fewer kernels, which dominates tight pose-LM scans (the per-iteration
+    work is tiny; kernel count is the cost on TPU).
+
+    d(exp(d) pc)/d(rho) = I, d/d(w) = -hat(pc) (lie.se3_exp is (rho, w)
+    with V->I at 0); chain through the pinhole projection."""
+    pc = lie.se3_apply(jnp.broadcast_to(T_w2c, (p3d.shape[0], 7)), p3d)
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    good = z > 1e-6
+    r = jnp.where(good[:, None], pc[..., :2] / zs[..., None] - uv, 0.0)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    zr = jnp.zeros_like(iz)
+    Jp = jnp.stack([jnp.stack([iz, zr, -x * iz2], -1),
+                    jnp.stack([zr, iz, -y * iz2], -1)], -2)   # [N, 2, 3]
+    Jrot = -jnp.einsum("nij,njk->nik", Jp, lie.so3_hat(pc),
+                       precision=jax.lax.Precision.HIGHEST)
+    Jc = jnp.concatenate([Jp, Jrot], -1)                       # [N, 2, 6]
+    return r, jnp.where(good[:, None, None], Jc, 0.0)
+
+
 def _rel_residual(di, dj, Ti, Tj, meas):
     Ti = lie.se3_mul(lie.se3_exp(di), Ti)
     Tj = lie.se3_mul(lie.se3_exp(dj), Tj)
@@ -356,9 +380,7 @@ def optimize_pose(T_w2c, p3d, p2n, weight, iters: int = 10,
 
     def step(state, _):
         T, lam, cost = state
-        Tb = jnp.broadcast_to(T, (p3d.shape[0], 7))
-        r = _reproj_val(z6, z3, Tb, p3d, p2n)
-        Jc, _ = _reproj_jac(z6, z3, Tb, p3d, p2n)
+        r, Jc = _pose_jac_analytic(T, p3d, p2n)
         r2 = jnp.sum(r * r, -1)
         w = weight * _huber_weight(r2, huber_delta)
         H = jnp.einsum("oki,ok,okj->ij", Jc, w[:, None].repeat(2, 1), Jc)

@@ -370,3 +370,26 @@ def test_fit_sim3_trajectories(rng):
     T2[:, :3] = np.asarray(lie.sim3_apply(S_true, jnp.asarray(T1[:, :3])))
     S = np.asarray(ba.fit_sim3(jnp.asarray(T1), jnp.asarray(T2)))
     np.testing.assert_allclose(S, np.asarray(S_true), atol=1e-3)
+
+
+def test_pose_jac_analytic_matches_autodiff(rng):
+    """The closed-form pose Jacobian must equal jacfwd of the residual
+    (it replaced autodiff inside optimize_pose for kernel-count reasons)."""
+    import jax.numpy as jnp
+    from pislamfusion_tpu.ops import ba as B
+    T = jnp.asarray([0.3, -0.2, 0.1, 0.1, -0.05, 0.2, 0.97], jnp.float32)
+    T = T / jnp.concatenate([jnp.ones(3), jnp.full(4, jnp.linalg.norm(T[3:7]))])
+    pts = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+    pts = pts.at[:, 2].add(5.0)
+    pts = pts.at[0, 2].set(-6.0)   # one behind-camera point
+    uv = jnp.asarray(rng.uniform(-0.5, 0.5, (64, 2)).astype(np.float32))
+    Tb = jnp.broadcast_to(T, (64, 7))
+    z6 = jnp.zeros(6, jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+    r_ref = B._reproj_val(z6, z3, Tb, pts, uv)
+    J_ref, _ = B._reproj_jac(z6, z3, Tb, pts, uv)
+    r, J = B._pose_jac_analytic(T, pts, uv)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                               rtol=1e-4, atol=1e-4)
