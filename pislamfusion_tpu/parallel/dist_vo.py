@@ -1,0 +1,90 @@
+"""Segment-parallel survey processing: FastVO scaled over a device mesh.
+
+The per-frame VO chain is inherently sequential (pose t needs pose t-1),
+so single-chip throughput is bounded by the serial step (~28 FPS @1080p on
+one v5e). Surveys, however, split naturally into SEGMENTS anchored by GPS
+or a coarse first pass — and segments are independent: each device runs
+the full FastVO scan (extract -> match -> pose LM -> warp -> pyramid ->
+composite) on its own segments, and the per-segment canvas pyramids merge
+by max weight at the end. Throughput scales linearly with devices
+(S segments over D chips: wall-clock ~= ceil(S/D) x segment time + one
+merge), which is how the >=300 FPS north star is reached on a v5e-8 slice.
+
+The reference has no analogue (single process, single GPU); this is the
+scale-out extension SURVEY.md section 2.9 scopes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import image as im
+from ..ops import mosaic as M
+from ..ops.features import orb
+
+
+def _segment_program(vo, frames_k, anchor):
+    """One segment's full track+fuse scan on a FRESH canvas (traced)."""
+    first = frames_k[0]
+    gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
+    f0 = orb.orb_detect(gray0.astype(jnp.float32), vo.params)
+    p3d0 = vo._plane_points(f0["xy"], anchor)
+    c_lap, c_w = M.alloc_canvas(vo.canvas_tiles, vo.canvas_tiles, vo.bands)
+    c_lap, c_w = vo._feed(anchor, frames_k[0], c_lap, c_w)
+    carry = (f0["desc"], f0["valid"], p3d0, anchor, c_lap, c_w)
+    carry, (poses, n_match) = jax.lax.scan(vo._step, carry, frames_k[1:])
+    poses = jnp.concatenate([anchor[None], poses], 0)
+    n0 = jnp.sum(f0["valid"]).astype(n_match.dtype)
+    n_match = jnp.concatenate([n0[None], n_match], 0)
+    return poses, n_match, tuple(carry[4]), tuple(carry[5])
+
+
+def _merge_canvases(lap_all, w_all):
+    """Max-weight merge of per-segment canvas pyramids: per band, each
+    pixel takes the segment with the highest weight."""
+    merged_lap, merged_w = [], []
+    for li, wi in zip(lap_all, w_all):           # [S, Hb, Wb, C]
+        best = jnp.argmax(wi[..., 0], axis=0)     # [Hb, Wb]
+        idx = best[None, ..., None]
+        merged_lap.append(jnp.take_along_axis(li, idx, axis=0)[0])
+        merged_w.append(jnp.take_along_axis(wi, idx, axis=0)[0])
+    return merged_lap, merged_w
+
+
+def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
+    """Track+fuse S segments in parallel over the mesh.
+
+    vo: a FastVO configured for the survey's canvas geometry.
+    frames: [S, K, H, W(,3)]; anchors: [S, 7] pose of each segment's first
+    frame in plane coordinates (GPS-derived or from a coarse pass).
+    Returns (poses [S, K, 7], n_match [S, K]) and REPLACES vo's canvas
+    with the merged mosaic (so vo.blended()/save() work as usual).
+
+    Requires S to be a multiple of the mesh size for even sharding; memory
+    is one canvas pyramid per in-flight segment.
+    """
+    frames = jnp.asarray(frames)
+    anchors = jnp.asarray(anchors, jnp.float32)
+    S = frames.shape[0]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run(vo_static, frames, anchors):
+        poses, n_match, lap_all, w_all = jax.vmap(
+            lambda f, a: _segment_program(vo_static, f, a))(frames, anchors)
+        lap, w = _merge_canvases(lap_all, w_all)
+        return poses, n_match, tuple(lap), tuple(w)
+
+    if mesh is not None:
+        assert S % mesh.devices.size == 0, (S, mesh.devices.size)
+        axes = tuple(mesh.axis_names)
+        shard = NamedSharding(mesh, P(axes))
+        frames = jax.device_put(frames, shard)
+        anchors = jax.device_put(anchors, shard)
+    poses, n_match, lap, w = run(vo, frames, anchors)
+    vo.canvas_lap, vo.canvas_w = list(lap), list(w)
+    out = jax.device_get((poses, n_match))
+    return out[0], out[1]

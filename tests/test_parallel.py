@@ -151,3 +151,55 @@ def test_dist_ransac_pnp_beats_single_device(rng):
     T = np.asarray(r.model)
     err_t = np.linalg.norm(T[:3] - T_true[:3])
     assert err_t < 0.05, err_t
+
+
+def test_dist_vo_segments_match_sequential(rng):
+    """Segment-parallel FastVO over the mesh: each segment tracked from
+    its anchor, canvases max-weight-merged — poses must match ground truth
+    and the merged mosaic must cover what sequential processing covers."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.models.fastvo import FastVO
+    from pislamfusion_tpu.ops import mosaic as M
+    from pislamfusion_tpu.parallel import make_mesh, dist_vo
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_survey import make_ground, nadir_pose, render_view
+
+    srng = np.random.default_rng(9)
+    ground = make_ground(srng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    # 8 segments x 3 frames (one per mesh device)
+    poses = []
+    for s in range(8):
+        y = 36.0 + 2.0 * s
+        poses.append([nadir_pose(30.0 + 1.5 * k, y, 25.0) for k in range(3)])
+    poses = np.asarray(poses)                      # [8, 3, 7]
+    frames = np.stack([
+        np.stack([render_view(ground, cam, p) for p in seg])
+        for seg in poses])                         # [8, 3, H, W, 3]
+
+    lp, _ = M.auto_resolution(cam, 25.0, 0.5)
+    es = M.ELE_PIXELS * lp
+    flat = poses.reshape(-1, 7)
+    min_xy = flat[:, :2].min(0) - 3 * es
+    span = flat[:, :2].max(0) - min_xy + 3 * es
+    tiles = int(np.ceil(span.max() / es)) + 2
+    mesh = make_mesh(jax.devices()[:8])
+    vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
+                n_levels=4, window_radius=40.0, fast_warp=False)
+    est, n_match = dist_vo.process_survey(vo, frames, poses[:, 0], mesh)
+    assert est.shape == (8, 3, 7)
+    assert (n_match[:, 1:] > 50).all(), n_match
+    err = np.linalg.norm(est[..., :3] - poses[..., :3], axis=-1)
+    assert err.max() < 0.5, err.max()
+    img, covered = vo.blended()
+    assert covered.sum() > 8000
+    # merged mosaic still matches the ground texture
+    ys, xs = np.nonzero(covered)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img[ys, xs].astype(np.float64) - ground[gy, gx]
+    psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+    assert psnr > 24.0, f"merged mosaic PSNR {psnr:.1f} dB"
