@@ -95,13 +95,9 @@ class FastVO:
                                             origin_xy, self.length_pixel)
         patch_px = self.patch_tiles * ELE
         rgb3 = rgb if rgb.ndim == 3 else jnp.repeat(rgb[..., None], 3, -1)
-        warped, wmap = M.warp_frame_to_patch(rgb3.astype(jnp.float32), Hc2i,
-                                             (patch_px, patch_px),
-                                             half_res=self.fast_warp)
-        p_lap = im.build_laplacian_pyramid(warped, self.bands)
-        p_w = [wmap]
-        for _ in range(self.bands):
-            p_w.append(im.pyr_down(p_w[-1]))
+        p_lap, p_w = M.patch_pyramids(rgb3.astype(jnp.float32), Hc2i,
+                                      (patch_px, patch_px), self.bands,
+                                      half_res=self.fast_warp)
         oyx = jnp.stack([origin_t[1], origin_t[0]]) * ELE
         return M.composite_patch(c_lap, c_w, p_lap, p_w, oyx)
 

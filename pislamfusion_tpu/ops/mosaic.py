@@ -183,6 +183,48 @@ def warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type: int = 0,
     return warped, w[..., None]
 
 
+def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
+                   weight_type: int = 0, half_res: bool = False):
+    """(patch Laplacian pyramid [bands+1], weight pyramid [bands+1]) for
+    one frame — the mosaic feed's per-frame compute.
+
+    half_res=True never materializes a full-res warp at all: the content
+    is gathered at half the patch resolution, band 0's Laplacian is
+    EXACTLY ZERO by construction (a pyr_up'd image has no finest-band
+    detail), and the pyramid chain starts from the half-res image — 4x
+    fewer gather indices AND no 1536^2 pyramid level. Weights stay exact
+    full-res analytic (no gathers needed), so coverage/seam decisions are
+    unchanged."""
+    if not half_res:
+        warped, w = warp_frame_to_patch(img, h_patch2img, patch_hw,
+                                        weight_type)
+        p_lap = im.build_laplacian_pyramid(warped, bands)
+        p_w = [w]
+        for _ in range(bands):
+            p_w.append(im.pyr_down(p_w[-1]))
+        return p_lap, p_w
+    h_half = h_patch2img @ jnp.asarray(np.diag([2.0, 2.0, 1.0]),
+                                       h_patch2img.dtype)
+    half_hw = (patch_hw[0] // 2, patch_hw[1] // 2)
+    grid = im.homography_grid(h_half, half_hw)
+    warped_h, _ = im.bilinear_sample(img, grid, border="reflect")
+    grid_full = im.homography_grid(h_patch2img, patch_hw)
+    valid_full = ((grid_full[..., 0] >= 0)
+                  & (grid_full[..., 0] <= img.shape[1] - 1)
+                  & (grid_full[..., 1] >= 0)
+                  & (grid_full[..., 1] <= img.shape[0] - 1))
+    w0 = radial_weight(grid_full, img.shape[1], img.shape[0], valid_full,
+                       weight_type)[..., None]
+    # bands 1.. from the half-res image; band 0 Laplacian is exactly 0
+    sub = im.build_laplacian_pyramid(warped_h, bands - 1) if bands > 1 \
+        else [warped_h]
+    p_lap = [jnp.zeros(patch_hw + (img.shape[-1],), img.dtype)] + sub
+    p_w = [w0]
+    for _ in range(bands):
+        p_w.append(im.pyr_down(p_w[-1]))
+    return p_lap, p_w
+
+
 def composite_patch(canvas_lap: List[jnp.ndarray],
                     canvas_w: List[jnp.ndarray],
                     patch_lap: List[jnp.ndarray],
@@ -222,12 +264,8 @@ def composite_frame(canvas_lap, canvas_w, img, h_patch2img, origin_yx,
     img: [H, W, 3] float32 (0..255). h_patch2img maps patch pixels (relative
     to origin) to image pixels. origin_yx: int32 [2], tile aligned.
     """
-    warped, w = warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type,
-                                    half_res=half_res)
-    patch_lap = im.build_laplacian_pyramid(warped, bands)
-    patch_w = [w]
-    for _ in range(bands):
-        patch_w.append(im.pyr_down(patch_w[-1]))
+    patch_lap, patch_w = patch_pyramids(img, h_patch2img, patch_hw, bands,
+                                        weight_type, half_res)
     return composite_patch(canvas_lap, canvas_w, patch_lap, patch_w, origin_yx)
 
 
