@@ -1,0 +1,95 @@
+"""Demo: FastVO — the one-program batch track+fuse fast path.
+
+A synthetic nadir survey is processed in ONE compiled lax.scan program per
+frame batch: ORB extraction, windowed Hamming matching against the previous
+frame's ground-plane points, pose-only LM, homography warp, Laplacian
+pyramid, max-weight composite — no host round trips inside the batch.
+Reports recovered-pose error, throughput, and mosaic PSNR vs the ground
+texture, and writes result.png.
+
+This is the mode the reference's architecture cannot express (bench.py
+measures it at ~30 FPS @1080p on one v5e; here the synthetic frames are
+320x240 so it runs anywhere). Usage:
+
+    python examples/fastvo_demo.py [out_dir] [--frames N]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pislamfusion_tpu.core.jaxcache import enable_persistent_cache
+enable_persistent_cache()
+
+import numpy as np
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.models.fastvo import FastVO
+from pislamfusion_tpu.models.map2d import _write_png
+from pislamfusion_tpu.ops import mosaic as M
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+from synth_survey import make_ground, nadir_pose, render_view  # noqa: E402
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 and \
+        not sys.argv[1].startswith("-") else "."
+    os.makedirs(out_dir, exist_ok=True)
+    n_frames = 24
+    if "--frames" in sys.argv:
+        n_frames = int(sys.argv[sys.argv.index("--frames") + 1])
+
+    rng = np.random.default_rng(7)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = []
+    for i in range(n_frames):
+        row, col = divmod(i, 12)
+        x = 28.0 + 2.5 * (col if row % 2 == 0 else 11 - col)
+        poses.append(nadir_pose(x, 38.0 + 4.0 * row, 25.0))
+    poses = np.stack(poses)
+    frames = np.stack([render_view(ground, cam, p) for p in poses])
+    print(f"{len(poses)} frames, camera {cam.width}x{cam.height}")
+
+    lp, _ = M.auto_resolution(cam, 25.0, 0.5)
+    es = M.ELE_PIXELS * lp
+    min_xy = poses[:, :2].min(0) - 1.0 * es
+    span = poses[:, :2].max(0) - min_xy + 1.0 * es
+    tiles = int(np.ceil(span.max() / es)) + 2
+    vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
+                n_levels=4, window_radius=80.0)
+    print(f"canvas {tiles}x{tiles} tiles, GSD {lp:.3f} m/px")
+
+    est, n_match = vo.process(frames, poses[0])     # compile + run
+    t0 = time.perf_counter()
+    est, n_match = vo.process(frames, poses[0])
+    dt = time.perf_counter() - t0
+    err = np.linalg.norm(est[:, :3] - poses[:, :3], axis=1)
+    print(f"batch of {len(poses)} frames in {dt * 1e3:.1f} ms "
+          f"({len(poses) / dt:.1f} fps), matches "
+          f"{int(n_match[1:].min())}-{int(n_match[1:].max())}, "
+          f"max pose error {err.max():.3f} m")
+
+    img, covered = vo.blended()
+    ys, xs = np.nonzero(covered)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img[ys, xs].astype(np.float64) - ground[gy, gx]
+    psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+    cov = 100.0 * covered.mean()
+    print(f"mosaic: {cov:.1f}% coverage, PSNR vs ground truth "
+          f"{psnr:.2f} dB")
+    path = os.path.join(out_dir, "result.png")
+    _write_png(path, np.clip(img, 0, 255).astype(np.uint8))
+    print(f"wrote {path}")
+    ok = err.max() < 0.6 and psnr > 20.0
+    print("FASTVO OK" if ok else "FASTVO FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -109,11 +109,17 @@ class FastVO:
         cam, params = self.cam, self.params
         N = params.n_features
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
-        prev_desc, prev_valid, prev_p3d, pose_est, c_lap, c_w = carry
+        prev_desc, prev_valid, prev_p3d, pose_prev2, pose_est, \
+            c_lap, c_w = carry
         rgb = inputs
         gray = im.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
         feats = orb.orb_detect(gray.astype(jnp.float32), params)
-        T_pred = lie.se3_inv(pose_est)
+        # constant-velocity prediction (the reference's motion model,
+        # TrackerOpt::trackLastFrame): pose_pred = V * pose_{t-1} with
+        # V = pose_{t-1} * pose_{t-2}^{-1} in world frame
+        pose_pred = lie.se3_mul(
+            lie.se3_mul(pose_est, lie.se3_inv(pose_prev2)), pose_est)
+        T_pred = lie.se3_inv(pose_pred)
         pc = lie.se3_apply(T_pred, prev_p3d)
         z = jnp.maximum(pc[:, 2], 1e-6)
         pix = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
@@ -133,8 +139,8 @@ class FastVO:
         c_lap, c_w = self._feed(pose_new, rgb, c_lap, c_w)
         new_p3d = self._plane_points(feats["xy"], pose_new)
         n_match = jnp.sum(ok)
-        return ((feats["desc"], feats["valid"], new_p3d, pose_new,
-                 c_lap, c_w), (pose_new, n_match))
+        return ((feats["desc"], feats["valid"], new_p3d, pose_est,
+                 pose_new, c_lap, c_w), (pose_new, n_match))
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4))
     def _process(self, frames, pose0, c_lap, c_w):
@@ -142,9 +148,10 @@ class FastVO:
         gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
         f0 = orb.orb_detect(gray0.astype(jnp.float32), self.params)
         p3d0 = self._plane_points(f0["xy"], pose0)
-        carry = (f0["desc"], f0["valid"], p3d0, pose0, c_lap, c_w)
+        # motion model starts at rest: prev2 == prev == pose0
+        carry = (f0["desc"], f0["valid"], p3d0, pose0, pose0, c_lap, c_w)
         carry, (poses, n_match) = jax.lax.scan(self._step, carry, frames)
-        return carry[4], carry[5], poses, n_match
+        return carry[5], carry[6], poses, n_match
 
     # ------------------------------------------------------------------
     def process(self, frames, pose0) -> Tuple[np.ndarray, np.ndarray]:

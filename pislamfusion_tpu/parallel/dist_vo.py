@@ -35,12 +35,12 @@ def _segment_program(vo, frames_k, anchor):
     p3d0 = vo._plane_points(f0["xy"], anchor)
     c_lap, c_w = M.alloc_canvas(vo.canvas_tiles, vo.canvas_tiles, vo.bands)
     c_lap, c_w = vo._feed(anchor, frames_k[0], c_lap, c_w)
-    carry = (f0["desc"], f0["valid"], p3d0, anchor, c_lap, c_w)
+    carry = (f0["desc"], f0["valid"], p3d0, anchor, anchor, c_lap, c_w)
     carry, (poses, n_match) = jax.lax.scan(vo._step, carry, frames_k[1:])
     poses = jnp.concatenate([anchor[None], poses], 0)
     n0 = jnp.sum(f0["valid"]).astype(n_match.dtype)
     n_match = jnp.concatenate([n0[None], n_match], 0)
-    return poses, n_match, tuple(carry[4]), tuple(carry[5])
+    return poses, n_match, tuple(carry[5]), tuple(carry[6])
 
 
 def _merge_canvases(lap_all, w_all):
