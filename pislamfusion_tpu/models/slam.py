@@ -38,19 +38,27 @@ from .worldmap import WorldMap
 @FEATURE_DETECTORS.register("ORB")
 class OrbDetector:
     def __init__(self, cfg):
+        import functools
+        import jax
         self.params = orb.OrbParams(
             n_features=cfg.get_int("SLAM.nFeature", 1000),
             n_levels=cfg.get_int("ORB.nLevels", 8),
             scale_factor=cfg.get_double("ORB.ScaleFactor", 1.2))
         self.kind = "orb"
+        # jit is NOT optional here: an eager orb_detect issues hundreds of
+        # per-op dispatches (minutes over the TPU tunnel vs ms compiled)
+        self._fn = jax.jit(
+            functools.partial(orb.orb_detect, params=self.params))
 
     def __call__(self, gray):
-        return orb.orb_detect(jnp.asarray(gray, jnp.float32), self.params)
+        return self._fn(jnp.asarray(gray, jnp.float32))
 
 
 @FEATURE_DETECTORS.register("Sift")
 class SiftDetector:
     def __init__(self, cfg):
+        import functools
+        import jax
         from ..ops.features import sift
         self.params = sift.SiftParams(
             n_features=cfg.get_int("SLAM.nFeature", 1000),
@@ -58,10 +66,11 @@ class SiftDetector:
                                               0.02),
             n_octaves=cfg.get_int("Sift.nOctaves", 4))
         self.kind = "sift"
+        self._fn = jax.jit(
+            functools.partial(sift.sift_detect, params=self.params))
 
     def __call__(self, gray):
-        from ..ops.features import sift
-        return sift.sift_detect(jnp.asarray(gray, jnp.float32), self.params)
+        return self._fn(jnp.asarray(gray, jnp.float32))
 
 
 class SLAM:

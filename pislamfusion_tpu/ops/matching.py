@@ -106,15 +106,27 @@ def rotation_consistency_mask(angle_a, angle_b, idx, valid, bins: int = 30,
     return valid & in_top
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "max_dist", "ratio",
+                                             "cross_check"))
+def _match_descriptors_jit(desc_a, valid_a, desc_b, valid_b, kind,
+                           max_dist, ratio, window, cross_check):
+    dist = distance_matrix(desc_a, desc_b, kind)
+    return match(dist, valid_a, valid_b, max_dist, ratio, window,
+                 cross_check)
+
+
 def match_descriptors(desc_a, valid_a, desc_b, valid_b, kind: str,
                       max_dist: float | None = None, ratio: float = 1.0,
                       window=None, cross_check: bool = True):
     """One-call matcher. kind 'orb' -> Hamming, default threshold 80;
-    kind 'sift' -> L2, default 0.2 (the reference's absolute thresholds)."""
+    kind 'sift' -> L2, default 0.2 (the reference's absolute thresholds).
+    Jitted end-to-end: callers sit on the host side of a high-latency
+    link, so the distance matrix + matching must be ONE dispatch."""
     if max_dist is None:
         max_dist = 80.0 if kind == "orb" else 0.2
-    dist = distance_matrix(desc_a, desc_b, kind)
-    return match(dist, valid_a, valid_b, max_dist, ratio, window, cross_check)
+    return _match_descriptors_jit(desc_a, valid_a, desc_b, valid_b, kind,
+                                  float(max_dist), float(ratio), window,
+                                  cross_check)
 
 
 def matches_to_pairs(idx, valid):
