@@ -58,7 +58,8 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
         elif a == "Stop":
             run_state["stop"] = True
         else:
-            slam.call(a)
+            cmd, _, rest = a.partition(" ")
+            slam.call(cmd, rest or None)
     scommand.register("SLAM_Call", _slam_call)
 
     freq = cfg.get_double("Frequency", 0.0)   # gui/pislam.cpp:134 (100 Hz)

@@ -82,10 +82,11 @@ class Frame:
 
     def _materialize(self):
         """One batched device->host fetch of every feature array."""
-        if self.feats_dev is None:
+        fd = self.feats_dev   # snapshot: another thread may null this field
+        if fd is None:
             return
         import jax
-        host = jax.device_get(self.feats_dev)
+        host = jax.device_get(fd)
         self._feats = {k: np.asarray(v, _FEAT_DTYPES.get(k))
                        for k, v in host.items()}
 
@@ -103,11 +104,14 @@ class Frame:
         self.feats_dev = None
 
     def _host(self, key):
-        if self._feats is None:
-            if self.feats_dev is None:
+        f = self._feats
+        if f is None:
+            if self.feats_dev is not None:
+                self._materialize()
+            f = self._feats
+            if f is None:
                 return None
-            self._materialize()
-        return self._feats.get(key)
+        return f.get(key)
 
     def _set_host(self, key, value):
         if self._feats is None:

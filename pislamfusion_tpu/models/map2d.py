@@ -292,9 +292,6 @@ class RenderMap2D(MultiBandMap2D):
             self.flush()
         return True
 
-    def queue_size(self) -> int:
-        return max(0, len(self._pending) - self.batch + 1)
-
     def flush(self):
         """Composite every pending frame in one scan program."""
         with self._lock:
@@ -347,7 +344,7 @@ class RenderMap2D(MultiBandMap2D):
                     jnp.asarray(np.asarray(origins), jnp.int32),
                     jnp.asarray(won, jnp.float32),
                     bands=self.bands, patch_hw=(patch_px, patch_px),
-                    weight_type=self.weight_type)
+                    weight_type=self.weight_type, half_res=self.fast_warp)
             self.frames_rendered += int(np.sum(np.asarray(won) > 0))
 
     def blended(self, bg: Optional[float] = None):

@@ -278,7 +278,9 @@ class Tracker:
         pose LMs never leave the chip; the host only does index bookkeeping
         on the results. Falls back to the classic path on failure."""
         last = self.last_frame
-        if last is None or last.desc is None or last.n_tracked() < 20:
+        # transfer-free has-features check: touching last.desc would
+        # MATERIALIZE the device features (a full tunnel fetch per frame)
+        if last is None or last.n_kp == 0 or last.n_tracked() < 20:
             return False
         if self._local_stage is None:
             self._stage_local_map()
@@ -292,10 +294,12 @@ class Tracker:
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         lpos, ldesc, lvalid, ids_p = self._local_stage
         # previous frame's features: reuse the DEVICE handles from its own
-        # fused step when present (zero re-upload), else stage from host
-        if last.feats_dev is not None:
-            last_desc, last_valid = (last.feats_dev["desc"],
-                                     last.feats_dev["valid"])
+        # fused step when present (zero re-upload), else stage from host.
+        # SNAPSHOT feats_dev first: the online mapper worker nulls it after
+        # materializing keyframes (mapper.py), racing this thread.
+        fd = last.feats_dev
+        if fd is not None:
+            last_desc, last_valid = fd["desc"], fd["valid"]
         else:
             last_desc = jnp.asarray(last.desc)
             last_valid = jnp.asarray(last.valid)

@@ -146,37 +146,14 @@ def radial_weight(src_xy, width: int, height: int, valid,
     return jnp.where(valid, w, 0.0)
 
 
-def warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type: int = 0,
-                        half_res: bool = False):
+def warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type: int = 0):
     """Warp a frame into a canvas patch and produce its analytic weight map.
 
     img: [H, W, 3] float32; h_patch2img: [3, 3] patch-pixel -> image-pixel.
-    Returns (warped [Ph, Pw, 3], weight [Ph, Pw, 1]).
-
-    half_res=True gathers at HALF the patch resolution and pyr_ups the
-    result: 4x fewer gather indices. TPU gathers run at a fixed ~165M
-    indices/s regardless of layout/dtype (measured on v5e), so the warp is
-    index-count-bound and this trades a slight low-pass (the canvas is
-    typically oversampled ~2x vs the source anyway, Map2D.Scale=0.5) for
-    ~3x warp throughput.
+    Returns (warped [Ph, Pw, 3], weight [Ph, Pw, 1]). For the half-res
+    fast path see patch_pyramids(half_res=True), which never materializes
+    the full-res warp at all.
     """
-    if half_res:
-        h_half = h_patch2img @ jnp.asarray(
-            np.diag([2.0, 2.0, 1.0]), h_patch2img.dtype)
-        half_hw = (patch_hw[0] // 2, patch_hw[1] // 2)
-        grid = im.homography_grid(h_half, half_hw)
-        warped, _ = im.bilinear_sample(img, grid, border="reflect")
-        warped = im.pyr_up(warped, patch_hw)
-        # the weight map needs NO gathers: evaluate the analytic radial
-        # weight on the full-res source-coordinate grid (exact, ~free)
-        grid_full = im.homography_grid(h_patch2img, patch_hw)
-        valid_full = ((grid_full[..., 0] >= 0)
-                      & (grid_full[..., 0] <= img.shape[1] - 1)
-                      & (grid_full[..., 1] >= 0)
-                      & (grid_full[..., 1] <= img.shape[0] - 1))
-        w = radial_weight(grid_full, img.shape[1], img.shape[0],
-                          valid_full, weight_type)
-        return warped, w[..., None]
     grid = im.homography_grid(h_patch2img, patch_hw)
     warped, valid = im.bilinear_sample(img, grid, border="reflect")
     w = radial_weight(grid, img.shape[1], img.shape[0], valid, weight_type)
@@ -270,12 +247,12 @@ def composite_frame(canvas_lap, canvas_w, img, h_patch2img, origin_yx,
 
 
 @functools.partial(jax.jit, static_argnames=("bands", "patch_hw",
-                                              "weight_type"),
+                                              "weight_type", "half_res"),
                    donate_argnums=(0, 1))
 def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
                            weights_on, bands: int,
                            patch_hw: Tuple[int, int],
-                           weight_type: int = 0):
+                           weight_type: int = 0, half_res: bool = False):
     """Composite a BATCH of frames in one compiled program (lax.scan).
 
     The reference's Map2DRender engine renders frames in batches per draw
@@ -290,12 +267,9 @@ def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
     def step(carry, inp):
         c_lap, c_w = carry
         img, h, oyx, won = inp
-        warped, w = warp_frame_to_patch(img, h, patch_hw, weight_type)
-        w = w * won
-        p_lap = im.build_laplacian_pyramid(warped, bands)
-        p_w = [w]
-        for _ in range(bands):
-            p_w.append(im.pyr_down(p_w[-1]))
+        p_lap, p_w = patch_pyramids(img, h, patch_hw, bands, weight_type,
+                                    half_res)
+        p_w = [w * won for w in p_w]
         c_lap, c_w = composite_patch(c_lap, c_w, p_lap, p_w, oyx)
         return (c_lap, c_w), 0.0
 

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
 
+from .dist_ba import shard_map   # version-compat shim (check_vma/check_rep)
 from ..ops import ransac
 from ..ops.ransac import RansacResult
 
@@ -46,7 +46,7 @@ def find_pnp_sharded(key, p3d, p2n, valid, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(axes), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_vma=False)   # lax.scan inside; inputs replicated by spec
+        check_rep=False)   # lax.scan inside; shim maps to check_vma
     def run(keys, p3d, p2n, valid):
         r = ransac.find_pnp(keys[0], p3d, p2n, valid,
                             threshold=threshold, iters=iters_per_device)
@@ -76,7 +76,7 @@ def find_homography_sharded(key, pa, pb, valid, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(axes), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_vma=False)
+        check_rep=False)
     def run(keys, pa, pb, valid):
         r = ransac.find_homography(keys[0], pa, pb, valid,
                                    threshold=threshold,
