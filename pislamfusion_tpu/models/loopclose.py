@@ -223,18 +223,24 @@ class LoopCloserSE3Graph:
                 jnp.asarray(ei_p), jnp.asarray(ej_p),
                 jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
         new_poses = np.asarray(new_poses)[:len(kfs)]
-        # rigid update of points via their reference keyframe's correction
-        corrections = {}
-        for fid in ids:
-            i = kidx[fid]
-            old = jnp.asarray(poses_before[i])
-            new = jnp.asarray(new_poses[i])
-            corrections[fid] = lie.se3_mul(new, lie.se3_inv(old))
-        for mp in self.map.points():
-            ref = mp.ref_frame if mp.ref_frame in corrections else ids[0]
-            C = corrections[ref]
-            mp.position = np.asarray(lie.se3_apply(
-                C, jnp.asarray(mp.position))).astype(np.float32)
-        for fid in ids:
-            self.map.frame(fid).pose_c2w = new_poses[kidx[fid]].astype(
-                np.float32)
+        # rigid update of points via their reference keyframe's correction,
+        # BATCHED (one device call for all corrections, one for all points
+        # — a per-point eager loop costs N x several dispatches) and under
+        # the map's update_lock so the tracker never sees a half-moved map
+        corr = np.asarray(lie.se3_mul(
+            jnp.asarray(new_poses),
+            lie.se3_inv(jnp.asarray(poses_before))))          # [F, 7]
+        with self.map.update_lock:
+            pts = self.map.points()
+            if pts:
+                ridx = np.asarray(
+                    [kidx.get(mp.ref_frame, 0) for mp in pts], np.int32)
+                pos = np.stack([mp.position for mp in pts])
+                newpos = np.asarray(lie.se3_apply(
+                    jnp.asarray(corr)[ridx], jnp.asarray(pos)))
+                for mp, x in zip(pts, newpos):
+                    mp.position = x.astype(np.float32)
+            for fid in ids:
+                self.map.frame(fid).pose_c2w = new_poses[kidx[fid]].astype(
+                    np.float32)
+        self.map.version += 1

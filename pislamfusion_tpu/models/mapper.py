@@ -442,11 +442,12 @@ class Mapper:
         new_poses = np.asarray(new_poses)
         new_points = np.asarray(new_points)
         new_c2w = hse3.se3_inv(new_poses).astype(np.float32)
-        for fid in free_ids:
-            self.map.frame(fid).pose_c2w = new_c2w[fidx[fid]]
-        for pid in pids:
-            self.map.point(pid).position = new_points[pidx[pid]].astype(
-                np.float32)
+        with self.map.update_lock:
+            for fid in free_ids:
+                self.map.frame(fid).pose_c2w = new_c2w[fidx[fid]]
+            for pid in pids:
+                self.map.point(pid).position = \
+                    new_points[pidx[pid]].astype(np.float32)
         # prune high-error observations (:1504-1549)
         self._prune_observations(frame_ids, pids, sigma)
 
@@ -657,7 +658,15 @@ class Mapper:
 
     def apply_sim3(self, S: np.ndarray):
         """Transform every frame pose and point by the SIM3 (the reference's
-        `fr->setPose(sim3*fr->getPoseScale())` loop)."""
+        `fr->setPose(sim3*fr->getPoseScale())` loop). Holds the map's
+        update_lock for the whole rewrite: in online mode this runs on the
+        mapper worker while the tracker stages inputs — a transform landing
+        mid-stage mixes gauges and loses tracking."""
+        with self.map.update_lock:
+            self._apply_sim3_locked(S)
+        self.map.version += 1
+
+    def _apply_sim3_locked(self, S: np.ndarray):
         Sj = jnp.asarray(S, jnp.float32)
         frames = self.map.frames()
         if frames:

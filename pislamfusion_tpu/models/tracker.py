@@ -251,18 +251,19 @@ class Tracker:
         """Stage the padded local-map arrays on device (refreshed after
         every keyframe / map transform) so the per-frame hot path is ONE
         fused dispatch."""
-        ref = self.map.frame(self.ref_kf_id)
-        local_ids = {self.ref_kf_id}
-        if ref is not None:
-            top = sorted(ref.connections.items(), key=lambda kv: -kv[1])
-            local_ids.update(k for k, _ in top[:10])
-        pids = set()
-        for fid in local_ids:
-            fr = self.map.frame(fid)
-            if fr is None or fr.kp2mp is None:
-                continue
-            pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
-        ids, lpos, ldesc = self.map.point_arrays(sorted(pids))
+        with self.map.update_lock:   # consistent gauge for the staged cloud
+            ref = self.map.frame(self.ref_kf_id)
+            local_ids = {self.ref_kf_id}
+            if ref is not None:
+                top = sorted(ref.connections.items(), key=lambda kv: -kv[1])
+                local_ids.update(k for k, _ in top[:10])
+            pids = set()
+            for fid in local_ids:
+                fr = self.map.frame(fid)
+                if fr is None or fr.kp2mp is None:
+                    continue
+                pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
+            ids, lpos, ldesc = self.map.point_arrays(sorted(pids))
         if len(ids) < 30:
             self._local_stage = None
             return
@@ -287,9 +288,14 @@ class Tracker:
             if self._local_stage is None:
                 return False
         cam = frame.camera
-        with timer.scope("Tracker::fusedGather"):
+        # snapshot the staging inputs ATOMICALLY vs whole-map rewrites
+        # (GPS SIM3 fits / loop closures on the mapper thread): a transform
+        # landing between these reads mixes gauges and sheds tracking
+        with timer.scope("Tracker::fusedGather"), self.map.update_lock:
+            map_version = self.map.version
             pos, has = self._gather_frame_points(last)
-        T_pred_w2c = hse3.se3_inv(hse3.se3_mul(last.pose_c2w, self.motion))
+            T_pred_w2c = hse3.se3_inv(hse3.se3_mul(last.pose_c2w,
+                                                   self.motion))
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         lpos, ldesc, lvalid, ids_p = self._local_stage
@@ -321,6 +327,12 @@ class Tracker:
         with timer.scope("Tracker::fusedFetch"):
             # ONE leaf fetched = ONE backend round trip per frame
             packed = np.asarray(packed)
+        if self.map.version != map_version:
+            # the map changed gauge while the step was in flight: this
+            # result lives in the OLD gauge — discard it and let the
+            # fallback paths re-read consistent state
+            self._log << ",staleGauge"
+            return False
         n = frame.n_kp
         P = int(lpos.shape[0])
         a = packed[16:16 + 6 * n].reshape(6, n)

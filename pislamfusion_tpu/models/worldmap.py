@@ -32,6 +32,13 @@ class WorldMap:
         self._next_fid = 0
         self._next_pid = 0
         self._lock = threading.RLock()
+        # coarse guard for WHOLE-MAP geometry rewrites (GPS SIM3 fits, loop
+        # closures, BA writeback) vs the tracker's staging reads: writers
+        # hold update_lock and bump `version`; the tracker snapshots inputs
+        # under the lock and discards a fused result if version moved while
+        # the device step was in flight (the map changed gauge under it)
+        self.update_lock = threading.RLock()
+        self.version = 0
         self._keyframe_ids: List[int] = []
 
     # ---------------------------------------------------------------- ids

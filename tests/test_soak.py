@@ -1,0 +1,78 @@
+"""Long-horizon soak: the full default profile on an 80-frame survey.
+
+Everything on at once — fused ORB tracking, online mapper worker, GPS
+fusion with noisy fixes, loop closing, keyframe + map-point culling,
+mosaic feed through the DataTrans queues — the closest synthetic analogue
+to running the reference binary with Default.cfg on a long sequence
+(SURVEY.md section 4: integration testing = datasets end-to-end).
+
+Asserts the long-horizon mechanisms specifically: bounded keyframe count
+(culling), bounded map size, geo-registration staying metric to the end,
+and a coherent mosaic. ~10 min on the 1-core box; `soak` marker (run explicitly).
+"""
+import numpy as np
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.gps import LocalFrame
+from pislamfusion_tpu.core.svar import Svar
+from pislamfusion_tpu.models.fusion import FusionSystem
+from pislamfusion_tpu.models.slam import create_slam
+
+from synth_survey import make_ground, nadir_pose, render_view
+
+pytestmark = pytest.mark.soak   # own tier: heavier than e2e
+
+
+def test_long_survey_everything_on():
+    rng = np.random.default_rng(21)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = []
+    for iy, y in enumerate(np.arange(32.0, 56.0, 6.0)):
+        xs = np.arange(26.0, 62.0, 1.8)
+        for x in (xs if iy % 2 == 0 else xs[::-1]):
+            poses.append(nadir_pose(x, y, 25.0))
+    poses = np.stack(poses)
+    n = len(poses)
+    assert n >= 80
+
+    local = LocalFrame(116.0, 40.0, 0.0)
+    cfg = Svar()
+    for k, v in [("FeatureDetector", "ORB"), ("SLAM.nFeature", "500"),
+                 ("SLAM.MaxOverlap", "0.9"), ("SLAM.LoopClose", "1"),
+                 ("SLAM.isOnline", "1"), ("SLAM.BAFrameCap", "8"),
+                 ("SLAM.BAPointCap", "1024"), ("SLAM.BAObsCap", "4096"),
+                 ("SLAM.LocalBAIters", "6"), ("Plane.MinPoints", "400"),
+                 ("GPS.MinFrames2Fit", "5")]:
+        cfg.set(k, v)
+    slam = create_slam(cfg, cam)
+    fusion = FusionSystem(cfg, cam).start()
+
+    for i, p in enumerate(poses):
+        img = render_view(ground, cam, p)
+        noisy = p[:3] + rng.normal(0, 0.4, 3)
+        lla = local.local_to_lla(noisy)
+        slam.track(img, float(i), gps_lla=lla, gps_acc=0.5)
+    slam.finish()
+    fusion.finish()
+
+    # tracked ratio on a long run
+    ratio = slam.frames_tracked / slam.frames_total
+    assert ratio > 0.85, f"tracked only {ratio * 100:.0f}%"
+    # geo-registration happened and stayed metric: keyframe centers vs the
+    # TRUE trajectory (ENU == world for this synthetic local frame)
+    assert slam.mapper.gps_fitted
+    kfs = slam.map.keyframes()
+    ids = np.asarray([f.id for f in kfs])
+    est = np.stack([f.pose_c2w[:3] for f in kfs])
+    gt = poses[ids][:, :3]
+    geo_ate = np.sqrt(np.mean(np.sum((est - gt) ** 2, -1)))
+    assert geo_ate < 2.0, f"geo-ATE {geo_ate:.2f} m"
+    # long-horizon bounds: culling keeps the map sub-linear in frames
+    assert len(kfs) < 0.75 * n, f"{len(kfs)} KFs for {n} frames (no culling?)"
+    assert slam.map.point_num() < 120 * len(kfs)
+    # the fusion consumer built a mosaic from the queues
+    assert fusion.frames_fed > 0.5 * n
+    out, covered = fusion.map2d.blended()
+    assert covered.sum() > 20000
