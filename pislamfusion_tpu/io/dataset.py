@@ -99,9 +99,15 @@ def _parse_gpshpyr(vals):
     """Decode the reference's _gpshpyr layouts (6/8/11/12/14 doubles,
     DatasetRTMapper.cpp:155-159) into (lla, sigma, pyr, height).
 
-    pyr follows getPitchYawRoll (MapFrame.h:46-51) including its
-    sigma-validity gates; height follows getHeight2Ground (MapFrame.h:77-80:
-    sizes 8/14 carry (height, sigma), valid when sigma < 100)."""
+    pyr follows getPitchYawRoll (MapFrame.h:46-51) with sigma-validity
+    gates; height follows getHeight2Ground (MapFrame.h:77-80: sizes 8/14
+    carry (height, sigma), valid when sigma < 100).
+
+    Intentional deviation for the size-14 layout: the reference gates pyr
+    on `_gpshpyr[11]` being *nonzero* (a truthiness test on the sigma
+    value, which accepts sigma >= 20 and rejects sigma == 0 — almost
+    certainly a bug, since every other layout gates on sigma < 20). Here
+    all three layouts use the consistent `sigma < 20` gate."""
     v = [float(x) for x in vals]
     lla = sigma = pyr = height = None
     n = len(v)

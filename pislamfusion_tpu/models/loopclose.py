@@ -243,4 +243,6 @@ class LoopCloserSE3Graph:
             for fid in ids:
                 self.map.frame(fid).pose_c2w = new_poses[kidx[fid]].astype(
                     np.float32)
-        self.map.version += 1
+            # bump inside the lock so a tracker snapshot between rewrite
+            # and bump isn't spuriously discarded by the version check
+            self.map.version += 1

@@ -287,8 +287,12 @@ class RenderMap2D(MultiBandMap2D):
         self._pending: List = []   # (img_np, pose_plane)
 
     def render_frame(self, img, pose_plane) -> bool:
-        self._pending.append((np.asarray(img), pose_plane))
-        if len(self._pending) >= self.batch:
+        # append under the same lock flush() swaps the list with, so a
+        # feed racing a flush from another thread can't interleave
+        with self._lock:
+            self._pending.append((np.asarray(img), pose_plane))
+            full = len(self._pending) >= self.batch
+        if full:
             self.flush()
         return True
 

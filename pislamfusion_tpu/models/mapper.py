@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import glog
 from ..core.messenger import messenger as _messenger
 from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
@@ -31,9 +32,12 @@ from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
 from .worldmap import WorldMap
 
-# default static BA capacities (re-jit only if a window exceeds them);
-# override with SLAM.BAFrameCap / BAPointCap / BAObsCap
-BA_F, BA_P, BA_O = 16, 4096, 16384
+# default static BA capacities (saturation is LOGGED, not silent; override
+# with SLAM.BAFrameCap / BAPointCap / BAObsCap). BA_F=40 matches the
+# reference's ~40-KF local windows (SLAM.MaxLocalKFNum, TrackerOpt.cpp:1121)
+# — on TPU the padded Schur system stays small (240x240 reduced camera
+# block) so the larger window costs little.
+BA_F, BA_P, BA_O = 40, 4096, 16384
 PLANE_MIN_POINTS = 2000   # src/RANSAC.cpp:103
 
 
@@ -55,6 +59,10 @@ class Mapper:
         self.plane_queue = _default_trans_plane
         self.gps_fitted = False
         self.last_gps_fit_rms = None   # diagnostics for tests/logs
+        # capacity-saturation observability: counts of drops at the BA
+        # caps; first saturation of each kind logs a warning (then counts
+        # silently — per-KF spam helps nobody)
+        self.ba_truncated = {"frames": 0, "points": 0, "obs": 0}
         # online mode: keyframe handling on a 1-worker pool so the tracker
         # never blocks on BA (MapperDemo.cpp:77-106 ThreadPool(1) +
         # _abordBundle backpressure)
@@ -329,10 +337,28 @@ class Mapper:
                                         else -1)
                 self.map.erase_point(drop.id)
 
+    def _note_truncation(self, kind: str, dropped: int):
+        """Record (and log on first occurrence) a drop at a BA capacity cap
+        — silent truncation quietly degrades BA quality on dense scenes."""
+        first = self.ba_truncated[kind] == 0
+        self.ba_truncated[kind] += int(dropped)
+        if first:
+            cap = {"frames": self.ba_f, "points": self.ba_p,
+                   "obs": self.ba_o}[kind]
+            glog.logger.warning(
+                "local BA %s window saturated (cap %d, %d dropped this KF);"
+                " raise SLAM.BA%sCap to widen — further drops counted in"
+                " Mapper.ba_truncated" %
+                (kind, cap, dropped,
+                 {"frames": "Frame", "points": "Point", "obs": "Obs"}[kind]))
+
     # --------------------------------------------------------------- BA
     def _local_ba(self, frame: Frame):
         """Local bundle: current + connected KFs free, their neighbors fixed
         (localOptimization:1286-1555). Fixed-capacity padded problem."""
+        if len(frame.connections) > self.ba_f - 2:
+            self._note_truncation("frames",
+                                  len(frame.connections) - (self.ba_f - 2))
         free_ids = [frame.id] + sorted(frame.connections,
                                        key=frame.connections.get,
                                        reverse=True)[:self.ba_f - 2]
@@ -363,6 +389,8 @@ class Mapper:
                     # non-keyframe still referenced them
                     if self.map.point(p) is not None:
                         pids.append(p)
+        if len(pids) > self.ba_p:
+            self._note_truncation("points", len(pids) - self.ba_p)
         pids = pids[:self.ba_p]
         pidx = {pid: i for i, pid in enumerate(pids)}
         if len(pids) < 10:
@@ -378,6 +406,8 @@ class Mapper:
                     obs_uv.append(fr.rays[kp][:2])
         if len(obs_f) < 30:
             return
+        if len(obs_f) > self.ba_o:
+            self._note_truncation("obs", len(obs_f) - self.ba_o)
         obs_f = np.asarray(obs_f[:self.ba_o], np.int32)
         obs_p = np.asarray(obs_p[:self.ba_o], np.int32)
         obs_uv = np.asarray(obs_uv[:self.ba_o], np.float32)
@@ -664,7 +694,10 @@ class Mapper:
         mid-stage mixes gauges and loses tracking."""
         with self.map.update_lock:
             self._apply_sim3_locked(S)
-        self.map.version += 1
+            # bump inside the critical section: a tracker snapshotting
+            # between the rewrite and the bump would otherwise compute a
+            # valid new-gauge result that the version check then discards
+            self.map.version += 1
 
     def _apply_sim3_locked(self, S: np.ndarray):
         Sj = jnp.asarray(S, jnp.float32)

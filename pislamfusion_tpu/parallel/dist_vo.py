@@ -55,6 +55,16 @@ def _merge_canvases(lap_all, w_all):
     return merged_lap, merged_w
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_survey(vo_static, frames, anchors):
+    """Module-level jitted entry (FastVO hashes by id) so the compiled
+    multi-segment program is cached across process_survey calls."""
+    poses, n_match, lap_all, w_all = jax.vmap(
+        lambda f, a: _segment_program(vo_static, f, a))(frames, anchors)
+    lap, w = _merge_canvases(lap_all, w_all)
+    return poses, n_match, tuple(lap), tuple(w)
+
+
 def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
     """Track+fuse S segments in parallel over the mesh.
 
@@ -71,20 +81,13 @@ def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
     anchors = jnp.asarray(anchors, jnp.float32)
     S = frames.shape[0]
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def run(vo_static, frames, anchors):
-        poses, n_match, lap_all, w_all = jax.vmap(
-            lambda f, a: _segment_program(vo_static, f, a))(frames, anchors)
-        lap, w = _merge_canvases(lap_all, w_all)
-        return poses, n_match, tuple(lap), tuple(w)
-
     if mesh is not None:
         assert S % mesh.devices.size == 0, (S, mesh.devices.size)
         axes = tuple(mesh.axis_names)
         shard = NamedSharding(mesh, P(axes))
         frames = jax.device_put(frames, shard)
         anchors = jax.device_put(anchors, shard)
-    poses, n_match, lap, w = run(vo, frames, anchors)
+    poses, n_match, lap, w = _run_survey(vo, frames, anchors)
     vo.canvas_lap, vo.canvas_w = list(lap), list(w)
     out = jax.device_get((poses, n_match))
     return out[0], out[1]
