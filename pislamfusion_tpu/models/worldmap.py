@@ -154,11 +154,20 @@ class WorldMap:
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path: str) -> bool:
-        """Versioned binary checkpoint (MapHash::save/load equivalent,
-        MapHash.cpp:365-545): a magic header + npz archive of plain arrays
-        (allow_pickle=False throughout) — safe to load from untrusted files
-        and stable across refactors. Observations and connections are
-        flattened to (id, id, index) triplet arrays."""
+        """Map checkpoint. Two formats by extension, mirroring the
+        reference's dispatch (MapHash::save, MapHash.cpp:376-381):
+
+        * ``.npz`` -> this build's native format (magic header + npz of
+          plain arrays, allow_pickle=False — safe and refactor-stable);
+        * any other extension (``.map``, ``.gmap``, ...) -> the
+          reference's MapHash BINARY layout (io/maphash.py), loadable by
+          the C++ system and vice versa.
+        """
+        if not path.endswith(".npz"):
+            from ..io import maphash
+            with self._lock:
+                data = maphash.from_worldmap(self)
+            return maphash.save_file(path, data)
         import io as _io
         with self._lock:
             frames = list(self._frames.values())
@@ -230,7 +239,11 @@ class WorldMap:
         return True
 
     def load(self, path: str) -> bool:
+        """Load any supported checkpoint, sniffing the header: our npz
+        format, the legacy v1 format, or a reference MapHash binary
+        ("Hash\\nbinary\\n" — MapHash.cpp:470-473)."""
         from ..core.camera import Camera
+        from ..io import maphash
         with open(path, "rb") as fh:
             magic = fh.read(13)
             if magic == b"PSFTPU_MAP_V2":
@@ -238,6 +251,9 @@ class WorldMap:
                 data = np.load(_io.BytesIO(fh.read()), allow_pickle=False)
             elif magic == CHECKPOINT_MAGIC[:13]:
                 return self._load_v1(path)
+            elif magic.startswith(maphash.MAGIC[:12]):
+                maphash.into_worldmap(maphash.load_file(path), self)
+                return True
             else:
                 return False
         with self._lock:
