@@ -49,7 +49,7 @@ class FastVO:
                  length_pixel: float, bands: int = 5,
                  n_features: int = 1000, n_levels: int = 8,
                  window_radius: float = 60.0, patch_tiles: int = 0,
-                 fast_warp: bool = True):
+                 fast_warp: bool = True, warp_mode: str = ""):
         self.cam = camera
         self.min_xy = np.asarray(min_xy, np.float64)
         self.canvas_tiles = int(canvas_tiles)
@@ -57,8 +57,15 @@ class FastVO:
         self.bands = int(bands)
         self.params = orb.OrbParams(n_features=n_features, n_levels=n_levels)
         self.window_radius = float(window_radius)
-        # half-res gather + pyr_up: the warp is gather-index-bound on TPU
-        # and the canvas is ~2x oversampled vs the source (Map2D.Scale)
+        # warp_mode "": auto — the Pallas shear kernel on TPU (full-res
+        # exact, ~20x the gather's throughput), half-res gather elsewhere
+        # (fast_warp) for the CPU test tier
+        if not warp_mode:
+            plat = jax.devices()[0].platform.lower()
+            warp_mode = "shear" if plat in ("tpu", "axon") else "gather"
+        self.warp_mode = warp_mode
+        # half-res gather + pyr_up (gather mode only): the gather warp is
+        # index-bound and the canvas is ~2x oversampled (Map2D.Scale)
         self.fast_warp = bool(fast_warp)
         if not patch_tiles:
             diag = float(np.hypot(camera.width, camera.height))
@@ -97,7 +104,8 @@ class FastVO:
         rgb3 = rgb if rgb.ndim == 3 else jnp.repeat(rgb[..., None], 3, -1)
         p_lap, p_w = M.patch_pyramids(rgb3.astype(jnp.float32), Hc2i,
                                       (patch_px, patch_px), self.bands,
-                                      half_res=self.fast_warp)
+                                      half_res=self.fast_warp,
+                                      warp=self.warp_mode)
         oyx = jnp.stack([origin_t[1], origin_t[0]]) * ELE
         return M.composite_patch(c_lap, c_w, p_lap, p_w, oyx)
 

@@ -191,6 +191,12 @@ class MultiBandMap2D(Map2DBase):
         self.weight_type = int(self.cfg.get_int("Map2D.WeightType", 0))
         # Map2D.FastWarp: half-res gather + pyr_up (see ops.mosaic)
         self.fast_warp = bool(self.cfg.get_int("Map2D.FastWarp", 0))
+        # Map2D.WarpMode: "" = auto (Pallas shear kernel on TPU, gather
+        # elsewhere), or explicit "shear"/"gather"
+        self.warp_mode = self.cfg.get("Map2D.WarpMode", "")
+        if not self.warp_mode:
+            plat = jax.devices()[0].platform.lower()
+            self.warp_mode = "shear" if plat in ("tpu", "axon") else "gather"
         self.canvas_lap: List[jnp.ndarray] = []
         self.canvas_w: List[jnp.ndarray] = []
 
@@ -233,7 +239,8 @@ class MultiBandMap2D(Map2DBase):
                 jnp.asarray(H, jnp.float32),
                 jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
                 bands=self.bands, patch_hw=(patch_px, patch_px),
-                weight_type=self.weight_type, half_res=self.fast_warp)
+                weight_type=self.weight_type, half_res=self.fast_warp,
+                warp=self.warp_mode)
         self.frames_rendered += 1
         return True
 
@@ -348,7 +355,8 @@ class RenderMap2D(MultiBandMap2D):
                     jnp.asarray(np.asarray(origins), jnp.int32),
                     jnp.asarray(won, jnp.float32),
                     bands=self.bands, patch_hw=(patch_px, patch_px),
-                    weight_type=self.weight_type, half_res=self.fast_warp)
+                    weight_type=self.weight_type, half_res=self.fast_warp,
+                    warp=self.warp_mode)
             self.frames_rendered += int(np.sum(np.asarray(won) > 0))
 
     def blended(self, bg: Optional[float] = None):

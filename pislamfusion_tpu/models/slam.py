@@ -35,6 +35,19 @@ from .tracker import Tracker
 from .worldmap import WorldMap
 
 
+def _default_vocabulary():
+    """The embedded default ORB vocabulary (resources/orb_vocab.py,
+    trained by scripts/train_default_vocab.py), or None if unavailable."""
+    try:
+        from ..core import resource
+        from ..ops.vocabulary import Vocabulary
+        from ..resources import orb_vocab                       # noqa: F401
+        data = resource.get(orb_vocab.NAME)
+        return Vocabulary.loads(data) if data else None
+    except Exception:                                           # noqa: BLE001
+        return None
+
+
 @FEATURE_DETECTORS.register("ORB")
 class OrbDetector:
     def __init__(self, cfg):
@@ -128,6 +141,12 @@ class SLAM:
         det_name = cfg.get_string("LoopDetector", "GPS")
         from ..core.registry import LOOP_DETECTORS
         from .loopclose import LoopDetectorBoW
+        if det_name == "BoW" and self.vocabulary is None:
+            # no vocab configured: fall back to the EMBEDDED default ORB
+            # vocabulary (the reference ships its .gbow inside the binary
+            # via FileResource, FileResource.h:9-111) before degrading to
+            # the GPS distance detector
+            self.vocabulary = _default_vocabulary()
         if det_name == "BoW" and self.vocabulary is None:
             det_name = "GPS"    # no vocab -> fall back to distance detector
         detector = LOOP_DETECTORS.create(det_name, self.map, cfg)

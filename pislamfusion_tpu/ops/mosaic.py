@@ -36,6 +36,7 @@ import numpy as np
 
 from . import image as im
 from . import lie
+from . import shearwarp
 
 ELE_PIXELS = 256  # canvas tile size, reference Map2D.h:35
 
@@ -160,18 +161,73 @@ def warp_frame_to_patch(img, h_patch2img, patch_hw, weight_type: int = 0):
     return warped, w[..., None]
 
 
+def analytic_weight_pyramid(h_patch2img, img_hw, patch_hw, bands: int,
+                            weight_type: int = 0, live=None):
+    """Radial-weight pyramid EVALUATED per level instead of pyr_down'd.
+
+    The per-frame weight (renderFrame:396-425) is a smooth analytic
+    function of the source coordinate; evaluating it at each band's grid
+    (homography scaled by 2^i) skips the whole pyr_down chain — less
+    traffic, same smooth seams. Slight semantic deviation from the
+    reference's blur-decimate chain at the validity boundary (a hard 0
+    edge here vs a blurred rolloff there); the max-weight composite only
+    compares weights of overlapping frames, both computed the same way.
+
+    live: optional [nty, ntx] bool tile-liveness from the shear warp —
+    dead tiles get zero weight so clamped window content never wins.
+    """
+    H, W = img_hw
+    ph, pw = patch_hw
+    pyr = []
+    scale_mat = np.diag([2.0, 2.0, 1.0]).astype(np.float32)
+    h = h_patch2img
+    live_full = None
+    if live is not None:
+        t0 = ph // live.shape[0]
+        live_full = jnp.repeat(jnp.repeat(live, t0, 0), t0, 1)
+    for i in range(bands + 1):
+        hw_i = (max(1, ph >> i), max(1, pw >> i))
+        grid = im.homography_grid(h, hw_i, offset=(0.0, 0.0))
+        valid = ((grid[..., 0] >= 0) & (grid[..., 0] <= W - 1)
+                 & (grid[..., 1] >= 0) & (grid[..., 1] <= H - 1))
+        w = radial_weight(grid, W, H, valid, weight_type)
+        if live_full is not None:
+            lv = live_full[::1 << i, ::1 << i]
+            w = w * lv[:hw_i[0], :hw_i[1]].astype(w.dtype)
+        pyr.append(w[..., None])
+        h = h @ jnp.asarray(scale_mat, h.dtype)
+    return pyr
+
+
 def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
-                   weight_type: int = 0, half_res: bool = False):
+                   weight_type: int = 0, half_res: bool = False,
+                   warp: str = "gather"):
     """(patch Laplacian pyramid [bands+1], weight pyramid [bands+1]) for
     one frame — the mosaic feed's per-frame compute.
 
-    half_res=True never materializes a full-res warp at all: the content
-    is gathered at half the patch resolution, band 0's Laplacian is
-    EXACTLY ZERO by construction (a pyr_up'd image has no finest-band
-    detail), and the pyramid chain starts from the half-res image — 4x
-    fewer gather indices AND no 1536^2 pyramid level. Weights stay exact
-    full-res analytic (no gathers needed), so coverage/seam decisions are
-    unchanged."""
+    warp="shear" routes the content warp through the Pallas shear kernel
+    (ops/shearwarp.py: no gathers — log-roll shears + one-hot MXU
+    matmuls, ~20x the gather warp's throughput on v5e) and evaluates the
+    weight pyramid analytically per level. TPU only; half_res is ignored
+    in this mode (the full-res warp is cheaper than the old half-res
+    gather was).
+
+    half_res=True (gather mode) never materializes a full-res warp at
+    all: the content is gathered at half the patch resolution, band 0's
+    Laplacian is EXACTLY ZERO by construction (a pyr_up'd image has no
+    finest-band detail), and the pyramid chain starts from the half-res
+    image — 4x fewer gather indices AND no 1536^2 pyramid level. Weights
+    stay exact full-res analytic (no gathers needed), so coverage/seam
+    decisions are unchanged."""
+    if warp == "shear":
+        rgb = img if img.ndim == 3 else img[..., None]
+        warped, live, _fit = shearwarp.warp_patch_pallas(
+            rgb.astype(jnp.float32), h_patch2img, patch_hw)
+        p_lap = im.build_laplacian_pyramid(warped, bands)
+        p_w = analytic_weight_pyramid(h_patch2img,
+                                      (img.shape[0], img.shape[1]),
+                                      patch_hw, bands, weight_type, live)
+        return p_lap, p_w
     if not half_res:
         warped, w = warp_frame_to_patch(img, h_patch2img, patch_hw,
                                         weight_type)
@@ -230,11 +286,13 @@ def composite_patch(canvas_lap: List[jnp.ndarray],
 
 
 @functools.partial(jax.jit, static_argnames=("bands", "patch_hw",
-                                              "weight_type", "half_res"),
+                                              "weight_type", "half_res",
+                                              "warp"),
                    donate_argnums=(0, 1))
 def composite_frame(canvas_lap, canvas_w, img, h_patch2img, origin_yx,
                     bands: int, patch_hw: Tuple[int, int],
-                    weight_type: int = 0, half_res: bool = False):
+                    weight_type: int = 0, half_res: bool = False,
+                    warp: str = "gather"):
     """One fused feed step: warp + pyramid + max-weight composite.
 
     canvas_lap / canvas_w: lists (len bands+1) of band arrays (donated).
@@ -242,17 +300,19 @@ def composite_frame(canvas_lap, canvas_w, img, h_patch2img, origin_yx,
     to origin) to image pixels. origin_yx: int32 [2], tile aligned.
     """
     patch_lap, patch_w = patch_pyramids(img, h_patch2img, patch_hw, bands,
-                                        weight_type, half_res)
+                                        weight_type, half_res, warp)
     return composite_patch(canvas_lap, canvas_w, patch_lap, patch_w, origin_yx)
 
 
 @functools.partial(jax.jit, static_argnames=("bands", "patch_hw",
-                                              "weight_type", "half_res"),
+                                              "weight_type", "half_res",
+                                              "warp"),
                    donate_argnums=(0, 1))
 def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
                            weights_on, bands: int,
                            patch_hw: Tuple[int, int],
-                           weight_type: int = 0, half_res: bool = False):
+                           weight_type: int = 0, half_res: bool = False,
+                           warp: str = "gather"):
     """Composite a BATCH of frames in one compiled program (lax.scan).
 
     The reference's Map2DRender engine renders frames in batches per draw
@@ -268,7 +328,7 @@ def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
         c_lap, c_w = carry
         img, h, oyx, won = inp
         p_lap, p_w = patch_pyramids(img, h, patch_hw, bands, weight_type,
-                                    half_res)
+                                    half_res, warp)
         p_w = [w * won for w in p_w]
         c_lap, c_w = composite_patch(c_lap, c_w, p_lap, p_w, oyx)
         return (c_lap, c_w), 0.0

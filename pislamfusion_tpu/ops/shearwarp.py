@@ -85,7 +85,8 @@ def _homography_apply(h, uv):
 
 def tile_params(h_patch2img, patch_hw: Tuple[int, int],
                 src_hw: Tuple[int, int], win_hw: Tuple[int, int],
-                tile: int = TILE, transpose: bool = False) -> TileParams:
+                tile: int = TILE, transpose: bool = False,
+                align: Tuple[int, int] = (1, 1)) -> TileParams:
     """Fit the per-tile affines and choose source windows (traced, tiny).
 
     h_patch2img: [3, 3] patch px -> image px. transpose=True computes the
@@ -114,15 +115,30 @@ def tile_params(h_patch2img, patch_hw: Tuple[int, int],
     max_fit_err = jnp.max(jnp.abs(twist))
     sh, sw = (src_hw[1], src_hw[0]) if transpose else src_hw
     wh, ww = win_hw
-    # window origin: cover the tile's src bbox (+1 px interp margin)
+    # window origin: cover the tile's src bbox (+1 px interp margin),
+    # aligned DOWN to the DMA tiling (8 sublanes x 128 lanes for the
+    # Pallas kernel — HBM slices must start on tile boundaries)
+    ay, ax = align
     xmin = jnp.min(p[..., 0], axis=1) - 1.0
     ymin = jnp.min(p[..., 1], axis=1) - 1.0
-    wx = jnp.clip(jnp.floor(xmin).astype(jnp.int32), 0, max(sw - ww, 0))
-    wy = jnp.clip(jnp.floor(ymin).astype(jnp.int32), 0, max(sh - wh, 0))
+    wx = jnp.clip((jnp.floor(xmin).astype(jnp.int32) // ax) * ax,
+                  0, (max(sw - ww, 0) // ax) * ax)
+    wy = jnp.clip((jnp.floor(ymin).astype(jnp.int32) // ay) * ay,
+                  0, (max(sh - wh, 0) // ay) * ay)
     # live: src bbox intersects the image (with a 1-tile margin)
     xmax = jnp.max(p[..., 0], axis=1)
     ymax = jnp.max(p[..., 1], axis=1)
     live = (xmax >= 0) & (xmin <= sw) & (ymax >= 0) & (ymin <= sh)
+    # overflow guard: a tile whose source extent or resample-index range
+    # exceeds the provisioned window would select clamped/wrapped content
+    # at genuinely-valid destination pixels — mark it dead instead (the
+    # caller widens max_scale if this ever fires; see `live` docstring)
+    a00, a10 = a_col[:, 0], a_col[:, 1]
+    safe = jnp.where(jnp.abs(a00) < 1e-6, 1e-6, a00)
+    beta = (a00 * a_row[:, 1] - a_row[:, 0] * a10) / safe
+    fits = ((ymax - ymin + 4.0 < wh) & (xmax - xmin + 4.0 < ww)
+            & (jnp.abs(beta) * t + 4.0 < wh) & (jnp.abs(a00) * t + 4.0 < ww))
+    live = live & fits
     affine = jnp.stack([a_col[:, 0], a_row[:, 0],
                         trans[:, 0] - wx.astype(jnp.float32),
                         a_col[:, 1], a_row[:, 1],
@@ -256,6 +272,207 @@ def warp_patch_xla(img, h_patch2img, patch_hw: Tuple[int, int],
         patch = tiles.reshape(nty, ntx, tile, tile, -1)
         patch = patch.transpose(0, 2, 1, 3, 4).reshape(ph, pw, -1)
         return patch, prm.max_fit_err
+
+    return jax.lax.cond(
+        _choose_transpose(h_patch2img),
+        lambda: run(jnp.swapaxes(img, 0, 1), True),
+        lambda: run(img, False))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: the same two passes fused per tile, window DMA'd into VMEM
+# ---------------------------------------------------------------------------
+
+def _phases_traced(slope_shear, offset_shear, slope_resample, n_out: int,
+                   n_axis: int, mod: int):
+    """Kernel-side twin of _pass_phases (2D iotas, shear shift mod `mod`
+    for the circular roll network). Returns (smod [1, n_axis] int32,
+    f [1, n_axis] f32, m [n_out, 1] int32, g [n_out, 1] f32)."""
+    # int iota then cast: Mosaic's tpu.iota is integer-only
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, n_axis), 1).astype(
+        jnp.float32)
+    vs = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0).astype(
+        jnp.float32)
+    pv = slope_resample * vs
+    bias = jnp.ceil(jnp.maximum(0.0, -jnp.min(pv)))
+    m = jnp.floor(pv) + bias
+    g = pv - jnp.floor(pv)
+    sx = slope_shear * xs + offset_shear - bias
+    n = jnp.floor(sx)
+    f = sx - n
+    smod = jnp.mod(n.astype(jnp.int32), mod)
+    return smod, f, m.astype(jnp.int32), g
+
+
+def _roll_steps(mod: int):
+    return max(1, int(np.ceil(np.log2(mod))))
+
+
+def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int):
+    """Kernel factory. Grid (nt,); scalar prefetch: window origins [nt, 2]
+    i32, affines [nt, 6] f32 (window-local), live [nt] i32. src stays in
+    HBM ([C, Hs, Ws]); each tile DMAs its [WH, WW] window per channel."""
+    from jax.experimental import pallas as pl            # deferred: TPU only
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits1 = _roll_steps(WH)
+    bits2 = _roll_steps(WW)
+
+    def kernel(org_ref, aff_ref, live_ref, src_ref, out_ref, win_ref,
+               inter_ref, sem):
+        t = pl.program_id(0)
+
+        @pl.when(live_ref[t] == 0)
+        def _dead():
+            out_ref[...] = jnp.zeros((C, T, T), jnp.float32)
+
+        @pl.when(live_ref[t] != 0)
+        def _live():
+            a00 = aff_ref[t, 0]
+            a01 = aff_ref[t, 1]
+            tx = aff_ref[t, 2]
+            a10 = aff_ref[t, 3]
+            a11 = aff_ref[t, 4]
+            ty = aff_ref[t, 5]
+            safe = jnp.where(jnp.abs(a00) < 1e-6, 1e-6, a00)
+            alpha = a10 / safe
+            beta = (a00 * a11 - a01 * a10) / safe
+            gamma = ty - alpha * tx
+            # pass-1 phases: src row position = alpha*x + gamma + beta*v
+            n1, f1, m1, g1 = _phases_traced(alpha, gamma, beta, T, WW, WH)
+            ks = jax.lax.broadcasted_iota(jnp.int32, (T, WH), 1)
+            m0 = (ks == jnp.clip(m1, 0, WH - 3)).astype(jnp.float32)
+            gf1 = g1 + f1                                     # [T, WW]
+            # pass-2 phases: src col position = a01*v + tx + a00*u
+            n2, f2, m2, g2 = _phases_traced(a01, tx, a00, T, T, WW)
+            # n2/f2 are indexed by the OUTPUT ROW v -> reshape to columns
+            n2 = n2.reshape(T, 1)
+            js = jax.lax.broadcasted_iota(jnp.int32, (WW, T), 0)
+            m2m = (js == jnp.clip(m2.reshape(1, T), 0,
+                                  WW - 3)).astype(jnp.float32)
+            gf2 = f2.reshape(T, 1) + g2.reshape(1, T)         # [T, T]
+
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            def tap_w(gf, i):
+                if i == 0:
+                    return jnp.maximum(0.0, 1.0 - gf)
+                if i == 1:
+                    return 1.0 - jnp.abs(gf - 1.0)
+                return jnp.maximum(0.0, gf - 1.0)
+
+            wy = pl.multiple_of(org_ref[t, 0], 8)
+            wx = pl.multiple_of(org_ref[t, 1], 128)
+            for c in range(C):
+                cp = pltpu.make_async_copy(
+                    src_ref.at[c, pl.ds(wy, WH), pl.ds(wx, WW)],
+                    win_ref, sem)
+                cp.start()
+                cp.wait()
+                # integer column shear: roll rows up by n1(x), IN-PLACE
+                # through the scratch ref (an SSA chain would keep every
+                # step's buffer live and blow the VMEM budget)
+                for b in range(bits1):
+                    bit = (n1 >> b) & 1                       # [1, WW]
+                    # roll UP by 2^b == roll by WH - 2^b (non-neg required)
+                    win_ref[:] = jnp.where(
+                        bit == 1, pltpu.roll(win_ref[:], WH - (1 << b), 0),
+                        win_ref[:])
+                # 3 taps via rolling the sheared window up by one row
+                # between single-one-hot matmuls (keeps ONE [T, WW] matmul
+                # result live instead of a [3T, WW] stack)
+                inter_ref[:] = tap_w(gf1, 0) * dot(m0, win_ref[:])
+                for i in (1, 2):
+                    win_ref[:] = pltpu.roll(win_ref[:], WH - 1, 0)
+                    inter_ref[:] = inter_ref[:] + tap_w(gf1, i) * dot(
+                        m0, win_ref[:])
+                # integer row shear: roll cols left by n2(v), in-place
+                for b in range(bits2):
+                    bit = (n2 >> b) & 1                       # [T, 1]
+                    inter_ref[:] = jnp.where(
+                        bit == 1,
+                        pltpu.roll(inter_ref[:], WW - (1 << b), 1),
+                        inter_ref[:])
+                acc = tap_w(gf2, 0) * dot(inter_ref[:], m2m)
+                for i in (1, 2):
+                    inter_ref[:] = pltpu.roll(inter_ref[:], WW - 1, 1)
+                    acc = acc + tap_w(gf2, i) * dot(inter_ref[:], m2m)
+                out_ref[c] = acc
+
+    return kernel
+
+
+def _pallas_window_hw(max_scale: float, tile: int) -> Tuple[int, int]:
+    """Tight windows for the kernel: only GENUINE (v, x) pairs are ever
+    selected by the one-hot matmuls, so both extents are bounded by the
+    tile's own source bbox (sqrt(2)*scale*tile), not the two-pass
+    parallelogram. The extra 8/128 covers the DMA-alignment down-shift of
+    the window origin."""
+    e = 1.42 * max_scale * tile + 6
+    wh = int(np.ceil((e + 8) / 8.0)) * 8
+    ww = int(np.ceil((e + 128) / 128.0)) * 128
+    return wh, ww
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("patch_hw", "tile", "max_scale",
+                                    "interpret"))
+def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
+                      tile: int = TILE, max_scale: float = 1.3,
+                      interpret: bool = False):
+    """Fused tiled shear warp on TPU.
+
+    img: [H, W, C] float32; h_patch2img: [3, 3] patch px -> image px.
+    Returns (patch [ph, pw, C], live [nty, ntx] bool, max_fit_err []).
+    Content outside the provisioned per-tile window clamps — composite
+    with a weight map that is zero outside the source image (the mosaic's
+    radial weight) and zero dead tiles via `live`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ph, pw = patch_hw
+    assert ph % tile == 0 and pw % tile == 0
+    nty, ntx = ph // tile, pw // tile
+    nt = nty * ntx
+    C = img.shape[-1]
+    win = _pallas_window_hw(max_scale, tile)
+    wh, ww = win
+
+    def run(src_hwc, transpose):
+        prm = tile_params(h_patch2img, patch_hw, img.shape[:2], win,
+                          tile, transpose, align=(8, 128))
+        src = jnp.moveaxis(src_hwc, -1, 0)               # [C, Hs, Ws]
+        hs, ws = src.shape[1], src.shape[2]
+        src = jnp.pad(src, ((0, 0), (0, max(wh - hs, 0)),
+                            (0, max(ww - ws, 0))), mode="edge")
+        kernel = _make_warp_kernel(tile, wh, ww, C, ntx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt,),
+            # src pinned to HBM (ANY lets the compiler pull the whole
+            # frame into VMEM and blow the 16M budget); windows are DMA'd
+            # manually per tile
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (C, tile, tile),
+                lambda t, org, aff, live: (0, t // ntx, t % ntx)),
+            scratch_shapes=[pltpu.VMEM((wh, ww), jnp.float32),
+                            pltpu.VMEM((tile, ww), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, ph, pw), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(prm.window, prm.affine, prm.live.astype(jnp.int32), src)
+        return (jnp.moveaxis(out, 0, -1),
+                prm.live.reshape(nty, ntx), prm.max_fit_err)
 
     return jax.lax.cond(
         _choose_transpose(h_patch2img),

@@ -188,6 +188,12 @@ class Vocabulary:
         -1/-0 entries where valid is False."""
         d = self._device()
         desc = jnp.asarray(desc)
+        if self.is_binary and desc.shape[-1] == self.node_desc.shape[1] * 8:
+            # accept the extractor's {0,1} bit-planes: pack to the
+            # vocabulary's byte layout on device (8 bits -> 1 byte)
+            b = desc.reshape(desc.shape[0], -1, 8).astype(jnp.uint8)
+            weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+            desc = jnp.sum(b * weights[None, None, :], -1, dtype=jnp.uint8)
         if valid is None:
             valid = jnp.ones(desc.shape[0], bool)
         nid_level = self.L - levelsup
@@ -294,6 +300,11 @@ class Vocabulary:
             return None
         with open(path, "rb") as f:
             raw = f.read()
+        return Vocabulary.loads(raw)
+
+    @staticmethod
+    def loads(raw: bytes) -> Optional["Vocabulary"]:
+        """Parse .gbow bytes (e.g. the embedded default vocabulary)."""
         off = 0
 
         def rd(fmt):
