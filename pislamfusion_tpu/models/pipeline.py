@@ -38,6 +38,20 @@ class FrameStepResult(NamedTuple):
     feats: dict               # full orb_detect output for the new frame
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def fused_extract(image, params: orb.OrbParams = orb.OrbParams()):
+    """Feature extraction alone, dispatchable from the FEED thread before
+    the frame enters the tracking queue — the reference's depth-2 overlap
+    (DIYSLAM.cpp:346-353): the image upload and the ORB pyramid run while
+    the tracking thread is still fetching the previous frame's result.
+    image: [H, W] gray or [H, W, 3] RGB, any dtype (gray conversion and
+    the float cast happen on device — upload the raw uint8 frame)."""
+    image = image.astype(jnp.float32)
+    if image.ndim == 3:
+        image = im.rgb_to_gray(image)
+    return orb.orb_detect(image, params)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "fx", "fy", "cx",
                                              "cy", "radius", "chi2_th"))
 def fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
@@ -57,6 +71,14 @@ def fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
     if image.ndim == 3:
         image = im.rgb_to_gray(image)
     feats = orb.orb_detect(image, params)
+    return _frame_step_core(feats, prev_desc, prev_valid, prev_p3d,
+                            prev_has, T_pred_w2c, fx, fy, cx, cy, radius,
+                            chi2_th)
+
+
+def _frame_step_core(feats, prev_desc, prev_valid, prev_p3d, prev_has,
+                     T_pred_w2c, fx, fy, cx, cy, radius, chi2_th):
+    """Match-vs-last + pose LM given already-extracted features (traced)."""
     # project previous map points with the predicted pose
     pc = lie.se3_apply(T_pred_w2c, prev_p3d)
     z = jnp.maximum(pc[..., 2], 1e-6)
@@ -170,6 +192,52 @@ def fused_track_packed(image, prev_desc, prev_valid, prev_p3d, prev_has,
         res.chi2, res.weight, res2.chi2, res2.weight,
         res2.idx.astype(f32), res2.ok.astype(f32)])
     return res.feats, packed
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                             "width", "height", "radius",
+                                             "radius_local", "chi2_th"))
+def fused_track_packed_feats(feats, prev_desc, prev_valid, aux,
+                             local_pos, local_desc, local_valid,
+                             fx: float = 260.0, fy: float = 260.0,
+                             cx: float = 160.0, cy: float = 120.0,
+                             width: int = 320, height: int = 240,
+                             radius: float = 20.0, radius_local: float = 8.0,
+                             chi2_th: float = 5.991):
+    """fused_track_packed for a frame whose features were ALREADY extracted
+    on device (predispatched from the feed thread). The small per-frame
+    host inputs ride in ONE packed `aux` array — on the tunneled backend
+    every separate upload serializes behind a round trip:
+
+      aux [4N + 7] f32 = [prev_p3d.ravel (3N), prev_has (N), T_pred (7)]
+    """
+    n = prev_desc.shape[0]
+    prev_p3d = aux[:3 * n].reshape(n, 3)
+    prev_has = aux[3 * n:4 * n] > 0.5
+    T_pred_w2c = aux[4 * n:4 * n + 7]
+    res = _frame_step_core(feats, prev_desc, prev_valid, prev_p3d,
+                           prev_has, T_pred_w2c, fx, fy, cx, cy, radius,
+                           chi2_th)
+    nf = feats["xy"].shape[0]
+    tgt = jnp.where(res.ok, res.idx, nf)
+    p3d_cur = jnp.zeros((nf, 3)).at[tgt].set(prev_p3d, mode="drop")
+    w_cur = jnp.zeros((nf,)).at[tgt].set(res.ok.astype(jnp.float32),
+                                         mode="drop")
+    inl = (w_cur > 0) & (res.chi2 < chi2_th / fx ** 2)
+    w_cur = jnp.where(inl, w_cur, 0.0)
+    res2 = fused_localmap_step(
+        feats["desc"], feats["valid"], feats["xy"], res.T_w2c,
+        p3d_cur, w_cur, local_pos, local_desc, local_valid,
+        fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
+        radius=radius_local, chi2_th=chi2_th)
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        res.T_w2c, res.n_inliers[None].astype(f32),
+        res2.T_w2c, res2.n_inliers[None].astype(f32),
+        res.idx.astype(f32), res.ok.astype(f32),
+        res.chi2, res.weight, res2.chi2, res2.weight,
+        res2.idx.astype(f32), res2.ok.astype(f32)])
+    return packed
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",

@@ -224,8 +224,11 @@ class SLAM:
             if height_ground is not None:
                 frame.height_ground = float(height_ground)
         if self._online:
-            # depth-2 backpressure: BLOCK until the tracking thread drains
-            # (the reference's _frameNotFullEvent wait, DIYSLAM.cpp:346-353)
+            # depth-2 overlap (DIYSLAM.cpp:346-363): upload + dispatch the
+            # frame's feature extraction FROM THIS THREAD — it executes
+            # while the tracking thread is still fetching the previous
+            # frame's result — then block on the bounded queue
+            self.tracker.predispatch_extract(frame)
             self._queue.put(frame)
         else:
             self._track_one(frame)

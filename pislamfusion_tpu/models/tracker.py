@@ -29,8 +29,9 @@ from ..ops import ba, init2view, lie, matching, ransac
 from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
-from .pipeline import (fused_frame_step, fused_localmap_step,
-                       fused_track_packed, fused_track_step)
+from .pipeline import (fused_extract, fused_frame_step, fused_localmap_step,
+                       fused_track_packed, fused_track_packed_feats,
+                       fused_track_step)
 from .worldmap import WorldMap
 
 LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
@@ -78,6 +79,23 @@ class Tracker:
 
     def invalidate_local_stage(self):
         self._local_stage = None
+
+    def predispatch_extract(self, frame: Frame):
+        """Upload the raw frame and dispatch feature extraction WITHOUT
+        waiting — callable from the feed thread before the frame enters
+        the tracking queue (the reference's depth-2 overlap,
+        DIYSLAM.cpp:346-363). The 2-6 MB image upload and the ORB pyramid
+        then execute while the tracking thread is still fetching the
+        previous frame's packed result; on the tunneled backend that
+        upload is the single largest per-frame cost (~45 ms at 1080p)."""
+        if not self.use_fused or self.detector is None:
+            return
+        if frame.feats_dev is not None or frame._feats is not None:
+            return
+        with timer.scope("Tracker::predispatch"):
+            img_dev = jnp.asarray(frame.image)   # raw dtype; cast in-jit
+            feats = fused_extract(img_dev, self.detector.params)
+            frame.set_features_device(feats, "orb")
 
     def ensure_features(self, frame: Frame):
         """Extract features on demand (the fused path extracts inside its
@@ -208,7 +226,9 @@ class Tracker:
     def _track_frame(self, frame: Frame) -> bool:
         ok = False
         if self.status == Status.TRACKING and self.last_frame is not None:
-            if self.use_fused and frame.desc is None:
+            # gate on the HOST cache directly — touching frame.desc would
+            # materialize predispatched device features (a tunnel fetch)
+            if self.use_fused and frame._feats is None:
                 ok = self._track_fused(frame)
                 if ok:   # fused path already ran the local-map refinement
                     self.status = Status.TRACKING
@@ -310,20 +330,27 @@ class Tracker:
             last_desc = jnp.asarray(last.desc)
             last_valid = jnp.asarray(last.valid)
         with timer.scope("Tracker::fusedUpload"):
-            img_dev = jnp.asarray(frame.image)  # raw dtype; gray+f32 in-jit
-            pos_dev = jnp.asarray(pos)
-            has_dev = jnp.asarray(has)
-            T_dev = jnp.asarray(T_pred_w2c, jnp.float32)
+            # ONE small upload: every separate host array serializes
+            # behind a tunnel round trip before the program can run
+            aux = np.concatenate([
+                pos.reshape(-1).astype(np.float32),
+                has.astype(np.float32),
+                np.asarray(T_pred_w2c, np.float32)])
+            aux_dev = jnp.asarray(aux)
         with timer.scope("Tracker::fusedDispatch"):
-            feats, packed = fused_track_packed(
-                img_dev, last_desc, last_valid, pos_dev, has_dev, T_dev,
+            if frame.feats_dev is None:
+                # not predispatched (offline mode / first frames): upload
+                # + extract now, same programs
+                self.predispatch_extract(frame)
+            feats = frame.feats_dev
+            packed = fused_track_packed_feats(
+                feats, last_desc, last_valid, aux_dev,
                 lpos, ldesc, lvalid,
-                params=self.detector.params, fx=cam.fx, fy=cam.fy,
+                fx=cam.fx, fy=cam.fy,
                 cx=cam.cx, cy=cam.cy, width=cam.width, height=cam.height,
                 radius=radius, radius_local=r_local, chi2_th=self.chi2_px)
             # the frame's features STAY ON DEVICE (keyframes materialize a
             # host copy in the mapper; plain frames never pay the transfer)
-            frame.set_features_device(feats, "orb")
         with timer.scope("Tracker::fusedFetch"):
             # ONE leaf fetched = ONE backend round trip per frame
             packed = np.asarray(packed)

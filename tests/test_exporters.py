@@ -52,7 +52,9 @@ def tiny_map(rng):
 
 
 def test_checkpoint_v2_roundtrip(tiny_map, tmp_path):
-    path = str(tmp_path / "map.psf")
+    # .npz keeps the native format; other extensions now emit the
+    # reference's MapHash binary layout (tests/test_maphash.py)
+    path = str(tmp_path / "map.npz")
     assert tiny_map.save(path)
     # v2 header, no pickle inside
     with open(path, "rb") as f:
