@@ -40,8 +40,10 @@ def main():
     # validation of the code path; the real benchmark is 1080p on the TPU)
     small = os.environ.get("BENCH_SMALL", "") == "1"
     H, W = (240, 320) if small else (1080, 1920)
-    K = 4 if small else 8       # frames staged per scan
-    REPEATS = 2 if small else 4
+    # K amortizes the per-call tunnel overhead (~30-60 ms/dispatch on this
+    # box) across the scan; 24 frames stage 150 MB in HBM
+    K = 4 if small else 24      # frames staged per scan
+    REPEATS = 2 if small else 3
     N = 256 if small else 1000  # SLAM.nFeature
     BANDS = 3 if small else 5
     fx = fy = 300.0 if small else 1200.0
@@ -145,7 +147,10 @@ def main():
             from pislamfusion_tpu.core.svar import Svar
             from pislamfusion_tpu.models.slam import create_slam
             cam = Camera(W, H, fx, fy, cx, cy)
-            gray_np = np.asarray(frames_gray)
+            # uint8 frames: what datasets feed, and 4x less tunnel upload
+            # than float32 (the fused path gray-converts/casts on device)
+            gray_np = np.clip(np.asarray(frames_gray), 0,
+                              255).astype(np.uint8)
             order = list(range(K)) + list(range(K - 2, -1, -1))
 
             def run_slam_pass():
@@ -181,7 +186,11 @@ def main():
         "metric": label,
         "value": round(fps, 2),
         "unit": "frames/sec",
+        # vs the reference's 30 FPS real-time feed cap (Video.fps) — its
+        # only stated rate; north_star_frac is honest progress toward the
+        # >=300 FPS single-chip target BASELINE.md sets for this build
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "north_star_frac": round(fps / 300.0, 3),
         "slam_track_fps": slam_fps,
         "slam_frames_tracked": slam_tracked,
     }))

@@ -181,19 +181,21 @@ def analytic_weight_pyramid(h_patch2img, img_hw, patch_hw, bands: int,
     pyr = []
     scale_mat = np.diag([2.0, 2.0, 1.0]).astype(np.float32)
     h = h_patch2img
-    live_full = None
-    if live is not None:
-        t0 = ph // live.shape[0]
-        live_full = jnp.repeat(jnp.repeat(live, t0, 0), t0, 1)
     for i in range(bands + 1):
         hw_i = (max(1, ph >> i), max(1, pw >> i))
         grid = im.homography_grid(h, hw_i, offset=(0.0, 0.0))
         valid = ((grid[..., 0] >= 0) & (grid[..., 0] <= W - 1)
                  & (grid[..., 1] >= 0) & (grid[..., 1] <= H - 1))
         w = radial_weight(grid, W, H, valid, weight_type)
-        if live_full is not None:
-            lv = live_full[::1 << i, ::1 << i]
-            w = w * lv[:hw_i[0], :hw_i[1]].astype(w.dtype)
+        if live is not None and hw_i[0] >= live.shape[0] \
+                and hw_i[0] % live.shape[0] == 0:
+            # per-tile liveness -> per-pixel via broadcast+reshape (a
+            # jnp.repeat here lowers to gathers and costs ~8 ms/frame)
+            nty, ntx = live.shape
+            ty, tx = hw_i[0] // nty, hw_i[1] // ntx
+            lv = jnp.broadcast_to(live[:, None, :, None].astype(w.dtype),
+                                  (nty, ty, ntx, tx)).reshape(hw_i)
+            w = w * lv
         pyr.append(w[..., None])
         h = h @ jnp.asarray(scale_mat, h.dtype)
     return pyr
