@@ -84,6 +84,14 @@ class OrbParams:
     ini_threshold: float = 20.0
     min_threshold: float = 7.0
     cell: int = 32             # selection grid cell (px)
+    # BRIEF rotation granularity: angles quantized to `angle_bins` steps so
+    # the 512 pattern taps become per-bin one-hot MXU matmuls instead of
+    # per-element gathers (~7 ms/frame -> ~0.4 ms on v5e; TPU gathers run
+    # at ~10-70M idx/s). 30 bins = 12 degrees, the same granularity as the
+    # rotation-consistency histogram (MatcherBFMultiH.cpp:296-376).
+    # 0 = continuous angles via the gather path (bit-parity with the
+    # reference's round-rotated-offset formula).
+    angle_bins: int = 30
 
     def level_scales(self):
         return [self.scale_factor ** i for i in range(self.n_levels)]
@@ -201,12 +209,21 @@ def ic_angle(patches31):
     return jnp.arctan2(m01, m10)
 
 
-def brief_descriptors(patches, angles):
+def brief_descriptors(patches, angles, angle_bins: int = 0):
     """Rotated 256-bit BRIEF (computeOrbDescriptor, :186-226).
 
     patches: [N, G, G] blurred-image patches (G = 2*_GATHER_R+1);
     angles: [N] radians. Returns [N, 256] uint8 in {0, 1}.
+
+    angle_bins > 0 quantizes the rotation to that many steps and computes
+    every tap via per-bin one-hot matmuls on the MXU — TPU gathers are
+    scalar-core-bound (the continuous path costs ~7 ms/frame at N=1000 vs
+    ~0.4 ms binned). The per-bin tap offsets use the REFERENCE'S exact
+    round-rotated-offset formula at the bin's angle, so binned descriptors
+    equal continuous ones whenever the angle rounds to the same bin.
     """
+    if angle_bins:
+        return _brief_binned(patches, angles, angle_bins)
     a = jnp.cos(angles)[:, None]
     b = jnp.sin(angles)[:, None]
     px1 = jnp.asarray(_PATTERN[:, 0], jnp.float32)[None]
@@ -222,6 +239,41 @@ def brief_descriptors(patches, angles):
     t1 = jnp.take_along_axis(flat, y1 * _GATHER + x1, axis=1)
     t2 = jnp.take_along_axis(flat, y2 * _GATHER + x2, axis=1)
     return (t1 < t2).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=8)
+def _binned_tap_indices(bins: int) -> np.ndarray:
+    """[bins, 512] flat patch indices: the reference's rounded rotated
+    pattern offsets evaluated at each bin's center angle."""
+    out = np.zeros((bins, 512), np.int32)
+    for bi in range(bins):
+        th = 2.0 * np.pi * bi / bins
+        a, b = np.cos(th), np.sin(th)
+        px = np.concatenate([_PATTERN[:, 0], _PATTERN[:, 2]]).astype(
+            np.float64)
+        py = np.concatenate([_PATTERN[:, 1], _PATTERN[:, 3]]).astype(
+            np.float64)
+        x = np.round(px * a - py * b).astype(np.int32) + _GATHER_R
+        y = np.round(px * b + py * a).astype(np.int32) + _GATHER_R
+        out[bi] = y * _GATHER + x
+    return out
+
+
+def _brief_binned(patches, angles, bins: int):
+    n = patches.shape[0]
+    g2 = _GATHER * _GATHER
+    flat = patches.reshape(n, g2).astype(jnp.bfloat16)
+    # bin by nearest center (angles already in [-pi, pi] from arctan2)
+    bi = jnp.round(angles * (bins / (2.0 * jnp.pi))).astype(jnp.int32) % bins
+    taps_idx = _binned_tap_indices(bins)                 # static [bins, 512]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g2, 512), 0)
+    acc = jnp.zeros((n, 512), jnp.float32)
+    for b in range(bins):
+        onehot = (cols == jnp.asarray(taps_idx[b])[None, :]).astype(
+            jnp.bfloat16)
+        taps = jnp.dot(flat, onehot, preferred_element_type=jnp.float32)
+        acc = jnp.where((bi == b)[:, None], taps, acc)
+    return (acc[:, :256] < acc[:, 256:]).astype(jnp.uint8)
 
 
 def pack_bits(desc_bits):
@@ -269,7 +321,7 @@ def orb_detect(img, params: OrbParams = OrbParams()):
         ang = ic_angle(raw31)
         blurred = im.gaussian_blur(level_img[..., None], 2.0, 3)[..., 0]
         patches = _gather_patches(blurred, xy, _GATHER_R)
-        desc = brief_descriptors(patches, ang)
+        desc = brief_descriptors(patches, ang, params.angle_bins)
         outs["xy"].append(xy.astype(jnp.float32) * scale)
         outs["response"].append(resp)
         outs["angle"].append(ang)

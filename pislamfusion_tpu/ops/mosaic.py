@@ -210,9 +210,11 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
     warp="shear" routes the content warp through the Pallas shear kernel
     (ops/shearwarp.py: no gathers — log-roll shears + one-hot MXU
     matmuls, ~20x the gather warp's throughput on v5e) and evaluates the
-    weight pyramid analytically per level. TPU only; half_res is ignored
-    in this mode (the full-res warp is cheaper than the old half-res
-    gather was).
+    weight pyramid analytically per level. TPU only. half_res composes:
+    the content is shear-warped at half the patch resolution and band 0's
+    Laplacian is EXACTLY ZERO by construction — warp and pyramid work
+    both drop 4x (same quality semantics as the shipped gather fast
+    path).
 
     half_res=True (gather mode) never materializes a full-res warp at
     all: the content is gathered at half the patch resolution, band 0's
@@ -223,9 +225,22 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
     decisions are unchanged."""
     if warp == "shear":
         rgb = img if img.ndim == 3 else img[..., None]
-        warped, live, _fit = shearwarp.warp_patch_pallas(
-            rgb.astype(jnp.float32), h_patch2img, patch_hw)
-        p_lap = im.build_laplacian_pyramid(warped, bands)
+        half_ok = half_res and (patch_hw[0] // 2) % shearwarp.TILE == 0 \
+            and (patch_hw[1] // 2) % shearwarp.TILE == 0
+        if half_ok:
+            h_half = h_patch2img @ jnp.asarray(np.diag([2.0, 2.0, 1.0]),
+                                               h_patch2img.dtype)
+            half_hw = (patch_hw[0] // 2, patch_hw[1] // 2)
+            warped, live, _fit = shearwarp.warp_patch_pallas(
+                rgb.astype(jnp.float32), h_half, half_hw)
+            sub = im.build_laplacian_pyramid(warped, bands - 1) \
+                if bands > 1 else [warped]
+            p_lap = [jnp.zeros(patch_hw + (rgb.shape[-1],),
+                               jnp.float32)] + sub
+        else:
+            warped, live, _fit = shearwarp.warp_patch_pallas(
+                rgb.astype(jnp.float32), h_patch2img, patch_hw)
+            p_lap = im.build_laplacian_pyramid(warped, bands)
         p_w = analytic_weight_pyramid(h_patch2img,
                                       (img.shape[0], img.shape[1]),
                                       patch_hw, bands, weight_type, live)
