@@ -54,7 +54,8 @@ def render_view(ground, cam, pose):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "."
+    out_dir = sys.argv[1] if len(sys.argv) > 1 \
+        and not sys.argv[1].startswith("-") and "=" not in sys.argv[1] else "."
     os.makedirs(out_dir, exist_ok=True)
     m2d_type = 3
     if "--type" in sys.argv:
@@ -74,6 +75,10 @@ def main():
     cfg = Svar()
     cfg.set("Map2D.Scale", "0.5")
     cfg.set("Map2D.BandNumber", "5")
+    for a in sys.argv[1:]:          # extra key=value overrides
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            cfg.set(k, v)
     engine = create_map2d(m2d_type, cfg)
     plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
     assert engine.prepare(plane, cam, [(None, p) for p in poses])

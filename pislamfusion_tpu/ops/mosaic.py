@@ -228,11 +228,18 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
         half_ok = half_res and (patch_hw[0] // 2) % shearwarp.TILE == 0 \
             and (patch_hw[1] // 2) % shearwarp.TILE == 0
         if half_ok:
-            h_half = h_patch2img @ jnp.asarray(np.diag([2.0, 2.0, 1.0]),
-                                               h_patch2img.dtype)
+            # warp HALF-res patch from a pyrDown'd source: the dst->src
+            # scale (and so the kernel's static window provisioning) stays
+            # the same as the full-res warp, and the 5-tap low-pass before
+            # decimation is proper antialiasing (better than the strided
+            # gather the fast path used to take)
+            src_half = im.pyr_down(rgb.astype(jnp.float32))
+            sh = jnp.asarray(np.diag([0.5, 0.5, 1.0]), h_patch2img.dtype)
+            s2 = jnp.asarray(np.diag([2.0, 2.0, 1.0]), h_patch2img.dtype)
+            h_hs = sh @ h_patch2img @ s2      # half-patch px -> half-src px
             half_hw = (patch_hw[0] // 2, patch_hw[1] // 2)
             warped, live, _fit = shearwarp.warp_patch_pallas(
-                rgb.astype(jnp.float32), h_half, half_hw)
+                src_half, h_hs, half_hw)
             sub = im.build_laplacian_pyramid(warped, bands - 1) \
                 if bands > 1 else [warped]
             p_lap = [jnp.zeros(patch_hw + (rgb.shape[-1],),
@@ -241,9 +248,16 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
             warped, live, _fit = shearwarp.warp_patch_pallas(
                 rgb.astype(jnp.float32), h_patch2img, patch_hw)
             p_lap = im.build_laplacian_pyramid(warped, bands)
+        # band-0 weight analytic, coarser bands via the pyr_down chain:
+        # the blur-decimate rolloff attenuates weights near frame borders
+        # exactly where the content pyramid is contaminated by
+        # outside-frame padding — per-level analytic evaluation keeps
+        # border weights high there and costs ~25 dB on the composite
         p_w = analytic_weight_pyramid(h_patch2img,
                                       (img.shape[0], img.shape[1]),
-                                      patch_hw, bands, weight_type, live)
+                                      patch_hw, 0, weight_type, live)
+        for _ in range(bands):
+            p_w.append(im.pyr_down(p_w[-1]))
         return p_lap, p_w
     if not half_res:
         warped, w = warp_frame_to_patch(img, h_patch2img, patch_hw,

@@ -42,10 +42,15 @@ scalar core. This module removes the gather entirely:
   (the classic bottleneck fix).
 
 Everything is static-shape: window sizes are provisioned from a caller
-supplied `max_scale` bound. Samples that fall outside the provisioned
-window clamp to its edge — callers composite with an analytic weight map
-computed from the TRUE homography that is zero outside the source image,
-so clamped content never wins a max-weight composite.
+supplied `max_scale` bound on the dst->src scale (src px per patch px).
+The default 2.2 covers the reference's Map2D.Scale=0.5 configuration
+(canvas 2x COARSER than the source -> scale 2.0) plus tilt margin; tiles
+whose actual scale exceeds the provision are marked dead by tile_params'
+overflow guard rather than rendering clamped junk. Samples that fall
+outside the provisioned window clamp to its edge — callers composite
+with an analytic weight map computed from the TRUE homography that is
+zero outside the source image, so clamped content never wins a
+max-weight composite.
 
 Two implementations share the same math:
   * `warp_patch_xla`    — jnp reference (shear via take_along_axis);
@@ -422,7 +427,7 @@ def _pallas_window_hw(max_scale: float, tile: int) -> Tuple[int, int]:
                    static_argnames=("patch_hw", "tile", "max_scale",
                                     "interpret"))
 def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
-                      tile: int = TILE, max_scale: float = 1.3,
+                      tile: int = 128, max_scale: float = 2.2,
                       interpret: bool = False):
     """Fused tiled shear warp on TPU.
 
