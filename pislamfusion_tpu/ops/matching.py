@@ -92,17 +92,29 @@ def window_mask(xy_pred, xy_b, radius):
 
 
 def rotation_consistency_mask(angle_a, angle_b, idx, valid, bins: int = 30,
-                              keep: int = 3):
+                              keep: int = 3, consecutive: bool = False):
     """Rotation-histogram filter (MatcherBFMultiH.cpp:296-376): keep matches
-    whose angle difference falls in the `keep` most popular of `bins` bins."""
+    whose angle difference falls in the `keep` most popular of `bins` bins.
+
+    consecutive=False keeps the `keep` individually-best bins (top-k);
+    consecutive=True keeps the best CIRCULAR RUN of `keep` adjacent bins —
+    the reference's exact sliding-window vote (MatcherBFMultiH.cpp:326-376),
+    which tolerates an angle-difference mode that straddles a bin edge."""
     diff = angle_a - jnp.where(idx >= 0, angle_b[idx], 0.0)
     two_pi = 2.0 * jnp.pi
     diff = jnp.mod(diff, two_pi)
     bin_idx = jnp.clip((diff * bins / two_pi).astype(jnp.int32), 0, bins - 1)
     hist = jnp.zeros((bins,), jnp.int32).at[bin_idx].add(
         valid.astype(jnp.int32))
-    _, top = jax.lax.top_k(hist, keep)
-    in_top = jnp.any(bin_idx[:, None] == top[None, :], -1)
+    if consecutive:
+        # circular sliding-window sum of width `keep`; best start wins
+        runs = sum(jnp.roll(hist, -k) for k in range(keep))   # [bins]
+        start = jnp.argmax(runs)
+        off = jnp.mod(bin_idx - start, bins)
+        in_top = off < keep
+    else:
+        _, top = jax.lax.top_k(hist, keep)
+        in_top = jnp.any(bin_idx[:, None] == top[None, :], -1)
     return valid & in_top
 
 

@@ -56,11 +56,17 @@ def _merge_canvases(lap_all, w_all):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _run_survey(vo_static, frames, anchors):
+def _run_survey(vo_static, frames, anchors, valid):
     """Module-level jitted entry (FastVO hashes by id) so the compiled
-    multi-segment program is cached across process_survey calls."""
+    multi-segment program is cached across process_survey calls.
+
+    `valid` [S] masks out PADDING segments (added so S shards evenly over
+    the mesh): their canvases get zero weight so the max-weight merge
+    never picks them, and their poses are sliced off by the caller."""
     poses, n_match, lap_all, w_all = jax.vmap(
         lambda f, a: _segment_program(vo_static, f, a))(frames, anchors)
+    vmask = valid[:, None, None, None]
+    w_all = tuple(jnp.where(vmask, wi, 0.0) for wi in w_all)
     lap, w = _merge_canvases(lap_all, w_all)
     return poses, n_match, tuple(lap), tuple(w)
 
@@ -74,20 +80,29 @@ def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
     Returns (poses [S, K, 7], n_match [S, K]) and REPLACES vo's canvas
     with the merged mosaic (so vo.blended()/save() work as usual).
 
-    Requires S to be a multiple of the mesh size for even sharding; memory
-    is one canvas pyramid per in-flight segment.
+    Ragged S is fine: segments are padded to a multiple of the mesh size
+    with copies of segment 0 whose canvases are weight-masked out of the
+    merge and whose poses are dropped before returning. Memory is one
+    canvas pyramid per in-flight segment.
     """
     frames = jnp.asarray(frames)
     anchors = jnp.asarray(anchors, jnp.float32)
     S = frames.shape[0]
 
+    pad = 0 if mesh is None else (-S) % mesh.devices.size
+    if pad:
+        frames = jnp.concatenate(
+            [frames, jnp.repeat(frames[:1], pad, axis=0)], axis=0)
+        anchors = jnp.concatenate(
+            [anchors, jnp.repeat(anchors[:1], pad, axis=0)], axis=0)
+    valid = jnp.arange(S + pad) < S
     if mesh is not None:
-        assert S % mesh.devices.size == 0, (S, mesh.devices.size)
         axes = tuple(mesh.axis_names)
         shard = NamedSharding(mesh, P(axes))
         frames = jax.device_put(frames, shard)
         anchors = jax.device_put(anchors, shard)
-    poses, n_match, lap, w = _run_survey(vo, frames, anchors)
+        valid = jax.device_put(valid, shard)
+    poses, n_match, lap, w = _run_survey(vo, frames, anchors, valid)
     vo.canvas_lap, vo.canvas_w = list(lap), list(w)
     out = jax.device_get((poses, n_match))
-    return out[0], out[1]
+    return out[0][:S], out[1][:S]
