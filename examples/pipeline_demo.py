@@ -118,7 +118,7 @@ def mosaic_psnr_vs_truth(map2d, ground, S_gt2est, plane):
 
 
 def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
-             cam=None, poses=None, verbose=True):
+             cam=None, poses=None, verbose=True, overrides=None):
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     ground = make_ground(rng)
@@ -139,6 +139,8 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
     cfg.set("Plane.MinPoints", "400")
     cfg.set("PrepareFrameNum", "8")
     cfg.set("Map2D.BandNumber", "4")
+    for k, v in (overrides or {}).items():   # ablation axes (Tracker?= etc.)
+        cfg.set(k, str(v))
 
     # fresh queues so repeated runs in one process don't cross-feed
     trans_q = DataTrans(30)

@@ -25,7 +25,29 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ba, image as im, lie, matching
-from ..ops.features import orb
+from ..ops.features import orb, sift
+
+
+def _detect(image, params):
+    """Static-dispatch extractor: the params TYPE selects the detector
+    (OrbParams -> orb_detect, SiftParams -> sift_detect), so the same
+    fused programs serve both the reference's Default.cfg SIFT config and
+    the ORB fast path — params is a frozen dataclass jit static."""
+    if isinstance(params, sift.SiftParams):
+        return sift.sift_detect(image, params)
+    return orb.orb_detect(image, params)
+
+
+def _desc_kind(desc) -> str:
+    """Descriptor family from the array itself: ORB bit-planes are uint8,
+    SIFT 128-vectors are float32 — no extra static to thread through."""
+    return "orb" if desc.dtype == jnp.uint8 else "sift"
+
+
+def _desc_max_dist(kind: str) -> float:
+    """Reference absolute thresholds: Hamming 80 (MatcherBoW.cpp:133-174),
+    RootSIFT L2 0.2."""
+    return 80.0 if kind == "orb" else 0.2
 
 
 class FrameStepResult(NamedTuple):
@@ -49,7 +71,7 @@ def fused_extract(image, params: orb.OrbParams = orb.OrbParams()):
     image = image.astype(jnp.float32)
     if image.ndim == 3:
         image = im.rgb_to_gray(image)
-    return orb.orb_detect(image, params)
+    return _detect(image, params)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "fx", "fy", "cx",
@@ -70,7 +92,7 @@ def fused_frame_step(image, prev_desc, prev_valid, prev_p3d, prev_has,
     image = image.astype(jnp.float32)
     if image.ndim == 3:
         image = im.rgb_to_gray(image)
-    feats = orb.orb_detect(image, params)
+    feats = _detect(image, params)
     return _frame_step_core(feats, prev_desc, prev_valid, prev_p3d,
                             prev_has, T_pred_w2c, fx, fy, cx, cy, radius,
                             chi2_th)
@@ -85,9 +107,11 @@ def _frame_step_core(feats, prev_desc, prev_valid, prev_p3d, prev_has,
     pix = jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1)
     infront = pc[..., 2] > 1e-3
     wmask = matching.window_mask(pix, feats["xy"], radius)
-    dist = matching.hamming_matrix(prev_desc, feats["desc"])
+    kind = _desc_kind(prev_desc)
+    dist = matching.distance_matrix(prev_desc, feats["desc"], kind)
     idx, ok = matching.match(dist, prev_valid & prev_has & infront,
-                             feats["valid"], max_dist=80.0,
+                             feats["valid"],
+                             max_dist=_desc_max_dist(kind),
                              window_mask=wmask)
     # scatter matched 3D points onto current keypoint slots
     n = feats["xy"].shape[0]
@@ -258,9 +282,11 @@ def fused_localmap_step(desc, valid, xy, T_w2c, p3d_cur, w_cur,
     inview = ((pix[:, 0] >= 0) & (pix[:, 0] < width)
               & (pix[:, 1] >= 0) & (pix[:, 1] < height))
     wmask = matching.window_mask(pix, xy, radius)
-    dist = matching.hamming_matrix(local_desc, desc)
+    kind = _desc_kind(local_desc)
+    dist = matching.distance_matrix(local_desc, desc, kind)
     idx, ok = matching.match(dist, local_valid & infront & inview, valid,
-                             max_dist=80.0, window_mask=wmask)
+                             max_dist=_desc_max_dist(kind),
+                             window_mask=wmask)
     n = xy.shape[0]
     # new bindings only where the slot is still free
     tgt = jnp.where(ok, idx, n)

@@ -167,8 +167,11 @@ class SLAM:
                 self.tracker.ref_kf_id = kfs[-1].id
                 self.tracker.status = Status.LOST   # relocalize into it
                 self.mapper._kf_count = len(kfs)
-        # fused device path (extract+match+pose in one jit) for ORB
-        self.tracker.use_fused = (self.detector.kind == "orb"
+        # fused device path (extract+match+pose in one jit) — ORB and SIFT
+        # both dispatch through pipeline._detect; the reference's default
+        # detector IS SIFT (Default.cfg:2-9), so the fast path must cover it
+        self.tracker.use_fused = (self.detector.kind in ("orb", "sift")
+                                  and self.tracker.supports_fused
                                   and cfg.get_bool("SLAM.Fused", True))
         self._online = cfg.get_bool("SLAM.isOnline", False) and \
             not cfg.get_bool("SLAM.forceOffline", False)

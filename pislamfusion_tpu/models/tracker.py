@@ -45,6 +45,8 @@ class Status(enum.Enum):
 
 @TRACKERS.register("opt")
 class Tracker:
+    supports_fused = True   # single-dispatch hot path (TrackerOpt design)
+
     def __init__(self, wmap: WorldMap, cfg, mapper=None):
         self.map = wmap
         self.cfg = cfg
@@ -58,6 +60,7 @@ class Tracker:
         self._key = jax.random.PRNGKey(cfg.get_int("SLAM.Seed", 0))
         self.max_overlap = cfg.get_double("SLAM.MaxOverlap", 0.95)
         self.loop_detector = None   # wired by SLAM for relocalization
+        self.matcher = None         # lazy MATCHERS.create (Matcher?= cfg)
         self.detector = None        # wired by SLAM (feature extractor)
         self.use_fused = False      # wired by SLAM (ORB + SLAM.Fused)
         self._local_stage = None    # staged local-map arrays (device)
@@ -95,7 +98,7 @@ class Tracker:
         with timer.scope("Tracker::predispatch"):
             img_dev = jnp.asarray(frame.image)   # raw dtype; cast in-jit
             feats = fused_extract(img_dev, self.detector.params)
-            frame.set_features_device(feats, "orb")
+            frame.set_features_device(feats, self.detector.kind)
 
     def ensure_features(self, frame: Frame):
         """Extract features on demand (the fused path extracts inside its
@@ -146,23 +149,14 @@ class Tracker:
             self.ref_frame = frame
             return False
         ref = self.ref_frame
-        if self.cfg.get_string("Matcher", "multiH") == "multiH":
-            # the reference's default matcher: BF base + multi-homography
-            # window growth (MatcherMultiH.cpp:197-450)
-            from ..ops import multih
-            idx, ok, _ = multih.match_multih(
-                self._next_key(),
-                jnp.asarray(ref.desc), jnp.asarray(ref.valid),
-                jnp.asarray(ref.xy),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                jnp.asarray(frame.xy), kind=ref.desc_kind)
-        else:
-            idx, ok = matching.match_descriptors(
-                jnp.asarray(ref.desc), jnp.asarray(ref.valid),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                ref.desc_kind, ratio=0.8)
-        ok = matching.rotation_consistency_mask(
-            jnp.asarray(ref.angle), jnp.asarray(frame.angle), idx, ok)
+        if self.matcher is None:
+            # the reference's Matcher plugin seam (`Matcher?=`, Matcher.h):
+            # BF / multiH (default, MatcherMultiH.cpp) / BFMultiH
+            from ..core.registry import MATCHERS
+            from . import matchers as _matchers               # noqa: F401
+            self.matcher = MATCHERS.create(
+                self.cfg.get_string("Matcher", "multiH"), self.cfg)
+        idx, ok = self.matcher(self._next_key(), ref, frame)
         n_match = int(jnp.sum(ok))
         if n_match < self.cfg.get_int("SLAM.MinInitMatches", 100):
             self.ref_frame = frame
@@ -481,10 +475,7 @@ class Tracker:
         self._log << f",refKF x{len(candidates)}"
         for kf in candidates:
             pos, has = self._gather_frame_points(kf)
-            idx, ok = matching.match_descriptors(
-                jnp.asarray(kf.desc), jnp.asarray(has & kf.valid),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                kf.desc_kind, ratio=0.8)
+            idx, ok = self._ref_kf_match(kf, frame, has)
             idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 15:
                 continue
@@ -516,6 +507,15 @@ class Tracker:
                 self.invalidate_local_stage()
                 return True
         return False
+
+    def _ref_kf_match(self, kf: Frame, frame: Frame, has) -> tuple:
+        """Keyframe-candidate matching seam: 'opt' restricts to keypoints
+        WITH map points (only they constrain PnP; ratio-BF, the cheap
+        choice for the up-to-25-candidate LOST sweep)."""
+        return matching.match_descriptors(
+            jnp.asarray(kf.desc), jnp.asarray(has & kf.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            kf.desc_kind, ratio=0.8)
 
     def _track_ref_kf_epipolar(self, frame: Frame, kf: Frame) -> bool:
         """Mixed PnP + epipolar pose vs a keyframe: 2D-2D matches carry
@@ -672,3 +672,36 @@ class Tracker:
             self.ref_kf_id = frame.id
             if self.use_fused:
                 self._stage_local_map()   # refresh the fused path's stage
+
+
+@TRACKERS.register("demo")
+class TrackerDemo(Tracker):
+    """The reference's simpler 'demo' tracker cascade
+    (GSLAM-DIYSLAM/src/zhaoyong/TrackerDemo.cpp): window-match the last
+    frame's observed map points then pose LM (trackLastFrame :305-450),
+    fall back to the configured two-view Matcher against the reference
+    keyframe using ONLY existing 3D observations + PnP (trackRefKeyframe
+    :452-530 — `match4initialize`, no epipolar inverse-depth recovery),
+    then trackLocalMap (:532-726). Selected with `Tracker?=demo`; exists
+    as the ablation baseline vs 'opt' (the reference kept both students'
+    trackers registered for exactly this comparison).
+
+    Implementation: inherits the shared state machine and device programs
+    and narrows the cascade — never the fused single-dispatch step (an
+    'opt'-design optimization), no 2D-2D fallback."""
+
+    supports_fused = False
+
+    def _ref_kf_match(self, kf: Frame, frame: Frame, has):
+        """trackRefKeyframe matches with the FULL configured Matcher
+        (match4initialize, TrackerDemo.cpp:462) — denser than opt's
+        ratio-BF, one multi-H RANSAC heavier."""
+        if self.matcher is None:
+            from ..core.registry import MATCHERS
+            from . import matchers as _matchers               # noqa: F401
+            self.matcher = MATCHERS.create(
+                self.cfg.get_string("Matcher", "multiH"), self.cfg)
+        return self.matcher(self._next_key(), kf, frame)
+
+    def _track_ref_kf_epipolar(self, frame: Frame, kf: Frame) -> bool:
+        return False   # TrackerDemo has no inverse-depth 2D-2D fallback

@@ -74,3 +74,88 @@ def match_multih(key, desc_a, valid_a, xy_a, desc_b, valid_b, xy_b,
     idx_out = jnp.where(ok, idx, idx2)
     ok_out = ok | ok2
     return idx_out, ok_out, n_planes
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "n_h", "window", "max_dist",
+                                    "bins", "keep", "f_threshold",
+                                    "h_threshold", "ransac_iters"))
+def match_bf_multih(key, desc_a, valid_a, xy_a, angle_a,
+                    desc_b, valid_b, xy_b, angle_b,
+                    kind: str = "orb", n_h: int = 5, window: float = 8.0,
+                    max_dist: float | None = None, bins: int = 30,
+                    keep: int = 3, f_threshold: float = 2.0,
+                    h_threshold: float = 3.0, ransac_iters: int = 192):
+    """The reference's OTHER multi-H matcher, MatcherBFMultiH.cpp:296-490:
+
+      1. cross-checked BF match (no ratio test);
+      2. rotation-histogram filter keeping the best circular RUN of `keep`
+         of `bins` angle-difference bins (:296-376);
+      3. fundamental-matrix RANSAC prune of the survivors (:381-420);
+      4. peel up to `n_h` homographies from the F-inliers (:425-455);
+      5. guided re-match of still-free keypoints: predict through EACH H,
+         keep the prediction with the smallest epipolar distance wrt F,
+         gate on that distance, then window-match around it (:456-490).
+
+    Differs from `match_multih` (MatcherMultiH.cpp) in the rotation vote,
+    the F gate, and best-H selection (vs union-of-windows growth).
+    Returns (idx [Na], ok [Na], n_planes). One fixed-shape device program:
+    the BF match is an MXU distance matrix, F + each H a vmapped
+    fixed-budget RANSAC, the growth one more masked match.
+    """
+    dist = matching.distance_matrix(desc_a, desc_b, kind)
+    if max_dist is None:
+        max_dist = 80.0 if kind == "orb" else 0.2
+    idx, ok = matching.match(dist, valid_a, valid_b, max_dist)
+    ok = matching.rotation_consistency_mask(angle_a, angle_b, idx, ok,
+                                            bins=bins, keep=keep,
+                                            consecutive=True)
+
+    pb = xy_b[jnp.where(ok, idx, 0)]
+    kf, kh = jax.random.split(key)
+    fres = ransac.find_fundamental(kf, xy_a, pb, ok,
+                                   threshold=f_threshold,
+                                   iters=ransac_iters)
+    # prune to F-inliers when F was found (reference: "reduce")
+    ok = jnp.where(fres.ok, ok & fres.inliers, ok)
+
+    remaining = ok
+    planes = []
+    keys = jax.random.split(kh, n_h)
+    n_planes = jnp.int32(0)
+    for k in range(n_h):
+        res = ransac.find_homography(keys[k], xy_a, pb, remaining,
+                                     threshold=h_threshold,
+                                     iters=ransac_iters)
+        good = fres.ok & res.ok & (res.score >= 12)
+        planes.append((good, res.model))
+        n_planes = n_planes + good.astype(jnp.int32)
+        remaining = remaining & ~(res.inliers & good)
+
+    # guided growth: best H per free keypoint by epipolar distance wrt F
+    preds = jnp.stack([_apply_h(H, xy_a) for _, H in planes])   # [K, Na, 2]
+    errs = jnp.stack([
+        jnp.where(good,
+                  ransac._f_epipolar_err(fres.model, xy_a, preds[j]),
+                  jnp.inf)
+        for j, (good, _) in enumerate(planes)])                 # [K, Na]
+    best_j = jnp.argmin(errs, axis=0)                           # [Na]
+    best_err = jnp.min(errs, axis=0)
+    best_pred = jnp.take_along_axis(
+        preds, best_j[None, :, None], axis=0)[0]                # [Na, 2]
+    # symmetric squared distance gate at 2 * f_threshold^2
+    near_f = best_err < 2.0 * f_threshold ** 2
+    grow_mask = matching.window_mask(best_pred, xy_b, window) \
+        & near_f[:, None]
+    free_a = valid_a & ~ok
+    taken_b = jnp.zeros(xy_b.shape[0], bool).at[
+        jnp.where(ok, idx, xy_b.shape[0])].set(True, mode="drop")
+    # best-in-window WITHOUT reverse check (findMatchWindow semantics,
+    # MatcherBFMultiH.cpp:129-168: the guided pass takes the best
+    # descriptor inside the window; only forward uniqueness is enforced)
+    idx2, ok2 = matching.match(dist, free_a, valid_b & ~taken_b,
+                               max_dist, window_mask=grow_mask,
+                               cross_check=False)
+    idx_out = jnp.where(ok, idx, idx2)
+    ok_out = ok | ok2
+    return idx_out, ok_out, n_planes

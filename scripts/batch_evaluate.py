@@ -48,12 +48,14 @@ def main(argv):
             or "default"
         out_dir = os.path.join(out_root, name)
         os.makedirs(out_dir, exist_ok=True)
-        kwargs = {}
+        kwargs = {"overrides": {}}
         for k, v in combo:
             if k == "SLAM.LoopClose":
                 kwargs["loop_close"] = v not in ("0", "false")
             elif k == "SLAM.nFeature":
                 kwargs["n_feats"] = int(v)
+            else:   # any other Svar key (Tracker, Matcher, ...) passes through
+                kwargs["overrides"][k] = v
         print(f"== {name} ==", flush=True)
         code = RUNNER.format(repo=REPO, out=out_dir)
         with open(os.path.join(out_dir, "stdout.log"), "w") as log:

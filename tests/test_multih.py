@@ -93,3 +93,71 @@ def test_multih_grows_matches():
     assert prec1 >= prec0 - 0.05, (prec0, prec1)
     # base matches are preserved
     assert (ok1 | ~ok0).all()
+
+
+def test_bf_multih_grows_matches():
+    """MatcherBFMultiH.cpp:296-490 semantics: rotation vote + F gate +
+    guided growth must beat the cross-checked BF base on correct matches
+    without losing precision."""
+    rng = np.random.default_rng(5)
+    A, B, H = _planar_pair(rng)
+    params = orb.OrbParams(n_features=512, n_levels=4)
+    fa = {k: np.asarray(v) for k, v in
+          orb.orb_detect(jnp.asarray(A), params).items()}
+    fb = {k: np.asarray(v) for k, v in
+          orb.orb_detect(jnp.asarray(B), params).items()}
+    idx0, ok0 = matching.match_descriptors(
+        jnp.asarray(fa["desc"]), jnp.asarray(fa["valid"]),
+        jnp.asarray(fb["desc"]), jnp.asarray(fb["valid"]), "orb")
+    idx0, ok0 = np.asarray(idx0), np.asarray(ok0)
+    idx1, ok1, n_planes = multih.match_bf_multih(
+        jax.random.PRNGKey(0),
+        jnp.asarray(fa["desc"]), jnp.asarray(fa["valid"]),
+        jnp.asarray(fa["xy"]), jnp.asarray(fa["angle"]),
+        jnp.asarray(fb["desc"]), jnp.asarray(fb["valid"]),
+        jnp.asarray(fb["xy"]), jnp.asarray(fb["angle"]), kind="orb")
+    idx1, ok1 = np.asarray(idx1), np.asarray(ok1)
+    assert int(n_planes) >= 1
+    good0 = _correct(fa["xy"], fb["xy"], idx0, ok0, H)
+    good1 = _correct(fa["xy"], fb["xy"], idx1, ok1, H)
+    prec1 = good1.sum() / max(ok1.sum(), 1)
+    # the F-RANSAC prune + guided growth: more correct matches than the
+    # raw base AND high precision (the F gate kills the repetitive-motif
+    # mismatches cross-check alone lets through)
+    assert good1.sum() >= 1.1 * good0.sum(), (good0.sum(), good1.sum())
+    assert prec1 > 0.8, prec1
+
+
+def test_matcher_registry():
+    """The Matcher?= plugin seam: all three registered matchers run
+    through the uniform (key, frame_a, frame_b) surface."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.core.registry import MATCHERS
+    from pislamfusion_tpu.core.svar import Svar
+    from pislamfusion_tpu.models import matchers  # noqa: F401
+    from pislamfusion_tpu.models.frame import Frame
+
+    rng = np.random.default_rng(5)
+    A, B, H = _planar_pair(rng)
+    params = orb.OrbParams(n_features=512, n_levels=4)
+    cam = Camera(A.shape[1], A.shape[0], 260.0, 260.0,
+                 A.shape[1] / 2, A.shape[0] / 2)
+    frames = []
+    for img in (A, B):
+        f = Frame(id=len(frames), timestamp=0.0, camera=cam, image=img)
+        f.set_features({k: np.asarray(v) for k, v in
+                        orb.orb_detect(jnp.asarray(img), params).items()},
+                       "orb")
+        frames.append(f)
+    counts = {}
+    for name in ("BF", "multiH", "BFMultiH"):
+        m = MATCHERS.create(name, Svar())
+        idx, ok = m(jax.random.PRNGKey(1), frames[0], frames[1])
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        good = _correct(frames[0].xy, frames[1].xy, idx, ok, H)
+        counts[name] = (int(ok.sum()), int(good.sum()))
+        assert good.sum() > 0.7 * ok.sum(), (name, counts[name])
+        assert ok.sum() > 50, (name, counts[name])
+    # the growth variants must out-match plain BF
+    assert counts["multiH"][1] > counts["BF"][1], counts
+    assert counts["BFMultiH"][1] > counts["BF"][1], counts

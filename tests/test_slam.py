@@ -168,7 +168,9 @@ def test_slam_sift_path():
     for i, p in enumerate(poses):
         slam.track(render_view(ground, cam, p), float(i))
     slam.finish()
-    assert not slam.tracker.use_fused        # fused path is ORB-only
+    # SIFT runs the SAME fused single-dispatch path as ORB now
+    # (pipeline._detect static dispatch; the reference's default detector)
+    assert slam.tracker.use_fused
     assert slam.frames_tracked > 0.7 * slam.frames_total, \
         (slam.frames_tracked, slam.frames_total)
     assert slam.map.point_num() > 100
@@ -211,3 +213,34 @@ def test_map_checkpoint_resume(slam_run, tmp_path):
     assert abs(n1 - n2) < 0.3 * max(n1, n2), (n1, n2)   # equal spacing
     cos = float(d1 @ d2) / (n1 * n2)
     assert cos > 0.96, f"revisit path not collinear (cos {cos:.3f})"
+
+
+def test_tracker_demo_path():
+    """Tracker?=demo (zhaoyong/TrackerDemo.cpp) with Matcher?=BFMultiH:
+    the simpler cascade (no fused step, no inverse-depth fallback, full
+    matcher at the ref-KF seam) must still track a short strip — the
+    reference kept both students' trackers registered for ablation."""
+    from pislamfusion_tpu.models.tracker import TrackerDemo
+    rng = np.random.default_rng(11)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 61.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "demo")
+    cfg.set("Matcher", "BFMultiH")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert isinstance(slam.tracker, TrackerDemo)
+    assert not slam.tracker.use_fused        # demo never takes the fused path
+    assert slam.frames_tracked > 0.7 * slam.frames_total, \
+        (slam.frames_tracked, slam.frames_total)
+    assert slam.map.point_num() > 100
