@@ -14,6 +14,7 @@ lower onto the MXU; `warp_perspective` is a vectorized bilinear gather.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,104 @@ import numpy as np
 
 # OpenCV's 5-tap pyramid kernel [1,4,6,4,1]/16
 _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+
+# ---------------------------------------------------------------------------
+# Separable stencils as banded-matrix MXU matmuls (TPU fast path)
+#
+# On TPU the VPU shift-and-add stencil pays a relayout per strided slice and
+# runs ~60x off the HBM roofline (pyr_down @1080p: 2.1 ms measured vs ~40 us
+# of traffic). Expressing the same stencil as out = D_h @ img @ D_w^T with
+# banded decimation/blur/upsample matrices runs on the MXU instead:
+# 0.2-0.6 ms at every hot shape (3.5-8x), independent of tap count (a win
+# that GROWS with kernel width — SIFT's sigma~3 blurs are 21+ taps).
+# The matrices are np constants cached per (n, taps, mode), folded into the
+# compiled program. fp32 accuracy: Precision.HIGHEST is bit-exact to the VPU
+# path within 3e-5 (op order); the default HIGH (3-pass) is within 2e-3 on a
+# 0..255 scale — invisible at the mosaic's ~50 dB PSNR operating point.
+# Override with PISLAM_MXU_STENCIL=0/1 and PISLAM_STENCIL_PRECISION=highest.
+#
+# The CPU backend (test tier, demos) keeps the slice path: a dense n^2
+# matmul is ~100x more FLOPs than the k-tap stencil and the 1-core host
+# would eat it.
+# ---------------------------------------------------------------------------
+
+_MXU_STENCIL: bool | None = None
+_STENCIL_PRECISION = (jax.lax.Precision.HIGHEST
+                      if os.environ.get("PISLAM_STENCIL_PRECISION",
+                                        "").lower() == "highest"
+                      else jax.lax.Precision.HIGH)
+
+
+def _use_mxu_stencil() -> bool:
+    global _MXU_STENCIL
+    if _MXU_STENCIL is None:
+        env = os.environ.get("PISLAM_MXU_STENCIL", "")
+        if env in ("0", "1"):
+            _MXU_STENCIL = env == "1"
+        else:
+            _MXU_STENCIL = jax.default_backend() != "cpu"
+    return _MXU_STENCIL
+
+
+def _reflect_idx(q: int, n: int, mode: str) -> int:
+    """Map an out-of-range index into [0, n) per the pad mode (np.pad
+    'reflect' = edge not repeated; 'edge' = clamp)."""
+    if mode == "edge":
+        return min(max(q, 0), n - 1)
+    while q < 0 or q >= n:
+        if q < 0:
+            q = -q
+        if q >= n:
+            q = 2 * (n - 1) - q
+    return q
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(n: int, taps: tuple, mode: str) -> np.ndarray:
+    """[n, n] banded matrix: row j = kernel centered at j, borders folded."""
+    r = (len(taps) - 1) // 2
+    m = np.zeros((n, n), np.float32)
+    for j in range(n):
+        for i, w in enumerate(taps):
+            m[j, _reflect_idx(j + i - r, n, mode)] += w
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _dec_matrix(n: int, taps: tuple, mode: str) -> np.ndarray:
+    """[ceil(n/2), n] banded matrix: row j = kernel centered at 2j —
+    the fused blur+decimate of cv::pyrDown."""
+    r = (len(taps) - 1) // 2
+    on = (n + 1) // 2
+    m = np.zeros((on, n), np.float32)
+    for j in range(on):
+        for i, w in enumerate(taps):
+            m[j, _reflect_idx(2 * j + i - r, n, mode)] += w
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _up_matrix(n: int, oh: int, taps: tuple) -> np.ndarray:
+    """[oh, n] banded matrix reproducing cv::pyrUp's zero-stuff + 2x-gain
+    blur: row p sums 2*k[i] over stuffed indices q = p+i-r with q even
+    (odd slots are the stuffed zeros), reflect-folded on the 2n buffer."""
+    r = (len(taps) - 1) // 2
+    m = np.zeros((oh, n), np.float32)
+    for p in range(oh):
+        for i, w in enumerate(taps):
+            q = _reflect_idx(p + i - r, 2 * n, "reflect")
+            if q % 2 == 0:
+                m[p, q // 2] += 2.0 * w
+    return m
+
+
+def _matmul_sep(img, mh: np.ndarray, mw: np.ndarray):
+    """Apply per-axis banded matrices: out = mh @ img @ mw^T over the
+    (-3, -2) axes, channels riding in the minor dim."""
+    y = jnp.einsum("rh,...hwc->...rwc", jnp.asarray(mh), img,
+                   precision=_STENCIL_PRECISION)
+    return jnp.einsum("sw,...rwc->...rsc", jnp.asarray(mw), y,
+                      precision=_STENCIL_PRECISION)
 
 
 def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
@@ -46,6 +145,10 @@ def _sep_conv(img, k, border: str = "reflect"):
     r = (len(kv) - 1) // 2
     H, W = img.shape[-3], img.shape[-2]
     mode = "reflect" if border == "reflect" else "edge"
+    if _use_mxu_stencil():
+        taps = tuple(kv)
+        return _matmul_sep(img, _blur_matrix(H, taps, mode),
+                           _blur_matrix(W, taps, mode))
     pad = [(0, 0)] * img.ndim
     pad[-3] = (r, r)
     xp = jnp.pad(img, pad, mode=mode)
@@ -78,6 +181,10 @@ def pyr_down(img):
     r = 2
     H, W = img.shape[-3], img.shape[-2]
     oh, ow = (H + 1) // 2, (W + 1) // 2
+    if _use_mxu_stencil():
+        taps = tuple(kv)
+        return _matmul_sep(img, _dec_matrix(H, taps, "reflect"),
+                           _dec_matrix(W, taps, "reflect"))
     pad = [(0, 0)] * img.ndim
     pad[-3] = (r, r + 1)   # +1 slack so strided slices stay in range
     xp = jnp.pad(img, pad, mode="reflect")
@@ -108,6 +215,10 @@ def pyr_up(img, out_hw=None):
     lead = img.shape[:-3]
     H, W, C = img.shape[-3:]
     oh, ow = out_hw if out_hw is not None else (2 * H, 2 * W)
+    if _use_mxu_stencil():
+        taps = tuple(float(v) for v in _PYR_K)
+        return _matmul_sep(img, _up_matrix(H, oh, taps),
+                           _up_matrix(W, ow, taps))
     x = img.reshape((-1, H, W, C))
     z = jnp.zeros_like(x)
     x = jnp.stack([x, z], 2).reshape(-1, 2 * H, W, C)
