@@ -303,8 +303,10 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     img = img.astype(jnp.float32)
     H, W = img.shape
     quotas = params.features_per_level()
-    outs = {k: [] for k in ("xy", "response", "angle", "octave", "size",
-                            "desc", "valid")}
+    outs = {k: [] for k in ("xy", "response", "octave", "size", "valid")}
+    r = _GATHER_R
+    blocks, block_xy, row_off = [], [], 0
+    wmax = W + 2 * r
     level_img = img
     for lvl in range(params.n_levels):
         scale = params.scale_factor ** lvl
@@ -317,19 +319,48 @@ def orb_detect(img, params: OrbParams = OrbParams()):
         score = fast_score_map(level_img)
         xy, resp, valid = select_keypoints(score, k, params.cell,
                                            params.min_threshold)
-        raw31 = _gather_patches(level_img, xy, HALF_PATCH)
-        ang = ic_angle(raw31)
+        # stack the raw level (IC-angle reads its 31x31 center) with the
+        # blurred level (BRIEF taps), edge-pad by the gather radius, and
+        # append to the PACKED pyramid: one tall [sum(lh+2r), W+2r, 2]
+        # image lets a single Pallas DMA kernel gather every level's
+        # patches in one call (per-call overhead ~0.35 ms would otherwise
+        # repeat 8x; the packed single call costs ~0.6 ms at N=1000 vs
+        # ~1.9 ms for the vmapped dynamic-slice gather it replaces)
         blurred = im.gaussian_blur(level_img[..., None], 2.0, 3)[..., 0]
-        patches = _gather_patches(blurred, xy, _GATHER_R)
-        desc = brief_descriptors(patches, ang, params.angle_bins)
+        both = jnp.stack([level_img, blurred], -1)
+        blk = jnp.pad(both, ((r, r), (r, r), (0, 0)), mode="edge")
+        blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1]), (0, 0)))
+        blocks.append(blk)
+        # packed-image centers: +r for the block's own edge pad (the
+        # gather treats centers as origins into an r-padded image)
+        block_xy.append(xy + jnp.asarray([[r, row_off + r]], jnp.int32))
+        row_off += blk.shape[0]
         outs["xy"].append(xy.astype(jnp.float32) * scale)
         outs["response"].append(resp)
-        outs["angle"].append(ang)
         outs["octave"].append(jnp.full((k,), lvl, jnp.int32))
         outs["size"].append(jnp.full((k,), PATCH_SIZE * scale, jnp.float32))
-        outs["desc"].append(desc)
         outs["valid"].append(valid)
     feats = {kk: jnp.concatenate(v, 0) for kk, v in outs.items()}
+    packed = jnp.concatenate(blocks, 0)
+    pxy = jnp.concatenate(block_xy, 0)
+    if im._use_mxu_stencil():
+        from .patchgather import gather_patches_pallas
+        pat = gather_patches_pallas(packed, pxy, r)     # [N, G, G, 2]
+    else:
+        padded = jnp.pad(packed, ((r, r), (r, r), (0, 0)), mode="edge")
+
+        def one(p):
+            return jax.lax.dynamic_slice(padded, (p[1], p[0], 0),
+                                         (_GATHER, _GATHER, 2))
+        pat = jax.vmap(one)(pxy)
+    d = r - HALF_PATCH
+    feats["angle"] = ic_angle(pat[:, d:d + PATCH_SIZE,
+                                  d:d + PATCH_SIZE, 0])
+    # BRIEF once over ALL levels' patches: the binned path runs its
+    # angle_bins one-hot matmuls on one [~N, G^2] operand instead of
+    # 8 small per-level batches (8x fewer MXU dispatches)
+    feats["desc"] = brief_descriptors(pat[..., 1], feats["angle"],
+                                      params.angle_bins)
     # truncate/pad to exactly n_features, strongest first
     order = jnp.argsort(jnp.where(feats["valid"], -feats["response"], jnp.inf))
     keep = order[:params.n_features]

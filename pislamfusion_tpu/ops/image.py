@@ -255,11 +255,32 @@ def restore_from_laplacian(lap):
     return img
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n: int, on: int) -> np.ndarray:
+    """[on, n] bilinear interpolation matrix (align_corners=False — the
+    same sample points jax.image.resize 'linear' uses: src = (j+0.5)*n/on
+    - 0.5, edge-clamped). Two nonzeros per row."""
+    m = np.zeros((on, n), np.float32)
+    for j in range(on):
+        s = (j + 0.5) * n / on - 0.5
+        i0 = int(np.floor(s))
+        f = s - i0
+        m[j, min(max(i0, 0), n - 1)] += 1.0 - f
+        m[j, min(max(i0 + 1, 0), n - 1)] += f
+    return m
+
+
 def resize_bilinear(img, out_hw):
-    """Bilinear resize (align_corners=False, matches cv::resize INTER_LINEAR)."""
+    """Bilinear resize (align_corners=False, matches cv::resize INTER_LINEAR).
+
+    TPU: two banded-matrix MXU matmuls (same mechanism as the pyramid
+    stencils — jax.image.resize's gather formulation is ~50x off roofline
+    at pyramid shapes)."""
     lead = img.shape[:-3]
     H, W, C = img.shape[-3:]
     oh, ow = out_hw
+    if _use_mxu_stencil():
+        return _matmul_sep(img, _resize_matrix(H, oh), _resize_matrix(W, ow))
     return jax.image.resize(img, lead + (oh, ow, C), method="linear")
 
 
