@@ -136,6 +136,27 @@ def main():
     drift = np.linalg.norm(est[-1, :3] - poses[K - 1, :3])
     print(f"VO drift over {K} frames: {drift:.3f} m", file=sys.stderr)
 
+    # --- same pipeline with SIFT, the reference's DEFAULT detector
+    # (Default.cfg FeatureDetector?=Sift): honest parity means the default
+    # config is fast too, not just the ORB fast path
+    sift_fps = None
+    if os.environ.get("BENCH_SIFT", "1") == "1":
+        try:
+            vo_s = FastVO(cam, min_xy, canvas_tiles, lp, bands=BANDS,
+                          n_features=N, window_radius=60.0,
+                          patch_tiles=patch_tiles, detector="sift")
+            est_s, nm_s = vo_s.process(frames_dev, poses_j[0])  # compile
+            ts = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                est_s, nm_s = vo_s.process(frames_dev, poses_j[0])
+                ts.append(time.perf_counter() - t0)
+            sift_fps = round(K / min(ts), 2)
+            print(f"SIFT pass: {sift_fps} fps, matches "
+                  f"{np.asarray(nm_s[1:]).min()}..", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"sift bench failed: {exc}", file=sys.stderr)
+
     # --- the SHIPPED SLAM class on the same frames (host bookkeeping +
     # fused device steps; per-frame dispatch latency included). The scan
     # number above is the pure-device ceiling; this is what a user's
@@ -191,6 +212,7 @@ def main():
         # >=300 FPS single-chip target BASELINE.md sets for this build
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "north_star_frac": round(fps / 300.0, 3),
+        "sift_track_fuse_fps": sift_fps,
         "slam_track_fps": slam_fps,
         "slam_frames_tracked": slam_tracked,
     }))

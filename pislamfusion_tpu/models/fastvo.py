@@ -49,13 +49,22 @@ class FastVO:
                  length_pixel: float, bands: int = 5,
                  n_features: int = 1000, n_levels: int = 8,
                  window_radius: float = 60.0, patch_tiles: int = 0,
-                 fast_warp: bool = True, warp_mode: str = ""):
+                 fast_warp: bool = True, warp_mode: str = "",
+                 detector: str = "orb"):
         self.cam = camera
         self.min_xy = np.asarray(min_xy, np.float64)
         self.canvas_tiles = int(canvas_tiles)
         self.length_pixel = float(length_pixel)
         self.bands = int(bands)
-        self.params = orb.OrbParams(n_features=n_features, n_levels=n_levels)
+        # detector seam: ORB (Hamming) or SIFT (the reference's default
+        # extractor, Default.cfg:2-9; L2 @ 0.2 RootSIFT-style threshold)
+        self.detector = detector
+        if detector == "sift":
+            from ..ops.features import sift as _sift
+            self.params = _sift.SiftParams(n_features=n_features)
+        else:
+            self.params = orb.OrbParams(n_features=n_features,
+                                        n_levels=n_levels)
         self.window_radius = float(window_radius)
         # warp_mode "": auto — the Pallas shear kernel on TPU (full-res
         # exact, ~20x the gather's throughput), half-res gather elsewhere
@@ -73,6 +82,13 @@ class FastVO:
         self.patch_tiles = min(int(patch_tiles), self.canvas_tiles)
         self.canvas_lap, self.canvas_w = M.alloc_canvas(
             self.canvas_tiles, self.canvas_tiles, self.bands)
+
+    # ------------------------------------------------------------------
+    def _detect(self, gray):
+        if self.detector == "sift":
+            from ..ops.features import sift as _sift
+            return _sift.sift_detect(gray.astype(jnp.float32), self.params)
+        return orb.orb_detect(gray.astype(jnp.float32), self.params)
 
     # ------------------------------------------------------------------
     def _plane_points(self, xy, pose_c2w):
@@ -121,7 +137,7 @@ class FastVO:
             c_lap, c_w = carry
         rgb = inputs
         gray = im.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
-        feats = orb.orb_detect(gray.astype(jnp.float32), params)
+        feats = self._detect(gray)
         # constant-velocity prediction (the reference's motion model,
         # TrackerOpt::trackLastFrame): pose_pred = V * pose_{t-1} with
         # V = pose_{t-1} * pose_{t-2}^{-1} in world frame
@@ -132,9 +148,12 @@ class FastVO:
         z = jnp.maximum(pc[:, 2], 1e-6)
         pix = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1)
         wmask = matching.window_mask(pix, feats["xy"], self.window_radius)
-        dist = matching.hamming_matrix(prev_desc, feats["desc"])
-        idx, ok = matching.match(dist, prev_valid, feats["valid"],
-                                 max_dist=80.0, window_mask=wmask)
+        dist = matching.distance_matrix(prev_desc, feats["desc"],
+                                        self.detector)
+        idx, ok = matching.match(
+            dist, prev_valid, feats["valid"],
+            max_dist=80.0 if self.detector == "orb" else 0.2,
+            window_mask=wmask)
         tgt = jnp.where(ok, idx, N)
         p3d = jnp.zeros((N, 3)).at[tgt].set(prev_p3d, mode="drop")
         wgt = jnp.zeros((N,)).at[tgt].set(ok.astype(jnp.float32),
@@ -154,7 +173,7 @@ class FastVO:
     def _process(self, frames, pose0, c_lap, c_w):
         first = frames[0]
         gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
-        f0 = orb.orb_detect(gray0.astype(jnp.float32), self.params)
+        f0 = self._detect(gray0)
         p3d0 = self._plane_points(f0["xy"], pose0)
         # motion model starts at rest: prev2 == prev == pose0
         carry = (f0["desc"], f0["valid"], p3d0, pose0, pose0, c_lap, c_w)

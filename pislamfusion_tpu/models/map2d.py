@@ -113,6 +113,11 @@ class Map2DBase:
         # static patch size: a frame footprint is <= 2*radius across at max
         # height; snap to tiles with +1 for alignment slack
         self.patch_tiles = int(np.ceil(2 * radius / ele_size)) + 1
+        # the canvas must hold at least one patch (tiny two-frame scenes
+        # otherwise allocate fewer tiles than the static patch spans and
+        # every composite dynamic-slice would be out of range)
+        self.w_tiles = max(self.w_tiles, self.patch_tiles)
+        self.h_tiles = max(self.h_tiles, self.patch_tiles)
         self._alloc()
         self._poses_plane = poses
         return True
@@ -291,6 +296,12 @@ class RenderMap2D(MultiBandMap2D):
     def __init__(self, cfg=None):
         super().__init__(cfg)
         self.batch = max(1, int(self.cfg.get_int("Map2D.RenderBatch", 8)))
+        # the reference's seam toggle (Map2DRender.cpp `EnableSeam`):
+        # within-batch ownership is resolved by a smoothed-argmax seam
+        # pass (ops.mosaic.seam_masks_batch) instead of raw max-weight
+        self.enable_seam = self.cfg.get_bool("Map2DRender.EnableSeam",
+                                             False)
+        self.seam_sigma = self.cfg.get_double("Map2DRender.SeamSigma", 3.0)
         self._pending: List = []   # (img_np, pose_plane)
 
     def render_frame(self, img, pose_plane) -> bool:
@@ -348,15 +359,33 @@ class RenderMap2D(MultiBandMap2D):
                 origins.append(origins[-1])
                 won.append(0.0)
             with timer.scope("RenderMap2D::renderFrames"):
-                self.canvas_lap, self.canvas_w = M.composite_frames_batch(
-                    self.canvas_lap, self.canvas_w,
-                    jnp.asarray(np.stack(imgs), jnp.float32),
-                    jnp.asarray(np.stack(hs), jnp.float32),
-                    jnp.asarray(np.asarray(origins), jnp.int32),
-                    jnp.asarray(won, jnp.float32),
-                    bands=self.bands, patch_hw=(patch_px, patch_px),
-                    weight_type=self.weight_type, half_res=self.fast_warp,
-                    warp=self.warp_mode)
+                imgs_j = jnp.asarray(np.stack(imgs), jnp.float32)
+                hs_j = jnp.asarray(np.stack(hs), jnp.float32)
+                org_j = jnp.asarray(np.asarray(origins), jnp.int32)
+                won_j = jnp.asarray(won, jnp.float32)
+                if self.enable_seam:
+                    ih, iw = imgs[0].shape[:2]
+                    masks = M.seam_masks_batch(
+                        hs_j, org_j, won_j, (ih, iw),
+                        (patch_px, patch_px),
+                        (self.h_tiles * ELE, self.w_tiles * ELE),
+                        weight_type=self.weight_type,
+                        smooth_sigma=float(self.seam_sigma))
+                    self.canvas_lap, self.canvas_w = \
+                        M.composite_frames_batch_seamed(
+                            self.canvas_lap, self.canvas_w, imgs_j, hs_j,
+                            org_j, won_j, masks, bands=self.bands,
+                            patch_hw=(patch_px, patch_px),
+                            weight_type=self.weight_type,
+                            half_res=self.fast_warp, warp=self.warp_mode)
+                else:
+                    self.canvas_lap, self.canvas_w = \
+                        M.composite_frames_batch(
+                            self.canvas_lap, self.canvas_w, imgs_j, hs_j,
+                            org_j, won_j, bands=self.bands,
+                            patch_hw=(patch_px, patch_px),
+                            weight_type=self.weight_type,
+                            half_res=self.fast_warp, warp=self.warp_mode)
             self.frames_rendered += int(np.sum(np.asarray(won) > 0))
 
     def blended(self, bg: Optional[float] = None):

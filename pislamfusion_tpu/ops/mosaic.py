@@ -369,6 +369,106 @@ def composite_frames_batch(canvas_lap, canvas_w, imgs, hs, origins_yx,
     return canvas_lap, canvas_w
 
 
+@functools.partial(jax.jit, static_argnames=("img_hw", "patch_hw",
+                                              "weight_type", "canvas_hw",
+                                              "smooth_sigma"))
+def seam_masks_batch(hs, origins_yx, weights_on, img_hw, patch_hw,
+                     canvas_hw, weight_type: int = 0,
+                     smooth_sigma: float = 3.0):
+    """Seam finding for a batch of frames (Map2DRender `EnableSeam`
+    analogue, Map2DFusion/Map2DRender.cpp).
+
+    The reference's seam pass resolves within-batch overlap by assigning
+    every canvas pixel to ONE source frame with spatially coherent
+    boundaries (GL/graph-cut there). TPU re-design: scatter each frame's
+    band-0 radial weight onto the canvas and take the per-pixel argmax
+    owner, then REGULARIZE ownership with a Gaussian majority vote over
+    the one-hot labels — per-pixel argmax alone interleaves owners
+    wherever weights tie (exactly the ghost-prone overlap mid-zones),
+    while the smoothed vote produces connected regions whose single seam
+    sits along the equal-weight ridge, which is where graph-cut's data
+    term is cheapest too.
+
+    Returns [K, ph, pw, 1] float32 {0,1} ownership masks (patch-local).
+    Multiply into the frames' band-0 weights: the max-weight composite
+    then SELECTS by seam region instead of raw radial weight.
+    """
+    K = hs.shape[0]
+    ph, pw = patch_hw
+    # working canvas padded by one patch so every (origin >= 0) slice
+    # fits even when the allocated canvas is smaller than the patch
+    Hc, Wc = canvas_hw[0] + ph, canvas_hw[1] + pw
+
+    def scatter(carry, inp):
+        best_w, best_k = carry
+        h, oyx, won, k = inp
+        w0 = analytic_weight_pyramid(h, img_hw, patch_hw, 0,
+                                     weight_type)[0][..., 0] * won
+        reg_w = jax.lax.dynamic_slice(best_w, (oyx[0], oyx[1]), (ph, pw))
+        reg_k = jax.lax.dynamic_slice(best_k, (oyx[0], oyx[1]), (ph, pw))
+        win = w0 > reg_w
+        best_w = jax.lax.dynamic_update_slice(
+            best_w, jnp.where(win, w0, reg_w), (oyx[0], oyx[1]))
+        best_k = jax.lax.dynamic_update_slice(
+            best_k, jnp.where(win, k, reg_k), (oyx[0], oyx[1]))
+        return (best_w, best_k), 0.0
+
+    best_w = jnp.zeros((Hc, Wc), jnp.float32)
+    best_k = jnp.full((Hc, Wc), -1, jnp.int32)
+    (best_w, best_k), _ = jax.lax.scan(
+        scatter, (best_w, best_k),
+        (hs, origins_yx, weights_on, jnp.arange(K, dtype=jnp.int32)))
+
+    # majority smoothing: blur the one-hot votes, re-argmax
+    onehot = (best_k[..., None] == jnp.arange(K)).astype(jnp.float32)
+    votes = im.gaussian_blur(onehot, smooth_sigma)
+    labels = jnp.argmax(votes, -1).astype(jnp.int32)
+    covered = best_w > 0
+
+    def gather(_, inp):
+        oyx, k = inp
+        lab = jax.lax.dynamic_slice(labels, (oyx[0], oyx[1]), (ph, pw))
+        cov = jax.lax.dynamic_slice(covered, (oyx[0], oyx[1]), (ph, pw))
+        own = ((lab == k) & cov).astype(jnp.float32)
+        return 0, own[..., None]
+
+    _, masks = jax.lax.scan(
+        gather, 0, (origins_yx, jnp.arange(K, dtype=jnp.int32)))
+    return masks
+
+
+@functools.partial(jax.jit, static_argnames=("bands", "patch_hw",
+                                              "weight_type", "half_res",
+                                              "warp"),
+                   donate_argnums=(0, 1))
+def composite_frames_batch_seamed(canvas_lap, canvas_w, imgs, hs,
+                                  origins_yx, weights_on, seam_masks,
+                                  bands: int, patch_hw: Tuple[int, int],
+                                  weight_type: int = 0,
+                                  half_res: bool = False,
+                                  warp: str = "gather"):
+    """composite_frames_batch with per-frame seam ownership masks
+    (seam_masks_batch) multiplied into band 0 before the weight chain —
+    the composite's max-weight rule then selects by seam region, with the
+    pyr_down rolloff still smoothing coarse-band transitions."""
+    def step(carry, inp):
+        c_lap, c_w = carry
+        img, h, oyx, won, own = inp
+        p_lap, p_w = patch_pyramids(img, h, patch_hw, bands, weight_type,
+                                    half_res, warp)
+        w0 = p_w[0] * own * won
+        p_w = [w0]
+        for _ in range(bands):
+            p_w.append(im.pyr_down(p_w[-1]))
+        c_lap, c_w = composite_patch(c_lap, c_w, p_lap, p_w, oyx)
+        return (c_lap, c_w), 0.0
+
+    (canvas_lap, canvas_w), _ = jax.lax.scan(
+        step, (canvas_lap, canvas_w),
+        (imgs, hs, origins_yx, weights_on, seam_masks))
+    return canvas_lap, canvas_w
+
+
 @functools.partial(jax.jit, static_argnames=("bg",))
 def reconstruct_canvas(canvas_lap, canvas_w, bg: float = 255.0):
     """Blend result: restore from the Laplacian pyramid, background color where

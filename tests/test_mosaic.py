@@ -210,3 +210,74 @@ def test_render_batch_remainder_flush(world):
     out, covered = m.blended()
     assert m.frames_rendered == 3
     assert covered.sum() > 1000
+
+
+def test_render_seam_finding(world):
+    """Map2DRender.EnableSeam analogue: with two overlapping frames of
+    DISAGREEING content, the seam pass must partition the overlap into
+    coherent single-owner regions — at most one ownership transition per
+    row — instead of per-pixel max-weight interleaving."""
+    ground, cam, poses, frames = world
+    cfg = _cfg(**{"Map2DRender.EnableSeam": "1", "Map2D.RenderBatch": "2",
+                  "Map2D.BandNumber": "1"})
+    m = create_map2d("render", cfg)
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    pa = nadir_pose(18.0, 20.0, 20.0)
+    pb = nadir_pose(26.0, 20.0, 20.0)
+    assert m.prepare(plane, cam, [(None, pa), (None, pb)])
+    h, w = cam.height, cam.width
+    img_a = np.full((h, w, 3), 50.0, np.float32)
+    img_b = np.full((h, w, 3), 200.0, np.float32)
+    m.render_frame(img_a, pa)
+    m.render_frame(img_b, pb)
+    m.flush()
+    out, covered = m.blended()
+    ys, xs = np.nonzero(covered)
+    assert ys.size > 1000
+    # rows fully covered between the two frame centers
+    mid_rows = [y for y in range(covered.shape[0])
+                if covered[y].sum() > 40]
+    assert len(mid_rows) > 10
+    bad = 0
+    for y in mid_rows:
+        row = out[y][covered[y]][..., 0]
+        own_b = row > 125.0
+        transitions = int(np.abs(np.diff(own_b.astype(np.int8))).sum())
+        if transitions > 1:
+            bad += 1
+    # coherent seams: a single A->B transition per covered row
+    assert bad <= len(mid_rows) * 0.1, (
+        f"{bad}/{len(mid_rows)} rows have fragmented seams")
+
+
+def test_render_seam_masks_partition(world):
+    """seam_masks_batch: masks are disjoint and cover exactly the union
+    footprint."""
+    import jax.numpy as jnp
+    from pislamfusion_tpu.ops import mosaic as MM
+    ground, cam, poses, frames = world
+    plane_hs = []
+    m = MultiBandMap2D(_cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    pa = nadir_pose(18.0, 20.0, 20.0)
+    pb = nadir_pose(24.0, 22.0, 20.0)
+    assert m.prepare(plane, cam, [(None, pa), (None, pb)])
+    geos = [m._frame_geometry(p) for p in (pa, pb)]
+    hs = np.stack([g[1] for g in geos])
+    origins = np.asarray([(g[0][0] * 256, g[0][1] * 256) for g in geos],
+                         np.int32)
+    patch_px = m.patch_tiles * 256
+    masks = np.asarray(MM.seam_masks_batch(
+        jnp.asarray(hs, jnp.float32), jnp.asarray(origins),
+        jnp.ones(2, jnp.float32), (cam.height, cam.width),
+        (patch_px, patch_px), (m.h_tiles * 256, m.w_tiles * 256)))
+    assert masks.shape[0] == 2
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    # disjoint where patches overlap on canvas (same origin region only
+    # when origins coincide); check sum over canvas scatter <= 1
+    canvas = np.zeros((m.h_tiles * 256, m.w_tiles * 256))
+    for k in range(2):
+        oy, ox = origins[k]
+        canvas[oy:oy + patch_px, ox:ox + patch_px] += masks[k, ..., 0]
+    assert canvas.max() <= 1.0 + 1e-6
+    assert canvas.sum() > 1000  # union footprint is owned

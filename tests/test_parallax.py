@@ -161,3 +161,54 @@ def test_slam_tracks_parallax_scene(hard_world):
     ate = np.sqrt(np.mean(np.sum((est_al - gt_pos) ** 2, -1)))
     span = np.linalg.norm(gt_pos.max(0) - gt_pos.min(0))
     assert ate < 0.03 * span, f"ATE {ate:.2f} m over span {span:.1f} m"
+
+
+def test_render_seamed_on_parallax(hard_world):
+    """Map2DRender with EnableSeam on the parallax fixture: seam-selected
+    ownership must retain the truth's fine texture at least as well as
+    the raw max-weight composite (the coherent seam keeps each region
+    single-source) while staying PSNR-comparable — the Render-vs-
+    MultiBand comparison the reference enables with EnableSeam."""
+    from pislamfusion_tpu.models.map2d import RenderMap2D
+
+    world, cam, poses, frames = hard_world
+    ortho = true_ortho(world)
+
+    def blend_render(seam):
+        cfg = Svar()
+        cfg.set("Map2D.Scale", "0.7")
+        cfg.set("Map2D.BandNumber", "4")
+        cfg.set("Map2DRender.EnableSeam", "1" if seam else "0")
+        m = RenderMap2D(cfg)
+        plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        assert m.prepare(plane, cam, [(None, p) for p in poses])
+        for img, p in zip(frames, poses):
+            assert m.feed(img, p)
+        out, covered = m.blended()
+        return m, out, covered
+
+    mb, out_mb, cov_mb = _blend(MultiBandMap2D, cam, poses, frames)
+    rs, out_rs, cov_rs = blend_render(True)
+    cov = cov_mb & cov_rs
+    ys, xs = np.nonzero(cov)
+    assert ys.size > 5000
+    H, W = out_mb.shape[:2]
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gt = _ortho_at_canvas(ortho, mb, yy.ravel(), xx.ravel()).reshape(
+        H, W, 3)
+
+    def hp_ret(img):
+        h = img - np.asarray(im.gaussian_blur(
+            jnp.asarray(img.astype(np.float32)), 2.0))
+        g = gt - np.asarray(im.gaussian_blur(
+            jnp.asarray(gt.astype(np.float32)), 2.0))
+        return np.abs(h[cov]).mean() / np.abs(g[cov]).mean()
+
+    r_mb = hp_ret(out_mb)
+    r_rs = hp_ret(out_rs)
+    p_rs = psnr(out_rs[cov], gt[cov])
+    p_mb = psnr(out_mb[cov], gt[cov])
+    # seam-selected Render keeps texture like MultiBand's max-weight...
+    assert r_rs > 0.9 * r_mb, (r_rs, r_mb)
+    # ...and doesn't degrade PSNR materially
+    assert p_rs > p_mb - 2.0, (p_rs, p_mb)
