@@ -473,10 +473,37 @@ class Tracker:
                     seen.add(kf.id)
                     candidates.append(kf)
         self._log << f",refKF x{len(candidates)}"
-        for kf in candidates:
-            pos, has = self._gather_frame_points(kf)
-            idx, ok = self._ref_kf_match(kf, frame, has)
-            idxn, okn = jax.device_get((idx, ok))
+        # one batched match dispatch ranks ALL candidates (relocalize(),
+        # :1307-1350 — the per-candidate loop costs one tunnel round trip
+        # each; vmapped it is one program + one fetch), then the PnP loop
+        # visits them best-first and almost always succeeds on the first
+        points = [self._gather_frame_points(kf) for kf in candidates]
+        pre_idx = pre_ok = None
+        base_match = type(self)._ref_kf_match is Tracker._ref_kf_match
+        if len(candidates) > 1:
+            descs = jnp.stack([jnp.asarray(kf.desc) for kf in candidates])
+            valids = jnp.stack(
+                [jnp.asarray(h & kf.valid)
+                 for kf, (_, h) in zip(candidates, points)])
+            bi, bo = matching.match_descriptors_batch(
+                descs, valids, jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid), candidates[0].desc_kind,
+                ratio=0.8)
+            pre_idx, pre_ok = jax.device_get((bi, bo))
+            order = np.argsort(-pre_ok.sum(1))
+            candidates = [candidates[i] for i in order]
+            points = [points[i] for i in order]
+            pre_idx, pre_ok = pre_idx[order], pre_ok[order]
+        for ci, kf in enumerate(candidates):
+            pos, has = points[ci]
+            if pre_ok is not None and base_match:
+                # the base matcher IS the batched ratio-BF — reuse it
+                idxn, okn = pre_idx[ci], pre_ok[ci]
+            else:
+                if pre_ok is not None and pre_ok[ci].sum() < 15:
+                    continue   # ranked prefilter: skip hopeless candidates
+                idx, ok = self._ref_kf_match(kf, frame, has)
+                idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 15:
                 continue
             n = frame.n_kp

@@ -141,6 +141,28 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, kind: str,
                                   cross_check)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "ratio"))
+def match_descriptors_batch(desc_a, valid_a, desc_b, valid_b, kind: str,
+                            ratio: float = 0.8):
+    """Match MANY candidate keyframes against one frame in ONE dispatch.
+
+    desc_a: [K, Na, D] stacked candidate descriptors; valid_a: [K, Na];
+    desc_b/valid_b: the frame. Returns (idx [K, Na], ok [K, Na]).
+
+    Exists for LOST-state relocalization (TrackerOpt::relocalize,
+    :1307-1350): the up-to-25-candidate sweep as one vmapped program +
+    one fetch instead of a device round trip per candidate — on the
+    tunneled build box a relocalization episode otherwise stalls the
+    online queue for seconds (one ~30-60 ms round trip each)."""
+    max_dist = 80.0 if kind == "orb" else 0.2
+
+    def one(da, va):
+        return _match_descriptors_jit(da, va, desc_b, valid_b, kind,
+                                      max_dist, float(ratio), None, True)
+
+    return jax.vmap(one)(desc_a, valid_a)
+
+
 def matches_to_pairs(idx, valid):
     """Dense [N]->[M] assignment to padded pair list [(ia, ib)] with mask —
     convenience for estimators that want explicit index pairs."""
