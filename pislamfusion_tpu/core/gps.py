@@ -175,3 +175,101 @@ def pyr_to_rotation(pitch: float, yaw: float, roll: float) -> np.ndarray:
     cam2imu = np.array([-0.5, 0.5, -0.5, 0.5], np.float64)
     q = hse3.quat_mul(imu2world, cam2imu)
     return (q / np.linalg.norm(q)).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Chinese map datum shifts (GCJ-02 "Mars", BD-09 Baidu). The reference's
+# tile stack carries these converters for serving mosaics over Chinese
+# basemaps (GSLAM/GSLAM/core/TileProjection.h:90-240 GPSConverter and the
+# identical copy in thirdparty/opmapcontrol mercatorprojection.cpp). The
+# formulas below are the standard published GCJ-02/BD-09 transforms — the
+# constants ARE the datum definition, so they match the reference's (and
+# everyone else's) bit for bit.
+# ---------------------------------------------------------------------------
+
+_GCJ_A = 6378245.0
+_GCJ_EE = 0.00669342162296594323
+
+
+def _out_of_china(lat, lon):
+    return not (72.004 <= lon <= 137.8347 and 0.8293 <= lat <= 55.8271)
+
+
+def _transform_lat(x, y):
+    ret = (-100.0 + 2.0 * x + 3.0 * y + 0.2 * y * y + 0.1 * x * y
+           + 0.2 * np.sqrt(abs(x)))
+    ret += (20.0 * np.sin(6.0 * x * np.pi)
+            + 20.0 * np.sin(2.0 * x * np.pi)) * 2.0 / 3.0
+    ret += (20.0 * np.sin(y * np.pi)
+            + 40.0 * np.sin(y / 3.0 * np.pi)) * 2.0 / 3.0
+    ret += (160.0 * np.sin(y / 12.0 * np.pi)
+            + 320.0 * np.sin(y * np.pi / 30.0)) * 2.0 / 3.0
+    return ret
+
+
+def _transform_lon(x, y):
+    ret = (300.0 + x + 2.0 * y + 0.1 * x * x + 0.1 * x * y
+           + 0.1 * np.sqrt(abs(x)))
+    ret += (20.0 * np.sin(6.0 * x * np.pi)
+            + 20.0 * np.sin(2.0 * x * np.pi)) * 2.0 / 3.0
+    ret += (20.0 * np.sin(x * np.pi)
+            + 40.0 * np.sin(x / 3.0 * np.pi)) * 2.0 / 3.0
+    ret += (150.0 * np.sin(x / 12.0 * np.pi)
+            + 300.0 * np.sin(x / 30.0 * np.pi)) * 2.0 / 3.0
+    return ret
+
+
+def wgs84_to_gcj02(lat: float, lon: float):
+    """WGS-84 -> GCJ-02 (TileProjection.h gps84_To_Gcj02)."""
+    if _out_of_china(lat, lon):
+        return lat, lon
+    dlat = _transform_lat(lon - 105.0, lat - 35.0)
+    dlon = _transform_lon(lon - 105.0, lat - 35.0)
+    radlat = lat / 180.0 * np.pi
+    magic = 1 - _GCJ_EE * np.sin(radlat) ** 2
+    sqrtmagic = np.sqrt(magic)
+    dlat = (dlat * 180.0) / ((_GCJ_A * (1 - _GCJ_EE))
+                             / (magic * sqrtmagic) * np.pi)
+    dlon = (dlon * 180.0) / (_GCJ_A / sqrtmagic * np.cos(radlat) * np.pi)
+    return lat + dlat, lon + dlon
+
+
+def gcj02_to_wgs84(lat: float, lon: float):
+    """GCJ-02 -> WGS-84 (one-step inverse, gcj_To_Gps84)."""
+    glat, glon = wgs84_to_gcj02(lat, lon)
+    return lat * 2 - glat, lon * 2 - glon
+
+
+def gcj02_to_bd09(lat: float, lon: float):
+    """GCJ-02 -> BD-09 (gcj02_To_Bd09)."""
+    z = np.sqrt(lon * lon + lat * lat) + 0.00002 * np.sin(lat * np.pi)
+    theta = np.arctan2(lat, lon) + 0.000003 * np.cos(lon * np.pi)
+    return z * np.sin(theta) + 0.006, z * np.cos(theta) + 0.0065
+
+
+def bd09_to_gcj02(lat: float, lon: float):
+    """BD-09 -> GCJ-02 (bd09_To_Gcj02)."""
+    x, y = lon - 0.0065, lat - 0.006
+    z = np.sqrt(x * x + y * y) - 0.00002 * np.sin(y * np.pi)
+    theta = np.arctan2(y, x) - 0.000003 * np.cos(x * np.pi)
+    return z * np.sin(theta), z * np.cos(theta)
+
+
+def wgs84_to_bd09(lat: float, lon: float):
+    return gcj02_to_bd09(*wgs84_to_gcj02(lat, lon))
+
+
+def bd09_to_wgs84(lat: float, lon: float):
+    return gcj02_to_wgs84(*bd09_to_gcj02(lat, lon))
+
+
+def datum_shift(lat: float, lon: float, datum: str = "wgs84"):
+    """Map a WGS-84 fix into the serving datum ('wgs84'|'gcj02'|'bd09') —
+    the choice the reference's map widget makes per basemap provider."""
+    if datum == "gcj02":
+        return wgs84_to_gcj02(lat, lon)
+    if datum == "bd09":
+        return wgs84_to_bd09(lat, lon)
+    if datum == "wgs84":
+        return lat, lon
+    raise ValueError(f"unknown datum {datum!r}")

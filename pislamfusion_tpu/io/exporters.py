@@ -146,13 +146,18 @@ def global_px_to_lnglat(x, y, zoom: int):
 
 
 def export_geo_tiles(map2d, gps_origin, out_dir: str, zoom: int = 19,
-                     plane_se3: Optional[np.ndarray] = None) -> int:
+                     plane_se3: Optional[np.ndarray] = None,
+                     datum: str = "wgs84") -> int:
     """Resample the blended mosaic into a z/x/y/256 PNG tile pyramid level.
 
     The mosaic canvas lives in ground-plane coordinates (meters once GPS is
     fitted); the canvas->(lng,lat) placement uses calcLngLatFromDistance
     from the GPS origin exactly like the reference's Fuse2Google path
     (MultiBandMap2DCPU.cpp:693-775). Returns the number of tiles written.
+
+    datum: 'wgs84' | 'gcj02' | 'bd09' — shift tile placement onto a
+    Chinese basemap grid (the reference's map widget does this per
+    provider: TileProjection.h GPSConverter / opmapcontrol).
     """
     from ..models.map2d import _write_png
     out, covered = map2d.blended()
@@ -181,6 +186,12 @@ def export_geo_tiles(map2d, gps_origin, out_dir: str, zoom: int = 19,
         world = local @ R.T + plane_se3[:3]
         lng, lat = gpsmod.lnglat_from_distance(
             lng0, lat0, world[..., 0], world[..., 1])
+        if datum != "wgs84":
+            pairs = [gpsmod.datum_shift(la, ln, datum)
+                     for la, ln in zip(np.atleast_1d(lat),
+                                       np.atleast_1d(lng))]
+            lat = np.asarray([p[0] for p in pairs])
+            lng = np.asarray([p[1] for p in pairs])
         return lng, lat
 
     H, W = covered.shape

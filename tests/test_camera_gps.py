@@ -133,3 +133,26 @@ def test_priory_pose_frame():
     assert scale == 30.0
     view = hse3.quat_rotate(T[3:7], np.array([0.0, 0.0, 1.0]))
     np.testing.assert_allclose(view, [0, 0, -1], atol=1e-5)
+
+
+def test_gcj02_bd09_datum_shifts():
+    """GCJ-02/BD-09 converters (TileProjection.h GPSConverter): round-trips
+    close to identity inside China, exact identity outside."""
+    from pislamfusion_tpu.core import gps as G
+    # Beijing-ish
+    lat, lon = 39.9042, 116.4074
+    glat, glon = G.wgs84_to_gcj02(lat, lon)
+    # the GCJ offset in China is a few hundred meters
+    assert 1e-4 < abs(glat - lat) < 0.01 and 1e-4 < abs(glon - lon) < 0.01
+    blat, blon = G.wgs84_to_bd09(lat, lon)
+    assert abs(blat - glat) > 1e-4 and abs(blon - glon) > 1e-4
+    # round trips (the gcj inverse is the reference's one-step approx)
+    rlat, rlon = G.gcj02_to_wgs84(glat, glon)
+    assert abs(rlat - lat) < 5e-5 and abs(rlon - lon) < 5e-5
+    rlat, rlon = G.bd09_to_gcj02(blat, blon)
+    assert abs(rlat - glat) < 1e-5 and abs(rlon - glon) < 1e-5
+    # outside China: identity (outOfChina gate)
+    assert G.wgs84_to_gcj02(48.8566, 2.3522) == (48.8566, 2.3522)
+    # datum_shift dispatch
+    assert G.datum_shift(lat, lon, "gcj02") == (glat, glon)
+    assert G.datum_shift(lat, lon, "wgs84") == (lat, lon)
