@@ -113,13 +113,121 @@ def _up_matrix(n: int, oh: int, taps: tuple) -> np.ndarray:
     return m
 
 
+_BLK = 128  # MXU/lane tile
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_blocks_cached(key):
+    return None  # placeholder; real cache below keyed by matrix bytes
+
+
+_BANDED_CACHE: dict = {}
+
+
+def _banded_blocks(m: np.ndarray):
+    """Decompose a banded [On, n] matrix into per-out-block dense blocks.
+
+    Returns (dblk [ni, 128, KB*128], idx [ni, KB] int32) such that
+    out_block[i] = dblk[i] @ concat(X_block[idx[i, k]] for k) — only the
+    KB column-blocks intersecting the band contribute, so the contraction
+    shrinks from n to KB*128 (~3-9x fewer MXU FLOPs at pyramid shapes).
+    None when the band is too wide to pay off.
+    """
+    key = (m.shape, m.tobytes()[:256], float(m.sum()))
+    hit = _BANDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    On, n = m.shape
+    ni = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    mp = np.zeros((ni * _BLK, nk * _BLK), np.float32)
+    mp[:On, :n] = m
+    first = np.zeros(ni, np.int64)
+    kb_need = 1
+    for i in range(ni):
+        rows = mp[i * _BLK:(i + 1) * _BLK]
+        nz = np.nonzero(rows.any(0))[0]
+        if nz.size == 0:
+            first[i] = 0
+            continue
+        b0, b1 = nz[0] // _BLK, nz[-1] // _BLK
+        first[i] = b0
+        kb_need = max(kb_need, int(b1 - b0 + 1))
+    KB = kb_need
+    if KB * _BLK >= n or KB > 4:     # band too wide: dense is fine
+        _BANDED_CACHE[key] = None
+        return None
+    dblk = np.zeros((ni, _BLK, KB * _BLK), np.float32)
+    idx = np.zeros((ni, KB), np.int32)
+    for i in range(ni):
+        for k in range(KB):
+            b = int(first[i]) + k
+            if b < nk:
+                idx[i, k] = b
+                dblk[i, :, k * _BLK:(k + 1) * _BLK] = \
+                    mp[i * _BLK:(i + 1) * _BLK, b * _BLK:(b + 1) * _BLK]
+            else:
+                idx[i, k] = nk - 1   # clipped: weights stay zero
+    out = (dblk, idx)
+    _BANDED_CACHE[key] = out
+    return out
+
+
+def _banded_left_apply(m: np.ndarray, x, axis: int):
+    """out = m @ x along `axis` (negative), exploiting the band: gather
+    the KB contributing 128-blocks per output block (static indices) and
+    contract with one batched einsum."""
+    On, n = m.shape
+    blocks = _banded_blocks(m)
+    if blocks is None:
+        mm = jnp.asarray(m)
+        x_moved = jnp.moveaxis(x, axis, -1)
+        y = jnp.einsum("on,...n->...o", mm, x_moved,
+                       precision=_STENCIL_PRECISION)
+        return jnp.moveaxis(y, -1, axis)
+    dblk, idx = blocks
+    ni, KB = idx.shape
+    nk = -(-n // _BLK)
+    ax = axis % x.ndim
+    pad = [(0, 0)] * x.ndim
+    pad[ax] = (0, nk * _BLK - x.shape[ax])
+    xp = jnp.pad(x, pad)
+    # [..., nk, 128, ...] with the block dims at `ax`
+    new_shape = xp.shape[:ax] + (nk, _BLK) + xp.shape[ax + 1:]
+    xb = xp.reshape(new_shape)
+    b = jnp.take(xb, jnp.asarray(idx.reshape(-1)), axis=ax)
+    # [..., ni, KB*128, ...]
+    b = b.reshape(xp.shape[:ax] + (ni, KB * _BLK) + xp.shape[ax + 1:])
+    # batched contraction over the KB*128 window, batch dim ni
+    nlead = ax
+    ntrail = x.ndim - ax - 1
+    lead = "".join(chr(ord("m") + i) for i in range(nlead))
+    trail = "".join(chr(ord("t") + i) for i in range(ntrail))
+    eq = f"iak,{lead}ik{trail}->{lead}ia{trail}"
+    y = jnp.einsum(eq, jnp.asarray(dblk), b,
+                   precision=_STENCIL_PRECISION)
+    y = y.reshape(xp.shape[:ax] + (ni * _BLK,) + xp.shape[ax + 1:])
+    sl = [slice(None)] * x.ndim
+    sl[ax] = slice(0, On)
+    return y[tuple(sl)]
+
+
 def _matmul_sep(img, mh: np.ndarray, mw: np.ndarray):
     """Apply per-axis banded matrices: out = mh @ img @ mw^T over the
-    (-3, -2) axes, channels riding in the minor dim."""
-    y = jnp.einsum("rh,...hwc->...rwc", jnp.asarray(mh), img,
-                   precision=_STENCIL_PRECISION)
-    return jnp.einsum("sw,...rwc->...rsc", jnp.asarray(mw), y,
-                      precision=_STENCIL_PRECISION)
+    (-3, -2) axes, channels riding in the minor dim. Large axes route
+    through the block-banded contraction (_banded_left_apply); small ones
+    stay dense (the banded bookkeeping only pays off past ~4 blocks)."""
+    def one_axis(m, x, axis):
+        if m.shape[1] >= 512:
+            return _banded_left_apply(m, x, axis)
+        if axis == -3:
+            return jnp.einsum("rh,...hwc->...rwc", jnp.asarray(m), x,
+                              precision=_STENCIL_PRECISION)
+        return jnp.einsum("sw,...rwc->...rsc", jnp.asarray(m), x,
+                          precision=_STENCIL_PRECISION)
+
+    y = one_axis(mh, img, -3)
+    return one_axis(mw, y, -2)
 
 
 def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
@@ -281,7 +389,11 @@ def resize_bilinear(img, out_hw):
     oh, ow = out_hw
     if _use_mxu_stencil():
         return _matmul_sep(img, _resize_matrix(H, oh), _resize_matrix(W, ow))
-    return jax.image.resize(img, lead + (oh, ow, C), method="linear")
+    # antialias=False: cv::resize INTER_LINEAR samples the 2-tap lerp
+    # directly (no kernel widening on downscale) — and keeps the CPU path
+    # equal to the TPU matrix path
+    return jax.image.resize(img, lead + (oh, ow, C), method="linear",
+                            antialias=False)
 
 
 def _reflect101(x, n):
