@@ -86,3 +86,37 @@ def test_root_sift():
                     jnp.float32)
     r = np.asarray(sift.root_sift(d))
     np.testing.assert_allclose((r ** 2).sum(-1), 1.0, atol=1e-4)
+
+
+def test_fused_sift_slam_smoke():
+    """Fast-tier SIFT e2e: the reference's DEFAULT detector
+    (Default.cfg:2-9 FeatureDetector?=Sift) through the fused
+    single-dispatch SLAM path on a short strip — initialization +
+    steady tracking must work, not just the standalone extractor."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.core.svar import Svar
+    from pislamfusion_tpu.models.slam import create_slam
+    from synth_survey import make_ground, nadir_pose, render_view
+
+    rng = np.random.default_rng(3)
+    ground = make_ground(rng, n=768, rects=500)
+    cam = Camera(256, 192, 200.0, 200.0, 128.0, 96.0)
+    poses = [nadir_pose(28.0 + 2.5 * i, 30.0, 20.0) for i in range(8)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "Sift")
+    cfg.set("SLAM.nFeature", "300")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.MinInitMatches", "40")
+    cfg.set("SLAM.BAFrameCap", "6")
+    cfg.set("SLAM.BAPointCap", "512")
+    cfg.set("SLAM.BAObsCap", "2048")
+    cfg.set("SLAM.LocalBAIters", "6")
+    cfg.set("Sift.ContrastThreshold", "0.005")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert slam.tracker.use_fused          # SIFT rides the fused path
+    assert slam.frames_tracked >= 5, (slam.frames_tracked,
+                                      slam.frames_total)
+    assert slam.map.point_num() > 50
