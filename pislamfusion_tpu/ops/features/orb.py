@@ -116,7 +116,12 @@ def fast_score_map(img):
     # per-tap difference images kept as a LIST (never stacked into a
     # [16, H, W] buffer): the 9-length arc minima come from a log-depth
     # tree of pairwise minima, so XLA fuses the whole score into a few
-    # elementwise passes instead of materializing 25 full-res planes
+    # elementwise passes instead of materializing 25 full-res planes.
+    # On TPU the chain runs in bf16 (the score only RANKS corners against
+    # a threshold of 7-20 gray levels; bf16's ~1-level quantization is
+    # noise there and halves the VPU traffic of the hottest dense stage)
+    if im._use_mxu_stencil():
+        img = img.astype(jnp.bfloat16)
     d = [jnp.roll(img, (-dy, -dx), (0, 1)) - img for dx, dy in _CIRCLE]
     d = d + d[:9]                                # wraparound arcs (25)
 
@@ -136,7 +141,7 @@ def fast_score_map(img):
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
     edge = ((ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3))
-    return jnp.where(edge, score, 0.0)
+    return jnp.where(edge, score, 0.0).astype(jnp.float32)
 
 
 def _nms3(score):
@@ -164,7 +169,16 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
     cells = sp.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
     cells = cells.reshape(ncy * ncx, cell * cell)
     per_cell = max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
-    cv, ci = jax.lax.top_k(cells, per_cell)      # [ncells, per_cell]
+    if per_cell == 1:
+        # top-1 per cell: max + first-arg index — a per-row lax.top_k is
+        # a per-row SORT of cell*cell elements on TPU (measured ~0.5 ms
+        # of the frame at 1080p); max/where/min reductions are 3 passes
+        cv = jnp.max(cells, -1, keepdims=True)
+        lin = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+        ci = jnp.min(jnp.where(cells == cv, lin, cell * cell),
+                     -1, keepdims=True)
+    else:
+        cv, ci = jax.lax.top_k(cells, per_cell)  # [ncells, per_cell]
     # cell-local -> global pixel coords
     cyx = jnp.stack([jnp.arange(ncy * ncx) // ncx,
                      jnp.arange(ncy * ncx) % ncx], -1)   # [ncells, 2]
