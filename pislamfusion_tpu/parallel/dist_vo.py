@@ -106,3 +106,61 @@ def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
     vo.canvas_lap, vo.canvas_w = list(lap), list(w)
     out = jax.device_get((poses, n_match))
     return out[0][:S], out[1][:S]
+
+
+def anchors_from_gps(frames_meta, plane_se3=None):
+    """Derive segment anchor poses from the DATASET layer's GPS stream.
+
+    frames_meta: iterable of models.frame.Frame (or any object with
+    `gps_enu` [3] and optional `pyr` attitude) — the segment's FIRST
+    frames. plane_se3: optional ground-plane SE3 [7]; anchors are
+    expressed in PLANE coordinates (what FastVO tracks in). Attitude uses
+    the drone PYR->rotation chain when present (MapFrame::getPrioryPose,
+    GSLAM-DIYSLAM/src/MapFrame.cpp:370-402), else nadir.
+
+    Returns [S, 7] float32 — the `anchors` argument of process_survey, so
+    a GPS-tagged dataset scales out with no coarse pass at all:
+
+        segs, metas = segments_from_dataset(ds, seg_len=K)
+        anchors = anchors_from_gps([m[0] for m in metas], plane)
+        process_survey(vo, segs, anchors, mesh)
+    """
+    from ..utils import host_se3 as hse3
+
+    out = []
+    for fr in frames_meta:
+        enu = np.asarray(fr.gps_enu, np.float64)
+        pyr = getattr(fr, "pyr", None)
+        if pyr is not None:
+            from ..core.gps import pyr_to_rotation
+            q = pyr_to_rotation(*[float(v) for v in pyr])
+        else:
+            q = np.array([1.0, 0.0, 0.0, 0.0])   # nadir (x, y, z, w)=(1,0,0,0)
+        pose_w = np.concatenate([enu, q])
+        if plane_se3 is not None:
+            pose_w = hse3.se3_mul(hse3.se3_inv(
+                np.asarray(plane_se3, np.float64)), pose_w)
+        out.append(pose_w)
+    return np.asarray(out, np.float32)
+
+
+def segments_from_frames(frames, seg_len: int, overlap: int = 0):
+    """Split a [N, H, W(,C)] survey into [S, K] segments (K = seg_len),
+    tail-padded by repeating the last frame; consecutive segments can
+    OVERLAP by `overlap` frames so the merged mosaic has no coverage gap
+    at segment joints. Returns (segments [S, K, ...], first_indices [S])
+    — feed first_indices into the dataset's GPS fixes to build anchors."""
+    frames = np.asarray(frames)
+    N = frames.shape[0]
+    step = seg_len - overlap
+    assert step > 0
+    starts = list(range(0, max(N - overlap, 1), step))
+    segs, firsts = [], []
+    for s0 in starts:
+        seg = frames[s0:s0 + seg_len]
+        if seg.shape[0] < seg_len:
+            seg = np.concatenate(
+                [seg, np.repeat(seg[-1:], seg_len - seg.shape[0], 0)], 0)
+        segs.append(seg)
+        firsts.append(s0)
+    return np.stack(segs), np.asarray(firsts)

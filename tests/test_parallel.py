@@ -203,3 +203,35 @@ def test_dist_vo_segments_match_sequential(rng):
     d = img[ys, xs].astype(np.float64) - ground[gy, gx]
     psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
     assert psnr > 24.0, f"merged mosaic PSNR {psnr:.1f} dB"
+
+
+def test_anchors_from_gps_and_segmenter(rng):
+    """Dataset-layer anchor production: segments_from_frames splits a flat
+    survey (tail-padded, optional overlap) and anchors_from_gps turns the
+    first frames' GPS ENU fixes (+ nadir default or PYR attitude) into the
+    [S, 7] plane-coordinate anchors process_survey consumes."""
+    from types import SimpleNamespace
+    from pislamfusion_tpu.parallel import dist_vo
+
+    frames = np.arange(10 * 4 * 6).reshape(10, 4, 6).astype(np.float32)
+    segs, firsts = dist_vo.segments_from_frames(frames, seg_len=4,
+                                                overlap=1)
+    assert segs.shape[1] == 4
+    # consecutive segments overlap by one frame
+    assert (segs[1][0] == frames[firsts[1]]).all()
+    assert firsts[1] - firsts[0] == 3
+    # tail padding repeats the last frame
+    assert (segs[-1][-1] == frames[-1]).all() or \
+        (segs[-1][-1] == segs[-1][-2]).all()
+
+    metas = [SimpleNamespace(gps_enu=np.array([10.0 * s, 5.0, 30.0]),
+                             pyr=None) for s in range(segs.shape[0])]
+    anchors = dist_vo.anchors_from_gps(metas)
+    assert anchors.shape == (segs.shape[0], 7)
+    # nadir quaternion, GPS position carried through
+    assert np.allclose(anchors[:, 3:], [1, 0, 0, 0])
+    assert np.allclose(anchors[2, :3], [20.0, 5.0, 30.0])
+    # plane transform applied when given (identity-rotation plane shift)
+    plane = np.array([1.0, 2.0, 0.0, 0, 0, 0, 1.0])
+    a2 = dist_vo.anchors_from_gps(metas, plane)
+    assert np.allclose(a2[0, :3], anchors[0, :3] - [1.0, 2.0, 0.0])
