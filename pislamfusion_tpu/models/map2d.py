@@ -394,13 +394,11 @@ class RenderMap2D(MultiBandMap2D):
 
 
 @MAP2DS.register("1")
-@MAP2DS.register("2")
 @MAP2DS.register("weighted")
 class WeightedMap2D(Map2DBase):
-    """Single-band weighted running blend (Map2DCPU / Map2DGPU semantics:
-    per-pixel accumulate weight*color and weight, display sum/weight —
-    UtilGPU.cu renderFramesKernel:311-381). Registered for Map2D.Type 1
-    and 2."""
+    """Single-band weighted running blend (Map2DCPU semantics: per-pixel
+    accumulate weight*color and weight, display sum/weight). Registered
+    for Map2D.Type 1; Type 2 is the Map2DGPU-rule variant below."""
 
     def __init__(self, cfg=None):
         super().__init__(cfg)
@@ -481,6 +479,94 @@ def _weighted_feed(acc, wsum, img, h_patch2img, origin_yx,
     acc = jax.lax.dynamic_update_slice(acc, cur_a + warped * w, o)
     wsum = jax.lax.dynamic_update_slice(wsum, cur_w + w, o)
     return acc, wsum
+
+
+@MAP2DS.register("2")
+@MAP2DS.register("gpu")
+class WeightedGPUMap2D(WeightedMap2D):
+    """Map2D.Type 2 — the CUDA engine's ACTUAL blend rule
+    (Map2DFusion/UtilGPU.cu renderFramesKernel:311-381, as compiled):
+
+      * per-pixel weight is INVERSE-QUADRATIC DISTANCE TO THE FRAME'S
+        FOOTPRINT CENTER in canvas pixels, w = 1e5 / (d^2 + 1000) — the
+        radial image weight branch is compiled out (`if(0)`, :339-346);
+      * blending is a biased OVERWRITE, not a running average: when the
+        incoming weight >= the stored one, out = (old*2*w_old + new*w_new)
+        / (2*w_old + w_new) and the stored weight becomes w_new; when it
+        is lower the pixel is left untouched (:358-373). Each pixel thus
+        converges to the most-center-on frame with a soft transition.
+
+    Deliberate divergence: the CUDA kernel samples the source NEAREST-
+    neighbor ((int)srcX); this build samples bilinearly everywhere.
+    """
+
+    def _alloc(self):
+        H, W = self.h_tiles * ELE, self.w_tiles * ELE
+        self.acc = jnp.zeros((H, W, 3), jnp.float32)   # stored COLOR
+        self.wsum = jnp.zeros((H, W, 1), jnp.float32)  # stored weight
+
+    def render_frame(self, img, pose_plane) -> bool:
+        with self._lock:
+            geo = self._frame_geometry(pose_plane)
+            if geo is None:
+                self.frames_skipped += 1
+                return False
+            (ty0, tx0), H = geo
+            patch_px = self.patch_tiles * ELE
+            # frame footprint center in patch coords: image center pixel
+            # mapped through H^-1 (H: patch px -> image px)
+            cam = self.camera
+            ctr_img = np.array([cam.cx, cam.cy, 1.0])
+            p = np.linalg.solve(np.asarray(H, np.float64), ctr_img)
+            center = (p[:2] / p[2]).astype(np.float32)
+            self.acc, self.wsum = _gpu_feed(
+                self.acc, self.wsum, jnp.asarray(np.asarray(img),
+                                                 jnp.float32),
+                jnp.asarray(H, jnp.float32),
+                jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
+                jnp.asarray(center), patch_hw=(patch_px, patch_px))
+            self.frames_rendered += 1
+            return True
+
+    def blended(self, bg: Optional[float] = None):
+        if bg is None:
+            bg = float(self.cfg.get_int("Result.BackGroundColor", 255))
+        if self.acc is None:
+            return (np.zeros((ELE, ELE, 3), np.float32),
+                    np.zeros((ELE, ELE), bool))
+        with self._lock:
+            w = np.asarray(self.wsum)
+            color = np.asarray(self.acc)
+        covered = w[..., 0] > 0
+        out = np.where(covered[..., None], color, bg)
+        return np.clip(out, 0, 255), covered
+
+
+@functools.partial(jax.jit, static_argnames=("patch_hw",),
+                   donate_argnums=(0, 1))
+def _gpu_feed(color, wbuf, img, h_patch2img, origin_yx, center_xy,
+              patch_hw):
+    """One frame through the UtilGPU.cu rule (see WeightedGPUMap2D)."""
+    warped, w_valid = M.warp_frame_to_patch(img, h_patch2img, patch_hw, 0)
+    ph, pw = patch_hw
+    yy = jnp.arange(ph, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(pw, dtype=jnp.float32)[None, :]
+    d2 = (xx - center_xy[0]) ** 2 + (yy - center_xy[1]) ** 2
+    w_new = (1e5 / (d2 + 1000.0))[..., None]
+    w_new = jnp.where(w_valid > 0, w_new, 0.0)     # outside source: skip
+    o = (origin_yx[0], origin_yx[1], 0)
+    cur_c = jax.lax.dynamic_slice(color, o, (ph, pw, 3))
+    cur_w = jax.lax.dynamic_slice(wbuf, o, (ph, pw, 1))
+    fresh = cur_w <= 0
+    take = (cur_w <= w_new) & (w_new > 0)
+    denom = jnp.maximum(2.0 * cur_w + w_new, 1e-12)
+    mix = (cur_c * 2.0 * cur_w + warped * w_new) / denom
+    new_c = jnp.where(fresh & (w_new > 0), warped,
+                      jnp.where(take, mix, cur_c))
+    new_w = jnp.where(take, w_new, cur_w)
+    color = jax.lax.dynamic_update_slice(color, new_c, o)
+    wbuf = jax.lax.dynamic_update_slice(wbuf, new_w, o)
+    return color, wbuf
 
 
 def create_map2d(map2d_type, cfg=None):

@@ -281,3 +281,45 @@ def test_render_seam_masks_partition(world):
         canvas[oy:oy + patch_px, ox:ox + patch_px] += masks[k, ..., 0]
     assert canvas.max() <= 1.0 + 1e-6
     assert canvas.sum() > 1000  # union footprint is owned
+
+
+def test_gpu_rule_mosaic(world):
+    """Map2D.Type 2 (UtilGPU.cu renderFramesKernel:311-381 semantics):
+    inverse-quadratic center-proximity weighting with biased overwrite —
+    each pixel converges to the most-center-on frame. PSNR must hold, and
+    ownership must favor frame centers."""
+    ground, cam, poses, frames = world
+    m = create_map2d("2", _cfg())
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in frames:
+        assert m.feed(img, p)
+    out, covered = m.blended()
+    ys, xs = np.nonzero(covered)
+    assert ys.size > 10000
+    gt = _ground_at_canvas(ground, m, ys, xs)
+    p = psnr(out[ys, xs], gt)
+    assert p > 26.0, f"gpu-rule mosaic PSNR too low: {p:.2f} dB"
+
+    # center priority: feed two constant frames with overlapping
+    # footprints; in the overlap, pixels nearer B's center show B
+    m2 = create_map2d("gpu", _cfg())
+    pa = nadir_pose(18.0, 20.0, 20.0)
+    pb = nadir_pose(24.0, 20.0, 20.0)
+    assert m2.prepare(plane, cam, [(None, pa), (None, pb)])
+    m2.feed(np.full((cam.height, cam.width, 3), 50.0, np.float32), pa)
+    m2.feed(np.full((cam.height, cam.width, 3), 200.0, np.float32), pb)
+    out2, cov2 = m2.blended()
+    # canvas x of each frame center
+    ca = (np.asarray([18.0, 20.0]) - m2.min_xy) / m2.length_pixel
+    cb = (np.asarray([24.0, 20.0]) - m2.min_xy) / m2.length_pixel
+    row = int(round(ca[1]))
+    line = out2[row, :, 0]
+    covl = cov2[row]
+    assert covl[int(ca[0])] and covl[int(cb[0])]
+    assert line[int(ca[0])] < 80          # near A's center: A's value
+    # near B's center the rule mixes (old*2w + new*w_new)/(2w + w_new) —
+    # a single pass converges toward but not fully to B (the 2x bias
+    # favors the stored frame, UtilGPU.cu:367-371)
+    assert line[int(cb[0])] > line[int(ca[0])] + 40
+    assert line[int(cb[0])] > 100
