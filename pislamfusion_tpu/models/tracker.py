@@ -473,10 +473,12 @@ class Tracker:
                     seen.add(kf.id)
                     candidates.append(kf)
         self._log << f",refKF x{len(candidates)}"
-        # one batched match dispatch ranks ALL candidates (relocalize(),
-        # :1307-1350 — the per-candidate loop costs one tunnel round trip
-        # each; vmapped it is one program + one fetch), then the PnP loop
-        # visits them best-first and almost always succeeds on the first
+        # one batched match dispatch prefilters ALL candidates
+        # (relocalize(), :1307-1350 — the per-candidate loop costs one
+        # tunnel round trip each; vmapped it is one program + one fetch).
+        # Candidate ORDER is preserved (loop-detector first, then recent,
+        # then spread — the reference's priority), the precomputed matches
+        # just skip hopeless candidates and feed the PnP loop directly.
         points = [self._gather_frame_points(kf) for kf in candidates]
         pre_idx = pre_ok = None
         base_match = type(self)._ref_kf_match is Tracker._ref_kf_match
@@ -490,10 +492,6 @@ class Tracker:
                 jnp.asarray(frame.valid), candidates[0].desc_kind,
                 ratio=0.8)
             pre_idx, pre_ok = jax.device_get((bi, bo))
-            order = np.argsort(-pre_ok.sum(1))
-            candidates = [candidates[i] for i in order]
-            points = [points[i] for i in order]
-            pre_idx, pre_ok = pre_idx[order], pre_ok[order]
         for ci, kf in enumerate(candidates):
             pos, has = points[ci]
             if pre_ok is not None and base_match:
