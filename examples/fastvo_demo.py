@@ -62,10 +62,39 @@ def main():
                 n_levels=4, window_radius=80.0)
     print(f"canvas {tiles}x{tiles} tiles, GSD {lp:.3f} m/px")
 
-    est, n_match = vo.process(frames, poses[0])     # compile + run
-    t0 = time.perf_counter()
-    est, n_match = vo.process(frames, poses[0])
-    dt = time.perf_counter() - t0
+    if "--segments" in sys.argv:
+        # GPS-anchored scale-out (parallel/dist_vo.py): split the survey
+        # into overlapping segments, derive each segment's anchor from
+        # (noisy) GPS fixes, and run every segment in parallel over the
+        # available device mesh — the linear-scaling mode a v5e-8 uses
+        from types import SimpleNamespace
+        import jax
+        from pislamfusion_tpu.parallel import make_mesh, dist_vo
+        seg_len = int(sys.argv[sys.argv.index("--segments") + 1])
+        segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
+                                                    overlap=1)
+        gps_noise = rng.normal(0, 0.05, (len(firsts), 3))
+        metas = [SimpleNamespace(gps_enu=poses[s, :3] + gps_noise[i],
+                                 pyr=None) for i, s in enumerate(firsts)]
+        anchors = dist_vo.anchors_from_gps(metas)
+        n_dev = len(jax.devices())
+        mesh = make_mesh(jax.devices()) if n_dev > 1 else None
+        print(f"{segs.shape[0]} segments x {seg_len} frames over "
+              f"{n_dev} device(s), GPS-derived anchors")
+        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh)
+        t0 = time.perf_counter()
+        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh)
+        dt = time.perf_counter() - t0
+        est = np.zeros_like(poses)
+        for i, s in enumerate(firsts):
+            take = min(seg_len, len(poses) - s)
+            est[s:s + take] = est_s[i][:take]
+        n_match = nm.reshape(-1)[:len(poses)]
+    else:
+        est, n_match = vo.process(frames, poses[0])     # compile + run
+        t0 = time.perf_counter()
+        est, n_match = vo.process(frames, poses[0])
+        dt = time.perf_counter() - t0
     err = np.linalg.norm(est[:, :3] - poses[:, :3], axis=1)
     print(f"batch of {len(poses)} frames in {dt * 1e3:.1f} ms "
           f"({len(poses) / dt:.1f} fps), matches "
