@@ -245,4 +245,120 @@ void pf_destroy(void* h) {
     delete pf;
 }
 
+// ---------------------------------------------------------------------------
+// PNG encoder + async writer: result.png and the geo-tile pyramid are
+// hundreds of 256^2 tiles at the end of a run; encode+fwrite happens on a
+// writer thread with the GIL released (the Python side only memcpy's).
+// ---------------------------------------------------------------------------
+
+int nio_save_png(const char* path, const uint8_t* data, int w, int h,
+                 int c) {
+    if (c != 1 && c != 3) return -4;
+    FILE* f = fopen(path, "wb");
+    if (!f) return -2;
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+        if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+        fclose(f);
+        return -3;
+    }
+    png_init_io(png, f);
+    png_set_IHDR(png, info, w, h, 8,
+                 c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    // speed over ratio: these are intermediate artifacts
+    png_set_compression_level(png, 2);
+    png_write_info(png, info);
+    std::vector<png_bytep> rows(h);
+    for (int y = 0; y < h; y++)
+        rows[y] = const_cast<png_bytep>(data + size_t(y) * w * c);
+    png_write_image(png, rows.data());
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    fclose(f);
+    return 0;
+}
+
+struct WriteJob {
+    std::string path;
+    std::vector<uint8_t> data;
+    int w = 0, h = 0, c = 0;
+};
+
+struct Writer {
+    std::thread worker;
+    std::deque<WriteJob> queue;
+    std::mutex mu;
+    std::condition_variable cv_job, cv_idle;
+    int inflight = 0;
+    std::atomic<int> errors{0};
+    bool stopping = false;
+
+    void run() {
+        for (;;) {
+            WriteJob job;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_job.wait(lk, [&] { return stopping || !queue.empty(); });
+                if (queue.empty()) {
+                    if (stopping) return;
+                    continue;
+                }
+                job = std::move(queue.front());
+                queue.pop_front();
+            }
+            if (nio_save_png(job.path.c_str(), job.data.data(), job.w,
+                             job.h, job.c) != 0)
+                errors.fetch_add(1);
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                inflight--;
+            }
+            cv_idle.notify_all();
+        }
+    }
+};
+
+static Writer* g_writer = nullptr;
+static std::mutex g_writer_mu;
+
+int nio_save_png_async(const char* path, const uint8_t* data, int w,
+                       int h, int c) {
+    if (c != 1 && c != 3) return -4;
+    {
+        std::lock_guard<std::mutex> lk(g_writer_mu);
+        if (!g_writer) {
+            g_writer = new Writer();
+            g_writer->worker = std::thread([] { g_writer->run(); });
+            g_writer->worker.detach();
+        }
+    }
+    WriteJob job;
+    job.path = path;
+    job.data.assign(data, data + size_t(w) * h * c);
+    job.w = w; job.h = h; job.c = c;
+    {
+        std::lock_guard<std::mutex> lk(g_writer->mu);
+        g_writer->queue.push_back(std::move(job));
+        g_writer->inflight++;
+    }
+    g_writer->cv_job.notify_one();
+    return 0;
+}
+
+// wait for all queued writes; returns the number of failed writes since
+// the last flush
+int nio_save_flush() {
+    std::lock_guard<std::mutex> glk(g_writer_mu);
+    if (!g_writer) return 0;
+    std::unique_lock<std::mutex> lk(g_writer->mu);
+    g_writer->cv_idle.wait(lk, [&] {
+        return g_writer->inflight == 0 && g_writer->queue.empty();
+    });
+    return g_writer->errors.exchange(0);
+}
+
 }  // extern "C"

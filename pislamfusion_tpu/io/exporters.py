@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core import gps as gpsmod
 from ..ops import ransac
+from . import native_io
 
 
 def _pose_str(pose: np.ndarray) -> str:
@@ -237,7 +238,12 @@ def export_geo_tiles(map2d, gps_origin, out_dir: str, zoom: int = 19,
             img = np.where(cov[..., None], img, 255.0)
             d = os.path.join(out_dir, str(zoom), str(tx))
             os.makedirs(d, exist_ok=True)
-            _write_png(os.path.join(d, f"{ty}.png"),
-                       np.clip(img, 0, 255).astype(np.uint8))
+            tile8 = np.clip(img, 0, 255).astype(np.uint8)
+            tpath = os.path.join(d, f"{ty}.png")
+            # queue encode+write on the native writer thread; fall back
+            # to the synchronous Python writer when it's unavailable
+            if not native_io.save_png(tpath, tile8, wait=False):
+                _write_png(tpath, tile8)
             n_tiles += 1
-    return n_tiles
+    failed = native_io.flush_writes()
+    return n_tiles - failed

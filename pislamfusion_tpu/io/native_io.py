@@ -78,6 +78,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int)]
         lib.pf_wait.restype = ctypes.c_int
         lib.pf_destroy.argtypes = [ctypes.c_void_p]
+        lib.nio_save_png.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
+        lib.nio_save_png.restype = ctypes.c_int
+        lib.nio_save_png_async.argtypes = lib.nio_save_png.argtypes
+        lib.nio_save_png_async.restype = ctypes.c_int
+        lib.nio_save_flush.argtypes = []
+        lib.nio_save_flush.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -150,3 +158,34 @@ class Prefetcher:
             self.close()
         except Exception:
             pass
+
+
+def save_png(path: str, arr: np.ndarray, wait: bool = True) -> bool:
+    """PNG encode+write through the native writer (libpng level-2, encode
+    and fwrite off the GIL on a worker thread). arr: [H, W] or [H, W, 3]
+    uint8. wait=False queues the write (flush with flush_writes()) — the
+    mode the geo-tile exporter uses for its hundreds of 256^2 tiles.
+    Returns False when the native library is unavailable (caller falls
+    back to its Python writer)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(arr)
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    c = 1 if a.ndim == 2 else a.shape[2]
+    if c not in (1, 3):
+        return False
+    h, w = a.shape[:2]
+    fn = lib.nio_save_png if wait else lib.nio_save_png_async
+    rc = fn(path.encode(), a.ctypes.data_as(ctypes.c_void_p), w, h, c)
+    return rc == 0
+
+
+def flush_writes() -> int:
+    """Block until every queued async PNG write finished; returns the
+    number of FAILED writes since the last flush."""
+    lib = get_lib()
+    if lib is None:
+        return 0
+    return int(lib.nio_save_flush())

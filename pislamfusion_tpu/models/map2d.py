@@ -575,7 +575,11 @@ def create_map2d(map2d_type, cfg=None):
 
 
 def _write_png(path: str, arr: np.ndarray):
-    """PNG writer without OpenCV (uses PIL if present, else pure-python)."""
+    """PNG writer without OpenCV: native libpng writer first (encode +
+    fwrite off-GIL, native/imageio.cpp), then PIL, then pure-python."""
+    from ..io import native_io
+    if native_io.save_png(path, arr):
+        return
     try:
         from PIL import Image
         Image.fromarray(arr).save(path)
