@@ -145,3 +145,24 @@ def true_ortho(world):
         a = rgba[..., 3:4]
         img = img * (1.0 - a) + rgba[..., :3] * a
     return img
+
+
+def degrade_frame(img, rng, blur_px=0.0, noise=0.0, direction=(1.0, 0.0)):
+    """Sensor degradations real aerial frames carry that the clean
+    renderer lacks: directional MOTION BLUR along the flight direction
+    (box filter of blur_px) and additive Gaussian sensor noise."""
+    out = np.asarray(img, np.float32)
+    n = int(round(blur_px))
+    if n >= 2:
+        dx, dy = direction
+        nrm = max(np.hypot(dx, dy), 1e-9)
+        acc = np.zeros_like(out)
+        for i in range(n):
+            t = (i - (n - 1) / 2.0)
+            sx = int(round(t * dx / nrm))
+            sy = int(round(t * dy / nrm))
+            acc += np.roll(out, (sy, sx), (0, 1))
+        out = acc / n
+    if noise > 0:
+        out = out + rng.normal(0.0, noise, out.shape).astype(np.float32)
+    return np.clip(out, 0, 255)
