@@ -166,27 +166,39 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
     ncy, ncx = -(-H // cell), -(-W // cell)
     pad_h, pad_w = ncy * cell - H, ncx * cell - W
     sp = jnp.pad(s, ((0, pad_h), (0, pad_w)))
-    cells = sp.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
-    cells = cells.reshape(ncy * ncx, cell * cell)
     per_cell = max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
     if per_cell == 1:
-        # top-1 per cell: max + first-arg index — a per-row lax.top_k is
-        # a per-row SORT of cell*cell elements on TPU (measured ~0.5 ms
-        # of the frame at 1080p); max/where/min reductions are 3 passes
-        cv = jnp.max(cells, -1, keepdims=True)
-        lin = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
-        ci = jnp.min(jnp.where(cells == cv, lin, cell * cell),
-                     -1, keepdims=True)
+        # top-1 per cell WITHOUT the cell reshape-transpose (a full
+        # relayout of the score map) and WITHOUT per-row lax.top_k (a
+        # per-row sort, ~0.5 ms of the 1080p frame): cell max via
+        # reduce_window, the winner's index via a second min-reduce over
+        # position-encoded ties (first-in-row-major, same tie order)
+        cv2d = jax.lax.reduce_window(sp, -jnp.inf, jax.lax.max,
+                                     (cell, cell), (cell, cell), "VALID")
+        up = jnp.broadcast_to(cv2d[:, None, :, None],
+                              (ncy, cell, ncx, cell)).reshape(sp.shape)
+        Wp = sp.shape[1]
+        lin = (jax.lax.broadcasted_iota(jnp.int32, sp.shape, 0) * Wp
+               + jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1))
+        big = jnp.int32(ncy * cell * Wp)
+        idx2d = jnp.where(sp == up, lin, big)
+        ci2d = jax.lax.reduce_window(idx2d, big, jax.lax.min,
+                                     (cell, cell), (cell, cell), "VALID")
+        flat_v = cv2d.reshape(-1)
+        flat_y = (ci2d // Wp).reshape(-1)
+        flat_x = (ci2d % Wp).reshape(-1)
     else:
+        cells = sp.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+        cells = cells.reshape(ncy * ncx, cell * cell)
         cv, ci = jax.lax.top_k(cells, per_cell)  # [ncells, per_cell]
-    # cell-local -> global pixel coords
-    cyx = jnp.stack([jnp.arange(ncy * ncx) // ncx,
-                     jnp.arange(ncy * ncx) % ncx], -1)   # [ncells, 2]
-    gy = cyx[:, 0:1] * cell + ci // cell
-    gx = cyx[:, 1:2] * cell + ci % cell
-    flat_v = cv.reshape(-1)
-    flat_y = gy.reshape(-1)
-    flat_x = gx.reshape(-1)
+        # cell-local -> global pixel coords
+        cyx = jnp.stack([jnp.arange(ncy * ncx) // ncx,
+                         jnp.arange(ncy * ncx) % ncx], -1)   # [ncells, 2]
+        gy = cyx[:, 0:1] * cell + ci // cell
+        gx = cyx[:, 1:2] * cell + ci % cell
+        flat_v = cv.reshape(-1)
+        flat_y = gy.reshape(-1)
+        flat_x = gx.reshape(-1)
     v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
     y = flat_y[idx]
     x = flat_x[idx]
