@@ -121,22 +121,50 @@ def _select_topk(resp, k: int, cell: int = 64):
     ncy, ncx = -(-H // cell), -(-W // cell)
     pad_h, pad_w = ncy * cell - H, ncx * cell - W
     sp = jnp.pad(resp, ((0, 0), (0, pad_h), (0, pad_w)))
-    cells = sp.reshape(S, ncy, cell, ncx, cell).transpose(0, 1, 3, 2, 4)
-    cells = cells.reshape(S * ncy * ncx, cell * cell)
     per_cell = max(1, min(cell * cell,
                           int(np.ceil(2.0 * k / (ncy * ncx)))))
-    cv, ci = jax.lax.top_k(cells, per_cell)       # [S*ncells, per_cell]
-    cidx = jnp.arange(S * ncy * ncx)
-    s_c = (cidx // (ncy * ncx))[:, None]
-    cy_c = ((cidx % (ncy * ncx)) // ncx)[:, None]
-    cx_c = ((cidx % (ncy * ncx)) % ncx)[:, None]
-    gy = cy_c * cell + ci // cell
-    gx = cx_c * cell + ci % cell
-    flat_v = cv.reshape(-1)
-    v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
-    s = jnp.broadcast_to(s_c, gy.shape).reshape(-1)[idx]
-    y = gy.reshape(-1)[idx]
-    x = gx.reshape(-1)[idx]
+    if per_cell == 1:
+        # top-1 per cell per scale: reduce_window max + min over
+        # position-encoded ties — no cell reshape-transpose relayout,
+        # no per-row sort (see orb.select_keypoints)
+        Wp = sp.shape[2]
+        cv = jax.lax.reduce_window(sp, -jnp.inf, jax.lax.max,
+                                   (1, cell, cell), (1, cell, cell),
+                                   "VALID")                 # [S, ncy, ncx]
+        up = jnp.broadcast_to(cv[:, :, None, :, None],
+                              (S, ncy, cell, ncx, cell)).reshape(sp.shape)
+        lin = (jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1) * Wp
+               + jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2))
+        big = jnp.int32(ncy * cell * Wp)
+        ci = jax.lax.reduce_window(jnp.where(sp == up, lin, big), big,
+                                   jax.lax.min, (1, cell, cell),
+                                   (1, cell, cell), "VALID")
+        flat_v = cv.reshape(-1)
+        scales = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[:, None, None],
+            cv.shape).reshape(-1)
+        flat_y = (ci // Wp).reshape(-1)
+        flat_x = (ci % Wp).reshape(-1)
+        v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
+        s = scales[idx]
+        y = flat_y[idx]
+        x = flat_x[idx]
+    else:
+        cells = sp.reshape(S, ncy, cell, ncx, cell).transpose(
+            0, 1, 3, 2, 4)
+        cells = cells.reshape(S * ncy * ncx, cell * cell)
+        cv, ci = jax.lax.top_k(cells, per_cell)   # [S*ncells, per_cell]
+        cidx = jnp.arange(S * ncy * ncx)
+        s_c = (cidx // (ncy * ncx))[:, None]
+        cy_c = ((cidx % (ncy * ncx)) // ncx)[:, None]
+        cx_c = ((cidx % (ncy * ncx)) % ncx)[:, None]
+        gy = cy_c * cell + ci // cell
+        gx = cx_c * cell + ci % cell
+        flat_v = cv.reshape(-1)
+        v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
+        s = jnp.broadcast_to(s_c, gy.shape).reshape(-1)[idx]
+        y = gy.reshape(-1)[idx]
+        x = gx.reshape(-1)[idx]
     if v.shape[0] < k:
         pad = k - v.shape[0]
         v = jnp.pad(v, (0, pad))
