@@ -128,6 +128,7 @@ def test_exposure_field_is_lowfreq():
         assert np.abs(np.diff(g, axis=1)).max() < 0.005
 
 
+@pytest.mark.e2e
 def test_slam_tracks_parallax_scene(hard_world):
     """Full SLAM on the 3D scene: off-plane structure must not break the
     tracker (points triangulate at their true heights; the multi-H matcher
@@ -214,6 +215,7 @@ def test_render_seamed_on_parallax(hard_world):
     assert p_rs > p_mb - 2.0, (p_rs, p_mb)
 
 
+@pytest.mark.e2e
 def test_slam_survives_motion_blur_and_noise():
     """Robustness e2e: 3-px directional motion blur + sigma-6 sensor
     noise on every frame (the capture artifacts real drone imagery has
