@@ -86,10 +86,11 @@ def main():
         est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh)
         dt = time.perf_counter() - t0
         est = np.zeros_like(poses)
+        n_match = np.zeros(len(poses), np.int32)
         for i, s in enumerate(firsts):
             take = min(seg_len, len(poses) - s)
             est[s:s + take] = est_s[i][:take]
-        n_match = nm.reshape(-1)[:len(poses)]
+            n_match[s:s + take] = nm[i][:take]
     else:
         est, n_match = vo.process(frames, poses[0])     # compile + run
         t0 = time.perf_counter()

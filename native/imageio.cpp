@@ -256,6 +256,9 @@ int nio_save_png(const char* path, const uint8_t* data, int w, int h,
     if (c != 1 && c != 3) return -4;
     FILE* f = fopen(path, "wb");
     if (!f) return -2;
+    // constructed BEFORE setjmp: a libpng longjmp must not skip a live
+    // non-trivial object's destructor (UB + leak per failed write)
+    std::vector<png_bytep> rows(static_cast<size_t>(h), nullptr);
     png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
                                               nullptr, nullptr, nullptr);
     png_infop info = png ? png_create_info_struct(png) : nullptr;
@@ -272,7 +275,6 @@ int nio_save_png(const char* path, const uint8_t* data, int w, int h,
     // speed over ratio: these are intermediate artifacts
     png_set_compression_level(png, 2);
     png_write_info(png, info);
-    std::vector<png_bytep> rows(h);
     for (int y = 0; y < h; y++)
         rows[y] = const_cast<png_bytep>(data + size_t(y) * w * c);
     png_write_image(png, rows.data());

@@ -240,18 +240,25 @@ def gcj02_to_wgs84(lat: float, lon: float):
     return lat * 2 - glat, lon * 2 - glon
 
 
+# BD-09 uses x_pi = pi*3000/180 in its perturbation terms (the reference's
+# opmapcontrol copy spells it `pi` but the published Baidu transform — and
+# correct placement on Baidu tiles — requires x_pi; using plain pi lands
+# ~25 m off in Beijing)
+_X_PI = np.pi * 3000.0 / 180.0
+
+
 def gcj02_to_bd09(lat: float, lon: float):
     """GCJ-02 -> BD-09 (gcj02_To_Bd09)."""
-    z = np.sqrt(lon * lon + lat * lat) + 0.00002 * np.sin(lat * np.pi)
-    theta = np.arctan2(lat, lon) + 0.000003 * np.cos(lon * np.pi)
+    z = np.sqrt(lon * lon + lat * lat) + 0.00002 * np.sin(lat * _X_PI)
+    theta = np.arctan2(lat, lon) + 0.000003 * np.cos(lon * _X_PI)
     return z * np.sin(theta) + 0.006, z * np.cos(theta) + 0.0065
 
 
 def bd09_to_gcj02(lat: float, lon: float):
     """BD-09 -> GCJ-02 (bd09_To_Gcj02)."""
     x, y = lon - 0.0065, lat - 0.006
-    z = np.sqrt(x * x + y * y) - 0.00002 * np.sin(y * np.pi)
-    theta = np.arctan2(y, x) - 0.000003 * np.cos(x * np.pi)
+    z = np.sqrt(x * x + y * y) - 0.00002 * np.sin(y * _X_PI)
+    theta = np.arctan2(y, x) - 0.000003 * np.cos(x * _X_PI)
     return z * np.sin(theta), z * np.cos(theta)
 
 

@@ -149,14 +149,7 @@ class Tracker:
             self.ref_frame = frame
             return False
         ref = self.ref_frame
-        if self.matcher is None:
-            # the reference's Matcher plugin seam (`Matcher?=`, Matcher.h):
-            # BF / multiH (default, MatcherMultiH.cpp) / BFMultiH
-            from ..core.registry import MATCHERS
-            from . import matchers as _matchers               # noqa: F401
-            self.matcher = MATCHERS.create(
-                self.cfg.get_string("Matcher", "multiH"), self.cfg)
-        idx, ok = self.matcher(self._next_key(), ref, frame)
+        idx, ok = self._get_matcher()(self._next_key(), ref, frame)
         n_match = int(jnp.sum(ok))
         if n_match < self.cfg.get_int("SLAM.MinInitMatches", 100):
             self.ref_frame = frame
@@ -498,8 +491,11 @@ class Tracker:
                 # the base matcher IS the batched ratio-BF — reuse it
                 idxn, okn = pre_idx[ci], pre_ok[ci]
             else:
-                if pre_ok is not None and pre_ok[ci].sum() < 15:
-                    continue   # ranked prefilter: skip hopeless candidates
+                # conservative prefilter only: an overriding matcher
+                # (demo's multiH growth) recovers matches the ratio-BF
+                # kills, so skip only truly hopeless candidates
+                if pre_ok is not None and pre_ok[ci].sum() < 4:
+                    continue
                 idx, ok = self._ref_kf_match(kf, frame, has)
                 idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 15:
@@ -532,6 +528,17 @@ class Tracker:
                 self.invalidate_local_stage()
                 return True
         return False
+
+    def _get_matcher(self):
+        """Lazy Matcher plugin (the reference's `Matcher?=` seam,
+        Matcher.h): BF / multiH (default, MatcherMultiH.cpp) / BFMultiH
+        through the MATCHERS registry."""
+        if self.matcher is None:
+            from ..core.registry import MATCHERS
+            from . import matchers as _matchers               # noqa: F401
+            self.matcher = MATCHERS.create(
+                self.cfg.get_string("Matcher", "multiH"), self.cfg)
+        return self.matcher
 
     def _ref_kf_match(self, kf: Frame, frame: Frame, has) -> tuple:
         """Keyframe-candidate matching seam: 'opt' restricts to keypoints
@@ -721,12 +728,7 @@ class TrackerDemo(Tracker):
         """trackRefKeyframe matches with the FULL configured Matcher
         (match4initialize, TrackerDemo.cpp:462) — denser than opt's
         ratio-BF, one multi-H RANSAC heavier."""
-        if self.matcher is None:
-            from ..core.registry import MATCHERS
-            from . import matchers as _matchers               # noqa: F401
-            self.matcher = MATCHERS.create(
-                self.cfg.get_string("Matcher", "multiH"), self.cfg)
-        return self.matcher(self._next_key(), kf, frame)
+        return self._get_matcher()(self._next_key(), kf, frame)
 
     def _track_ref_kf_epipolar(self, frame: Frame, kf: Frame) -> bool:
         return False   # TrackerDemo has no inverse-depth 2D-2D fallback

@@ -369,7 +369,7 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     feats = {kk: jnp.concatenate(v, 0) for kk, v in outs.items()}
     packed = jnp.concatenate(blocks, 0)
     pxy = jnp.concatenate(block_xy, 0)
-    if im._use_mxu_stencil():
+    if im.use_tpu_pallas():
         from .patchgather import gather_patches_pallas
         pat = gather_patches_pallas(packed, pxy, r)     # [N, G, G, 2]
     else:

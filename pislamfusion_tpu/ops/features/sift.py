@@ -191,7 +191,7 @@ def _sample_grid(dx, dy, cx, cy, angle, sigma, n: int, radius_sigmas: float):
     py = cy[:, None] + rad * (sa * gu + ca * gv)
     grad = jnp.stack([dx, dy], -1)          # [H, W, 2]
     H, W = dx.shape
-    if im._use_mxu_stencil():
+    if im.use_tpu_pallas():
         # Pallas slab sampler: the scattered rotated grids are ~32 ms of
         # scalar-core gathers per frame via XLA; see patchgather.
         # R=16 covers max |offset| = 4.5 * sigma_max(3.2) (+1 bilinear).

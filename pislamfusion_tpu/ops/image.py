@@ -61,10 +61,19 @@ def _use_mxu_stencil() -> bool:
     return _MXU_STENCIL
 
 
+def use_tpu_pallas() -> bool:
+    """Gate for the Pallas TPU kernels (patchgather, shearwarp callers):
+    pltpu memory spaces / PrefetchScalarGridSpec only lower on TPU-family
+    backends — a GPU backend passes the `!= cpu` stencil gate but cannot
+    run them."""
+    return (_use_mxu_stencil()
+            and jax.default_backend().lower() in ("tpu", "axon"))
+
+
 def _reflect_idx(q: int, n: int, mode: str) -> int:
     """Map an out-of-range index into [0, n) per the pad mode (np.pad
     'reflect' = edge not repeated; 'edge' = clamp)."""
-    if mode == "edge":
+    if mode == "edge" or n == 1:    # n==1 reflect would oscillate forever
         return min(max(q, 0), n - 1)
     while q < 0 or q >= n:
         if q < 0:
@@ -115,12 +124,6 @@ def _up_matrix(n: int, oh: int, taps: tuple) -> np.ndarray:
 
 _BLK = 128  # MXU/lane tile
 
-
-@functools.lru_cache(maxsize=None)
-def _banded_blocks_cached(key):
-    return None  # placeholder; real cache below keyed by matrix bytes
-
-
 _BANDED_CACHE: dict = {}
 
 
@@ -133,7 +136,9 @@ def _banded_blocks(m: np.ndarray):
     shrinks from n to KB*128 (~3-9x fewer MXU FLOPs at pyramid shapes).
     None when the band is too wide to pay off.
     """
-    key = (m.shape, m.tobytes()[:256], float(m.sum()))
+    # full content key: these matrices are small (< a few MB) and built
+    # once per shape — a prefix+sum key could collide between matrix kinds
+    key = (m.shape, m.tobytes())
     hit = _BANDED_CACHE.get(key)
     if hit is not None:
         return hit

@@ -203,7 +203,7 @@ def analytic_weight_pyramid(h_patch2img, img_hw, patch_hw, bands: int,
 
 def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
                    weight_type: int = 0, half_res: bool = False,
-                   warp: str = "gather"):
+                   warp: str = "gather", w0_mask=None):
     """(patch Laplacian pyramid [bands+1], weight pyramid [bands+1]) for
     one frame — the mosaic feed's per-frame compute.
 
@@ -256,6 +256,8 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
         p_w = analytic_weight_pyramid(h_patch2img,
                                       (img.shape[0], img.shape[1]),
                                       patch_hw, 0, weight_type, live)
+        if w0_mask is not None:
+            p_w[0] = p_w[0] * w0_mask
         for _ in range(bands):
             p_w.append(im.pyr_down(p_w[-1]))
         return p_lap, p_w
@@ -263,7 +265,7 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
         warped, w = warp_frame_to_patch(img, h_patch2img, patch_hw,
                                         weight_type)
         p_lap = im.build_laplacian_pyramid(warped, bands)
-        p_w = [w]
+        p_w = [w if w0_mask is None else w * w0_mask]
         for _ in range(bands):
             p_w.append(im.pyr_down(p_w[-1]))
         return p_lap, p_w
@@ -283,7 +285,7 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
     sub = im.build_laplacian_pyramid(warped_h, bands - 1) if bands > 1 \
         else [warped_h]
     p_lap = [jnp.zeros(patch_hw + (img.shape[-1],), img.dtype)] + sub
-    p_w = [w0]
+    p_w = [w0 if w0_mask is None else w0 * w0_mask]
     for _ in range(bands):
         p_w.append(im.pyr_down(p_w[-1]))
     return p_lap, p_w
@@ -419,10 +421,22 @@ def seam_masks_batch(hs, origins_yx, weights_on, img_hw, patch_hw,
         scatter, (best_w, best_k),
         (hs, origins_yx, weights_on, jnp.arange(K, dtype=jnp.int32)))
 
-    # majority smoothing: blur the one-hot votes, re-argmax
-    onehot = (best_k[..., None] == jnp.arange(K)).astype(jnp.float32)
-    votes = im.gaussian_blur(onehot, smooth_sigma)
-    labels = jnp.argmax(votes, -1).astype(jnp.int32)
+    # majority smoothing: blur each label's vote and keep the running
+    # argmax — a [Hc, Wc, K] one-hot volume would scale HBM with canvas
+    # area x batch (a 12k-px canvas with K=8 is >6 GB); the scan holds
+    # two canvas-sized buffers regardless of K
+    def vote(carry, k):
+        best_v, best_lbl = carry
+        v = im.gaussian_blur(
+            (best_k == k).astype(jnp.float32)[..., None],
+            smooth_sigma)[..., 0]
+        win = v > best_v
+        return (jnp.where(win, v, best_v),
+                jnp.where(win, k, best_lbl)), 0.0
+
+    (best_v, labels), _ = jax.lax.scan(
+        vote, (jnp.full((Hc, Wc), -1.0), jnp.zeros((Hc, Wc), jnp.int32)),
+        jnp.arange(K, dtype=jnp.int32))
     covered = best_w > 0
 
     def gather(_, inp):
@@ -455,11 +469,7 @@ def composite_frames_batch_seamed(canvas_lap, canvas_w, imgs, hs,
         c_lap, c_w = carry
         img, h, oyx, won, own = inp
         p_lap, p_w = patch_pyramids(img, h, patch_hw, bands, weight_type,
-                                    half_res, warp)
-        w0 = p_w[0] * own * won
-        p_w = [w0]
-        for _ in range(bands):
-            p_w.append(im.pyr_down(p_w[-1]))
+                                    half_res, warp, w0_mask=own * won)
         c_lap, c_w = composite_patch(c_lap, c_w, p_lap, p_w, oyx)
         return (c_lap, c_w), 0.0
 
