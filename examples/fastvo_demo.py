@@ -8,7 +8,7 @@ Reports recovered-pose error, throughput, and mosaic PSNR vs the ground
 texture, and writes result.png.
 
 This is the mode the reference's architecture cannot express (bench.py
-measures it at ~30 FPS @1080p on one v5e; here the synthetic frames are
+measures it at ~106 FPS @1080p on one v5e; here the synthetic frames are
 320x240 so it runs anywhere). Usage:
 
     python examples/fastvo_demo.py [out_dir] [--frames N]
