@@ -75,18 +75,33 @@ def _extrema_response(dog, params: SiftParams):
     dog: [S+2, H, W] -> [S, H, W]."""
     S = params.scales_per_octave
     H, W = dog.shape[1:]
+    # 3x3 spatial max/min of every level ONCE via reduce_window (adjacent
+    # scales contribute their full 3x3 incl. center); the same-level ring
+    # (8 neighbors, center excluded) via shifted pairwise trees — replaces
+    # 26 rolls + a 26-plane stack per searched scale
+    m3 = [jax.lax.reduce_window(dog[i], -jnp.inf, jax.lax.max,
+                                (3, 3), (1, 1), "SAME")
+          for i in range(S + 2)]
+    n3 = [jax.lax.reduce_window(dog[i], jnp.inf, jax.lax.min,
+                                (3, 3), (1, 1), "SAME")
+          for i in range(S + 2)]
+
+    def ring8(img):
+        shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                  (1, -1), (1, 0), (1, 1)]
+        rmax = rmin = None
+        for dy, dx in shifts:
+            t = jnp.roll(img, (dy, dx), (0, 1))
+            rmax = t if rmax is None else jnp.maximum(rmax, t)
+            rmin = t if rmin is None else jnp.minimum(rmin, t)
+        return rmax, rmin
+
     resp = []
     for s in range(1, S + 1):
         c = dog[s]
-        neigh = []
-        for ds in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if ds == 0 and dy == 0 and dx == 0:
-                        continue
-                    neigh.append(jnp.roll(dog[s + ds], (-dy, -dx), (0, 1)))
-        nmax = jnp.max(jnp.stack(neigh), 0)
-        nmin = jnp.min(jnp.stack(neigh), 0)
+        r8max, r8min = ring8(c)
+        nmax = jnp.maximum(jnp.maximum(m3[s - 1], m3[s + 1]), r8max)
+        nmin = jnp.minimum(jnp.minimum(n3[s - 1], n3[s + 1]), r8min)
         is_max = c > nmax
         is_min = c < nmin
         contrast = jnp.abs(c) > params.contrast_threshold
