@@ -140,7 +140,12 @@ def main():
     # (Default.cfg FeatureDetector?=Sift): honest parity means the default
     # config is fast too, not just the ORB fast path
     sift_fps = None
-    if os.environ.get("BENCH_SIFT", "1") == "1":
+    # skip the SIFT pass when the ORB section already ate the wall budget
+    # (cold compile on the tunnel can take minutes; a missing field beats
+    # a dead bench — the persistent cache makes warm runs cheap)
+    sift_budget = float(os.environ.get("BENCH_SIFT_BUDGET", "420"))
+    if (os.environ.get("BENCH_SIFT", "1") == "1"
+            and time.perf_counter() - t_setup < sift_budget):
         try:
             vo_s = FastVO(cam, min_xy, canvas_tiles, lp, bands=BANDS,
                           n_features=N, window_radius=60.0,
