@@ -31,6 +31,10 @@ def main():
     from pislamfusion_tpu.core.jaxcache import enable_persistent_cache
     enable_persistent_cache()   # reuse compiled programs across runs
     import jax
+    if os.environ.get("BENCH_CPU", "") == "1":
+        # validate bench code paths without the TPU (JAX_PLATFORMS is
+        # force-overridden by the axon site hook; this is not)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from pislamfusion_tpu.ops import ba, image as im, lie, matching
     from pislamfusion_tpu.ops import mosaic as M
@@ -259,17 +263,18 @@ if __name__ == "__main__":
     attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "4"))
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
-    for p in range(max_attempts):
-        if _probe_backend(probe_timeout):
-            break
-        print(f"backend probe {p + 1}/{max_attempts} failed/hung; "
-              "retrying in 20s", file=sys.stderr)
-        time.sleep(20)
-    else:
-        print(_error_json(RuntimeError(
-            "TPU backend unavailable: init probe hung/failed "
-            f"{max_attempts}x at {probe_timeout}s")))
-        sys.exit(0)
+    if os.environ.get("BENCH_CPU", "") != "1":   # CPU run: no TPU probe
+        for p in range(max_attempts):
+            if _probe_backend(probe_timeout):
+                break
+            print(f"backend probe {p + 1}/{max_attempts} failed/hung; "
+                  "retrying in 20s", file=sys.stderr)
+            time.sleep(20)
+        else:
+            print(_error_json(RuntimeError(
+                "TPU backend unavailable: init probe hung/failed "
+                f"{max_attempts}x at {probe_timeout}s")))
+            sys.exit(0)
     try:
         main()
     except Exception as exc:  # noqa: BLE001 — anything device-side
