@@ -361,7 +361,10 @@ def from_worldmap(wmap) -> MapHashData:
             kps["x"] = fr.xy[:, 0]
             kps["y"] = fr.xy[:, 1]
             ang = fr.angle if fr.angle is not None else np.full(n, -1.0)
-            kps["angle"] = np.degrees(ang) % 360.0
+            # preserve the -1 'undefined orientation' sentinel (cv::KeyPoint
+            # convention): mod-360 would turn it into a bogus 302.7 degrees
+            kps["angle"] = np.where(ang < 0, -1.0,
+                                    np.degrees(ang) % 360.0)
             kps["response"] = fr.response if fr.response is not None \
                 else np.zeros(n)
             octv = fr.octave if fr.octave is not None else np.zeros(n)

@@ -70,8 +70,8 @@ class FastVO:
         # exact, ~20x the gather's throughput), half-res gather elsewhere
         # (fast_warp) for the CPU test tier
         if not warp_mode:
-            plat = jax.devices()[0].platform.lower()
-            warp_mode = "shear" if plat in ("tpu", "axon") else "gather"
+            from ..ops.shearwarp import default_warp_mode
+            warp_mode = default_warp_mode()
         self.warp_mode = warp_mode
         # half-res gather + pyr_up (gather mode only): the gather warp is
         # index-bound and the canvas is ~2x oversampled (Map2D.Scale)

@@ -200,8 +200,8 @@ class MultiBandMap2D(Map2DBase):
         # elsewhere), or explicit "shear"/"gather"
         self.warp_mode = self.cfg.get("Map2D.WarpMode", "")
         if not self.warp_mode:
-            plat = jax.devices()[0].platform.lower()
-            self.warp_mode = "shear" if plat in ("tpu", "axon") else "gather"
+            from ..ops.shearwarp import default_warp_mode
+            self.warp_mode = default_warp_mode()
         self.canvas_lap: List[jnp.ndarray] = []
         self.canvas_w: List[jnp.ndarray] = []
 

@@ -141,11 +141,16 @@ class SLAM:
         det_name = cfg.get_string("LoopDetector", "GPS")
         from ..core.registry import LOOP_DETECTORS
         from .loopclose import LoopDetectorBoW
-        if det_name == "BoW" and self.vocabulary is None:
+        feat_kind = cfg.get_string(
+            "FeatureDetector", cfg.get_string("SLAM.Feature", "ORB"))
+        if det_name == "BoW" and self.vocabulary is None \
+                and feat_kind.lower() != "sift":
             # no vocab configured: fall back to the EMBEDDED default ORB
             # vocabulary (the reference ships its .gbow inside the binary
             # via FileResource, FileResource.h:9-111) before degrading to
-            # the GPS distance detector
+            # the GPS distance detector. ORB only — a binary vocab cannot
+            # score SIFT's float descriptors (the SIFT config still
+            # degrades to GPS below)
             self.vocabulary = _default_vocabulary()
         if det_name == "BoW" and self.vocabulary is None:
             det_name = "GPS"    # no vocab -> fall back to distance detector

@@ -29,9 +29,7 @@ from ..ops import ba, init2view, lie, matching, ransac
 from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
-from .pipeline import (fused_extract, fused_frame_step, fused_localmap_step,
-                       fused_track_packed, fused_track_packed_feats,
-                       fused_track_step)
+from .pipeline import fused_extract, fused_track_packed_feats
 from .worldmap import WorldMap
 
 LOCAL_POINT_CAP = 2048   # padded local-map size (static shape for matching)
@@ -536,8 +534,16 @@ class Tracker:
         if self.matcher is None:
             from ..core.registry import MATCHERS
             from . import matchers as _matchers               # noqa: F401
-            self.matcher = MATCHERS.create(
-                self.cfg.get_string("Matcher", "multiH"), self.cfg)
+            name = self.cfg.get_string("Matcher", "multiH")
+            try:
+                self.matcher = MATCHERS.create(name, self.cfg)
+            except KeyError:
+                # reference configs name matcher variants this build
+                # collapses (bow/flann/...); run the BF baseline instead
+                # of crashing two-view init (the pre-registry behavior)
+                from ..core.glog import logger
+                logger.warning(f"Matcher '{name}' unknown; using BF")
+                self.matcher = MATCHERS.create("BF", self.cfg)
         return self.matcher
 
     def _ref_kf_match(self, kf: Frame, frame: Frame, has) -> tuple:

@@ -157,13 +157,18 @@ class WorldMap:
         """Map checkpoint. Two formats by extension, mirroring the
         reference's dispatch (MapHash::save, MapHash.cpp:376-381):
 
-        * ``.npz`` -> this build's native format (magic header + npz of
-          plain arrays, allow_pickle=False — safe and refactor-stable);
-        * any other extension (``.map``, ``.gmap``, ...) -> the
+        * ``.npz`` (and any extension not listed below) -> this build's
+          native format (magic header + npz of plain arrays,
+          allow_pickle=False — safe, lossless, refactor-stable);
+        * ``.map`` / ``.gmap`` / ``.maphash`` / ``.bin`` -> the
           reference's MapHash BINARY layout (io/maphash.py), loadable by
-          the C++ system and vice versa.
+          the C++ system and vice versa. MapHash is intentionally opt-in
+          by extension: it cannot carry this build's full state (valid
+          masks, keyframe flags, per-axis GPS sigma), so an arbitrary
+          user path must not silently lose fidelity. load() sniffs the
+          header, so either format loads from any name.
         """
-        if not path.endswith(".npz"):
+        if path.endswith((".map", ".gmap", ".maphash", ".bin")):
             from ..io import maphash
             with self._lock:
                 data = maphash.from_worldmap(self)

@@ -245,8 +245,11 @@ def brief_descriptors(patches, angles, angle_bins: int = 0):
     every tap via per-bin one-hot matmuls on the MXU — TPU gathers are
     scalar-core-bound (the continuous path costs ~7 ms/frame at N=1000 vs
     ~0.4 ms binned). The per-bin tap offsets use the REFERENCE'S exact
-    round-rotated-offset formula at the bin's angle, so binned descriptors
-    equal continuous ones whenever the angle rounds to the same bin.
+    round-rotated-offset formula at the bin's angle, so binned TAP
+    LOCATIONS equal the continuous path's whenever the angle rounds to
+    the same bin; tap VALUES pass through bf16 on the MXU, so a bit can
+    flip when a tap pair sits within ~0.4% of each other — near-tie bits
+    are descriptor noise either way (fp ordering flips them too).
     """
     if angle_bins:
         return _brief_binned(patches, angles, angle_bins)

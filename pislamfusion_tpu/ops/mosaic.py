@@ -225,8 +225,11 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
     decisions are unchanged."""
     if warp == "shear":
         rgb = img if img.ndim == 3 else img[..., None]
-        half_ok = half_res and (patch_hw[0] // 2) % shearwarp.TILE == 0 \
-            and (patch_hw[1] // 2) % shearwarp.TILE == 0
+        # the Pallas warp tiles at 128 (warp_patch_pallas default), NOT
+        # shearwarp.TILE=256 — gating on 256 silently kicked odd-multiple
+        # patch sizes (e.g. 1280 px) onto the 4x full-res path
+        half_ok = half_res and (patch_hw[0] // 2) % 128 == 0 \
+            and (patch_hw[1] // 2) % 128 == 0
         if half_ok:
             # warp HALF-res patch from a pyrDown'd source: the dst->src
             # scale (and so the kernel's static window provisioning) stays

@@ -483,3 +483,11 @@ def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
         _choose_transpose(h_patch2img),
         lambda: run(jnp.swapaxes(img, 0, 1), True),
         lambda: run(img, False))
+
+
+def default_warp_mode() -> str:
+    """'shear' (the Pallas kernel) on TPU-family backends, 'gather'
+    elsewhere — the one place the platform sniff lives."""
+    import jax
+    plat = jax.devices()[0].platform.lower()
+    return "shear" if plat in ("tpu", "axon") else "gather"
