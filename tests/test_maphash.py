@@ -152,3 +152,49 @@ def test_worldmap_cycle(tmp_path):
     assert f1.kp2mp[5] == 105
     # id allocators moved past the loaded ids
     assert re.get_fid() > 2 and re.get_pid() > 109
+
+
+def test_worldmap_save_dispatch_and_angle_sentinel(tmp_path):
+    """save() writes MapHash only for the explicit binary extensions —
+    any other user path keeps the lossless native format — and the -1
+    undefined-angle keypoint sentinel survives the MapHash round trip."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.models.frame import Frame
+    from pislamfusion_tpu.models.worldmap import WorldMap
+
+    rng = np.random.default_rng(1)
+    wmap = WorldMap()
+    cam = Camera.from_parameters([640, 480, 500, 500, 320, 240])
+    fr = Frame(id=1, timestamp=11.0, camera=cam)
+    fr.pose_c2w = np.array([0, 0, 30, 0, 0, 0, 1], np.float32)
+    N = 8
+    ang = rng.uniform(0, 2 * np.pi, N).astype(np.float32)
+    ang[2] = -1.0                      # cv::KeyPoint undefined orientation
+    fr.set_features({
+        "xy": rng.uniform(0, 480, (N, 2)).astype(np.float32),
+        "desc": rng.integers(0, 2, (N, 256)).astype(np.uint8),
+        "angle": ang,
+        "octave": np.zeros(N, np.int32),
+        "response": rng.uniform(1, 50, N).astype(np.float32),
+        "valid": np.ones(N, bool),
+    }, "orb")
+    fr.is_keyframe = True
+    wmap.insert_frame(fr)
+
+    p_native = str(tmp_path / "user_path.psf")   # arbitrary extension
+    assert wmap.save(p_native)
+    with open(p_native, "rb") as fh:
+        assert fh.read(12) != b"Hash\nbinary\n"  # native format kept
+    re1 = WorldMap()
+    assert re1.load(p_native)                    # header-sniffed load
+
+    p_mh = str(tmp_path / "ckpt.map")
+    assert wmap.save(p_mh)
+    with open(p_mh, "rb") as fh:
+        assert fh.read(12) == b"Hash\nbinary\n"
+    re2 = WorldMap()
+    assert re2.load(p_mh)
+    a = np.asarray(re2.frame(1).angle)
+    assert a[2] == -1.0, a[2]
+    ok = np.arange(N) != 2
+    np.testing.assert_allclose(a[ok], ang[ok], atol=1e-5)
