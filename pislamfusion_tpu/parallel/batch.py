@@ -28,6 +28,19 @@ def batched_orb_detect(images, params: orb.OrbParams, mesh: Mesh = None):
     return fn(images)
 
 
+def batched_sift_detect(images, params, mesh: Mesh = None):
+    """images: [B, H, W] -> dict of [B, ...] SIFT feature arrays, batch
+    sharded over 'dp' (the reference's DEFAULT detector, scaled the same
+    way as ORB)."""
+    from ..ops.features import sift
+    fn = jax.vmap(lambda im: sift.sift_detect(im, params))
+    fn = jax.jit(fn)
+    if mesh is not None:
+        images = jax.device_put(
+            images, NamedSharding(mesh, P("dp", None, None)))
+    return fn(images)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "max_dist"))
 def _pairwise_match(desc_a, valid_a, desc_b, valid_b, kind, max_dist):
     return matching.match_descriptors(desc_a, valid_a, desc_b, valid_b,
