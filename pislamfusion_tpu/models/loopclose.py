@@ -186,11 +186,13 @@ class LoopCloserSE3Graph:
         for k in kfs:
             for cid in k.connections:
                 if cid in kidx and cid > k.id:
-                    c = self.map.frame(cid)
-                    add_edge(k.id, cid, k.pose_c2w, c.pose_c2w, 1.0)
+                    # read through the SNAPSHOT (kfs), not the live map:
+                    # the mapper worker can cull a keyframe concurrently
+                    add_edge(k.id, cid, k.pose_c2w,
+                             kfs[kidx[cid]].pose_c2w, 1.0)
         # the loop edge uses the PnP-corrected pose
         add_edge(loop_kf_id, frame.id,
-                 self.map.frame(loop_kf_id).pose_c2w, T_c2w_corr, w=5.0)
+                 kfs[kidx[loop_kf_id]].pose_c2w, T_c2w_corr, w=5.0)
         fixed = np.zeros(len(kfs), bool)
         fixed[kidx[loop_kf_id]] = True
         if len(kfs) > 1:
@@ -241,8 +243,13 @@ class LoopCloserSE3Graph:
                 for mp, x in zip(pts, newpos):
                     mp.position = x.astype(np.float32)
             for fid in ids:
-                self.map.frame(fid).pose_c2w = new_poses[kidx[fid]].astype(
-                    np.float32)
+                fr = self.map.frame(fid)
+                if fr is None:
+                    # the mapper worker CULLED this keyframe between the
+                    # graph snapshot and this write-back (keyframe culling
+                    # runs concurrently in online mode) — nothing to move
+                    continue
+                fr.pose_c2w = new_poses[kidx[fid]].astype(np.float32)
             # bump inside the lock so a tracker snapshot between rewrite
             # and bump isn't spuriously discarded by the version check
             self.map.version += 1

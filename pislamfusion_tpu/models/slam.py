@@ -107,6 +107,7 @@ class SLAM:
         self._worker: Optional[threading.Thread] = None
         self.frames_tracked = 0
         self.frames_total = 0
+        self.track_errors = 0   # per-frame tracking-thread exceptions
 
     # lazy init on first frame (DIYSLAM.cpp:239-260)
     def _ensure_modules(self):
@@ -277,7 +278,17 @@ class SLAM:
             frame = self._queue.get()
             if frame is None:
                 return
-            self._track_one(frame)
+            try:
+                self._track_one(frame)
+            except Exception:   # noqa: BLE001 — the loop must outlive bugs
+                # a dead tracking thread deadlocks the feeder on the
+                # bounded queue (track() blocks in put() forever); treat a
+                # per-frame failure like a lost frame instead
+                import traceback
+                from ..core.glog import logger
+                self.track_errors += 1
+                logger.error("tracking thread: frame %d raised:\n%s"
+                             % (frame.id, traceback.format_exc()))
 
     def finish(self):
         """Flush the online queue (call("Finish") in the reference) and run
