@@ -30,22 +30,48 @@ class LoopDetectorDistance:
 
     def __init__(self, wmap: WorldMap, cfg):
         self.map = wmap
+        self.cfg = cfg
         self.max_distance = cfg.get_double("SLAM.MaxLoopDistance", 400.0)
         self.min_gap = cfg.get_int("SLAM.LoopMinFrameGap", 20)
+        self.min_overlap = cfg.get_double("SLAM.MinLoopOverlap", 0.4)
+
+    def _median_depth(self, frame: Frame) -> float:
+        """Scene depth proxy: |camera - median map point| along z (cheap
+        stand-in for MapFrame::getMedianDepth over observed points)."""
+        pts = self.map.points()
+        if len(pts) < 8:
+            return 0.0
+        sample = pts[:: max(1, len(pts) // 256)]
+        med_z = float(np.median([p.position[2] for p in sample]))
+        return abs(float(frame.pose_c2w[2]) - med_z)
 
     def insert(self, frame: Frame):
         pass
 
     def candidates(self, frame: Frame) -> List[int]:
         out = []
-        excluded = set(frame.connections) | {frame.id}
+        excluded = set(list(frame.connections)) | {frame.id}
+        max_d = self.max_distance
+        # once GPS-fitted the reference shrinks the search radius to the
+        # frame's own footprint (LoopDetectorGPS.cpp:36-39: corner-ray
+        # norm * 2 * medianDepth * (1 - MinLoopOverlap)) — without this,
+        # every keyframe of a small survey is a perpetual loop candidate
+        if self.cfg.get_bool("GPS.Fitted", False):
+            depth = self._median_depth(frame)
+            if depth > 0:
+                ray = np.linalg.norm([
+                    (0 - frame.camera.cx) / frame.camera.fx,
+                    (0 - frame.camera.cy) / frame.camera.fy, 1.0])
+                max_d = ray * 2.0 * depth * (1.0 - self.min_overlap)
+        dists = []
         for kf in self.map.keyframes():
             if kf.id in excluded or frame.id - kf.id < self.min_gap:
                 continue
             d = np.linalg.norm(kf.pose_c2w[:3] - frame.pose_c2w[:3])
-            if d < self.max_distance:
-                out.append(kf.id)
-        return out
+            if d < max_d:
+                dists.append((d, kf.id))
+        dists.sort()
+        return [kid for _, kid in dists]
 
 
 @LOOP_DETECTORS.register("BoW")
@@ -84,7 +110,7 @@ class LoopDetectorBoW:
         if words is None:
             return []
         counts: dict = {}
-        excluded = set(frame.connections) | {frame.id}
+        excluded = set(list(frame.connections)) | {frame.id}
         for w in words:
             for fid in self._inverted.get(int(w), ()):
                 if fid in excluded or frame.id - fid < self.min_gap:
@@ -105,6 +131,17 @@ class LoopCloserSE3Graph:
         self.detector = detector or LoopDetectorDistance(wmap, cfg)
         self._key = jax.random.PRNGKey(7)
         self.closed_loops = 0
+        self.consistent_loops = 0   # verified but already-closed (skipped)
+        self._last_close_id = -10 ** 9
+        # re-closure cooldown (keyframes) and the correction magnitude
+        # below which a verified loop is ALREADY consistent: a whole-map
+        # rewrite for a near-identity correction only churns the gauge
+        # (every rewrite bumps map.version and invalidates the tracker's
+        # staged local map — repeated consistent "closures" on a dense
+        # survey were costing ~2/3 of tracked frames in the soak)
+        self.min_interval = cfg.get_int("LoopCloser.MinInterval", 5)
+        self.min_correction = cfg.get_double("LoopCloser.MinCorrection",
+                                             0.25)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -115,12 +152,23 @@ class LoopCloserSE3Graph:
         self.detector.insert(frame)     # index the new KF (inverted file)
         if not cands:
             return False
+        if frame.id - self._last_close_id < self.min_interval:
+            return False                # cooldown after a real closure
         best = self._verify(frame, cands)
         if best is None:
             return False
-        kf_id, T_rel = best
-        self._close(frame, kf_id, T_rel)
+        kf_id, T_corr = best
+        # near-identity correction: the loop is verified AND the map is
+        # already metrically consistent there — nothing to close
+        dt = float(np.linalg.norm(T_corr[:3] - frame.pose_c2w[:3]))
+        dq = float(min(np.linalg.norm(T_corr[3:7] - frame.pose_c2w[3:7]),
+                       np.linalg.norm(T_corr[3:7] + frame.pose_c2w[3:7])))
+        if dt < self.min_correction and dq < 0.02:
+            self.consistent_loops += 1
+            return False
+        self._close(frame, kf_id, T_corr)
         self.closed_loops += 1
+        self._last_close_id = frame.id
         return True
 
     def _verify(self, frame: Frame, cands: List[int]):
@@ -184,7 +232,9 @@ class LoopCloserSE3Graph:
             add_edge(ids[i], ids[i + 1],
                      kfs[i].pose_c2w, kfs[i + 1].pose_c2w)
         for k in kfs:
-            for cid in k.connections:
+            # snapshot: the mapper worker refreshes connection dicts
+            # concurrently (RuntimeError: dict changed size otherwise)
+            for cid in list(k.connections):
                 if cid in kidx and cid > k.id:
                     # read through the SNAPSHOT (kfs), not the live map:
                     # the mapper worker can cull a keyframe concurrently
