@@ -682,8 +682,87 @@ class Mapper:
         self.apply_sim3(S)
         self.gps_fitted = True
         self.cfg.set("GPS.Fitted", "1")
+        # bend residual monocular drift onto the GPS fixes: the Horn fit
+        # is rigid+scale only (gpsFitting's role in the reference)
+        self.gps_fitting()
         # `fitted_map` topic (DIYSLAM.cpp:204 advertise + tryFitGPS publish)
         _messenger.advertise("fitted_map").publish(self.map)
+        return True
+
+    def gps_fitting(self, iters: int = 20) -> bool:
+        """The reference's gpsFitting (MapperDemo.cpp:1627-1737): an SE3
+        pose graph over every keyframe — consecutive + covisibility
+        odometry edges preserve local shape while per-keyframe GPS
+        POSITION priors bend the accumulated monocular drift onto the geo
+        frame, which the rigid Horn similarity cannot do. Points follow
+        their reference keyframe's correction (rigid per-refKF update,
+        like the loop closer's write-back)."""
+        kfs = [f for f in self.map.keyframes()]
+        if len(kfs) < 8:
+            return False
+        ids = [f.id for f in kfs]
+        kidx = {fid: i for i, fid in enumerate(ids)}
+        c2w = np.stack([f.pose_c2w for f in kfs]).astype(np.float32)
+        w2c = np.stack([hse3.se3_inv(p) for p in c2w]).astype(np.float32)
+        rel_i, rel_j, rel_meas, rel_w = [], [], [], []
+
+        def add_edge(i, j, w):
+            rel_i.append(i)
+            rel_j.append(j)
+            rel_meas.append(hse3.se3_mul(w2c[i], hse3.se3_inv(w2c[j])))
+            rel_w.append(w)
+
+        for i in range(len(kfs) - 1):
+            add_edge(i, i + 1, 100.0)
+        for k in kfs:
+            for cid in list(k.connections):
+                if cid in kidx and cid > k.id:
+                    add_edge(kidx[k.id], kidx[cid], 50.0)
+        gps_f, gps_pose, gps_info = [], [], []
+        for i, fr in enumerate(kfs):
+            if fr.gps_enu is None:
+                continue
+            T_prior_c2w = c2w[i].copy()
+            T_prior_c2w[:3] = fr.gps_enu
+            gps_f.append(i)
+            gps_pose.append(hse3.se3_inv(T_prior_c2w).astype(np.float32))
+            info = np.zeros(6, np.float32)
+            info[:3] = 1.0 / max(fr.gps_acc, 0.1) ** 2
+            gps_info.append(info)
+        if len(gps_f) < 4:
+            return False
+        prob = ba.make_problem(
+            poses=w2c, pose_fixed=np.zeros(len(kfs), bool),
+            rel_i=np.asarray(rel_i, np.int32),
+            rel_j=np.asarray(rel_j, np.int32),
+            rel_meas=np.stack(rel_meas).astype(np.float32),
+            rel_weight=np.asarray(rel_w, np.float32),
+            prior_frame=np.asarray(gps_f, np.int32),
+            prior_pose=np.stack(gps_pose),
+            prior_info=np.stack(gps_info))
+        new_w2c, _, _cost = ba.optimize(prob, iters=iters)
+        new_c2w = np.stack([hse3.se3_inv(p)
+                            for p in np.asarray(new_w2c)]).astype(
+                                np.float32)
+        corr = np.asarray(lie.se3_mul(
+            jnp.asarray(new_c2w),
+            lie.se3_inv(jnp.asarray(c2w))))               # [F, 7]
+        with self.map.update_lock:
+            pts = self.map.points()
+            if pts:
+                ridx = np.asarray(
+                    [kidx.get(mp.ref_frame, 0) for mp in pts], np.int32)
+                pos = np.stack([mp.position for mp in pts])
+                newpos = np.asarray(lie.se3_apply(
+                    jnp.asarray(corr)[ridx], jnp.asarray(pos)))
+                for mp, x in zip(pts, newpos):
+                    mp.position = x.astype(np.float32)
+            for fid in ids:
+                fr = self.map.frame(fid)
+                if fr is None:   # culled concurrently
+                    continue
+                fr.pose_c2w = new_c2w[kidx[fid]]
+            self.map.version += 1
         return True
 
     def apply_sim3(self, S: np.ndarray):

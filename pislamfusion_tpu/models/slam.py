@@ -271,6 +271,14 @@ class SLAM:
                     # the whole map moved: refresh the tracker's staged
                     # local-map arrays
                     self.tracker.invalidate_local_stage()
+                    # the closure's SE3 graph fixes only the loop keyframe
+                    # (LoopCloserDemo.cpp:327-420) — it can translate the
+                    # whole map relative to the geo frame. Re-anchor to
+                    # GPS immediately (the reference's mapper re-runs
+                    # fitGps on its NFrame2FitGPS cadence; after a closure
+                    # waiting for the cadence leaves the map meters off)
+                    if self.mapper is not None and self.mapper.gps_fitted:
+                        self.mapper.fit_gps_all()
         return ok
 
     def _tracking_loop(self):
