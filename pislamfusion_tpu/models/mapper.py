@@ -700,6 +700,14 @@ class Mapper:
         kfs = [f for f in self.map.keyframes()]
         if len(kfs) < 8:
             return False
+        if len(kfs) > self.cfg.get_int("GPS.FittingMaxKFs", 512):
+            # the dense SE3 graph assembles [F,F,6,6]; beyond ~512 KFs
+            # route through the CG pose graph instead (future work) —
+            # local BA's GPS priors still bound drift meanwhile
+            glog.logger.warning(
+                "gps_fitting skipped: %d KFs > GPS.FittingMaxKFs"
+                % len(kfs))
+            return False
         ids = [f.id for f in kfs]
         kidx = {fid: i for i, fid in enumerate(ids)}
         c2w = np.stack([f.pose_c2w for f in kfs]).astype(np.float32)
