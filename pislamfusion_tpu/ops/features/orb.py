@@ -166,7 +166,7 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
     ncy, ncx = -(-H // cell), -(-W // cell)
     pad_h, pad_w = ncy * cell - H, ncx * cell - W
     sp = jnp.pad(s, ((0, pad_h), (0, pad_w)))
-    per_cell = max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
+    per_cell = _per_cell_quota((H, W), k, cell)
     if per_cell == 1:
         # top-1 per cell WITHOUT the cell reshape-transpose (a full
         # relayout of the score map) and WITHOUT per-row lax.top_k (a
@@ -199,6 +199,10 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
         flat_v = cv.reshape(-1)
         flat_y = gy.reshape(-1)
         flat_x = gx.reshape(-1)
+    return _topk_flat(flat_v, flat_y, flat_x, k)
+
+
+def _topk_flat(flat_v, flat_y, flat_x, k: int):
     v, idx = jax.lax.top_k(flat_v, min(k, flat_v.shape[0]))
     y = flat_y[idx]
     x = flat_x[idx]
@@ -210,6 +214,11 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
         x = jnp.pad(x, (0, pad))
         valid = jnp.pad(valid, (0, pad))
     return jnp.stack([x, y], -1).astype(jnp.int32), v, valid
+
+
+def _per_cell_quota(shape, k: int, cell: int) -> int:
+    ncy, ncx = -(-shape[0] // cell), -(-shape[1] // cell)
+    return max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
 
 
 def _gather_patches(img, xy_center, radius: int):
@@ -336,6 +345,10 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     r = _GATHER_R
     blocks, block_xy, row_off = [], [], 0
     wmax = W + 2 * r
+    # build the pyramid first so selection can run as ONE fused Pallas
+    # call over the packed level stack (per-pallas_call overhead on this
+    # box is ~0.35 ms — 8 per-level calls would cost more than the op)
+    level_imgs = []
     level_img = img
     for lvl in range(params.n_levels):
         scale = params.scale_factor ** lvl
@@ -344,10 +357,30 @@ def orb_detect(img, params: OrbParams = OrbParams()):
             lw = max(1, int(round(W / scale)))
             level_img = im.resize_bilinear(level_img[..., None],
                                            (lh, lw))[..., 0]
+        level_imgs.append(level_img)
+    # fused FAST+NMS+select needs every level on the top-1-per-cell path
+    # (true at production sizes; tiny test images fall back to XLA)
+    fused_ok = (im.use_tpu_pallas() and params.cell % 8 == 0
+                and all(_per_cell_quota(li.shape, max(q, 1), params.cell) == 1
+                        for li, q in zip(level_imgs, quotas)))
+    if fused_ok:
+        from .fastselect import fast_cell_winners
+        winners = fast_cell_winners(level_imgs, params.cell,
+                                    params.min_threshold, EDGE_THRESHOLD)
+    for lvl in range(params.n_levels):
+        scale = params.scale_factor ** lvl
+        level_img = level_imgs[lvl]
         k = max(quotas[lvl], 1)
-        score = fast_score_map(level_img)
-        xy, resp, valid = select_keypoints(score, k, params.cell,
-                                           params.min_threshold)
+        if fused_ok:
+            cv2d, ci2d = winners[lvl]
+            wp = ci2d.shape[1] * params.cell
+            xy, resp, valid = _topk_flat(cv2d.reshape(-1),
+                                         (ci2d // wp).reshape(-1),
+                                         (ci2d % wp).reshape(-1), k)
+        else:
+            score = fast_score_map(level_img)
+            xy, resp, valid = select_keypoints(score, k, params.cell,
+                                               params.min_threshold)
         # stack the raw level (IC-angle reads its 31x31 center) with the
         # blurred level (BRIEF taps), edge-pad by the gather radius, and
         # append to the PACKED pyramid: one tall [sum(lh+2r), W+2r, 2]
