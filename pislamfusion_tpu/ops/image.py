@@ -217,11 +217,31 @@ def _banded_left_apply(m: np.ndarray, x, axis: int):
     return y[tuple(sl)]
 
 
+_PALLAS_STENCIL: bool | None = None
+
+
+def _use_pallas_stencil() -> bool:
+    """Opt-in gate for the fused banded-sandwich Pallas stencil
+    (PISLAM_PALLAS_STENCIL=1): one HBM pass for both axes instead of two
+    einsums with a materialized intermediate. Off by default until the
+    per-pallas_call dispatch overhead on this box is confirmed smaller
+    than the saved traffic (see ops/stencil_pallas.py)."""
+    global _PALLAS_STENCIL
+    if _PALLAS_STENCIL is None:
+        _PALLAS_STENCIL = (os.environ.get("PISLAM_PALLAS_STENCIL") == "1"
+                           and use_tpu_pallas())
+    return _PALLAS_STENCIL
+
+
 def _matmul_sep(img, mh: np.ndarray, mw: np.ndarray):
     """Apply per-axis banded matrices: out = mh @ img @ mw^T over the
     (-3, -2) axes, channels riding in the minor dim. Large axes route
     through the block-banded contraction (_banded_left_apply); small ones
     stay dense (the banded bookkeeping only pays off past ~4 blocks)."""
+    if img.ndim == 3 and _use_pallas_stencil():
+        from . import stencil_pallas as sp
+        if sp.can_fuse(mh, mw, img.shape[2]):
+            return sp.banded_sandwich_pallas(img, mh, mw)
     def one_axis(m, x, axis):
         if m.shape[1] >= 512:
             return _banded_left_apply(m, x, axis)

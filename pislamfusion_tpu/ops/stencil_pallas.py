@@ -1,0 +1,199 @@
+"""Pallas banded-sandwich stencil: out = mh @ x @ mw^T in ONE HBM pass.
+
+ops/image.py expresses every separable stencil (gaussian blur, pyrDown,
+pyrUp, bilinear resize) as a pair of banded-matrix contractions on the
+MXU (out = D_h @ img @ D_w^T). That XLA path materializes the row-pass
+intermediate in HBM and relayouts per einsum — measured 0.2-0.6 ms/op on
+v5e against ~0.1 ms of actual MXU+HBM work. This kernel runs both passes
+per 128-row output tile inside VMEM:
+
+  * the row matrix's band means each output row tile reads a fixed
+    contiguous window of input rows — one aligned slab DMA per tile;
+  * row pass: A_i [128, RH] @ slab (MXU); column pass: a static Python
+    loop over output lane tiles, each contracting the KB*128-lane window
+    of the row result with that tile's dense band block (MXU);
+  * channels interleave in lanes: the lane-side band blocks are built on
+    the C-expanded indexing (q = w*C + c) without densifying the
+    expanded matrix.
+
+Replaces ops/image._matmul_sep on TPU (opt-in via PISLAM_PALLAS_STENCIL
+until the measured win is confirmed on hardware). Same matrices, same
+semantics — the interpret-mode tests assert equality against the XLA
+path at HIGHEST precision. Reference ops being served: cv::pyrDown/Up
+and warp pyramids (Map2DFusion/MultiBandMap2DCPU.cpp:441-474), SIFT's
+Gaussian chains (SiftGPU ProgramCU.cu), ORB's level resize
+(FeatureDetectorORB.cpp:808-851).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLK = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _Side:
+    """Static per-output-tile band windows + dense blocks for one axis."""
+
+    def __init__(self, blocks: np.ndarray, w0: np.ndarray, kbl: int):
+        self.blocks = blocks          # [nb, 128, kbl] (row) / [nb, kbl, 128]
+        self.w0 = w0                  # [nb] int32 window starts (128-mult)
+        self.kbl = kbl
+
+
+def _row_side(m: np.ndarray, max_kb: int = 6) -> _Side | None:
+    """Row-axis decomposition: out tile i = blocks[i] @ x[w0[i]:w0[i]+kbl]."""
+    On, n = m.shape
+    ni = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    mp = np.zeros((ni * _BLK, nk * _BLK), np.float32)
+    mp[:On, :n] = m
+    w0 = np.zeros(ni, np.int64)
+    kb = 1
+    for i in range(ni):
+        nz = np.nonzero(mp[i * _BLK:(i + 1) * _BLK].any(0))[0]
+        if nz.size:
+            w0[i] = (nz[0] // _BLK) * _BLK
+            kb = max(kb, -(-int(nz[-1] + 1 - w0[i]) // _BLK))
+    if kb > min(max_kb, nk):
+        return None
+    kbl = kb * _BLK
+    w0 = np.minimum(w0, nk * _BLK - kbl)
+    blocks = np.stack([mp[i * _BLK:(i + 1) * _BLK, w0[i]:w0[i] + kbl]
+                       for i in range(ni)])
+    return _Side(blocks, w0.astype(np.int32), kbl)
+
+
+def _lane_side(m: np.ndarray, c: int, max_kb: int = 6) -> _Side | None:
+    """Lane-axis decomposition on the C-expanded indexing (q = w*C + ch):
+    out lane tile j = t1[:, w0[j]:w0[j]+kbl] @ blocks[j]."""
+    On, n = m.shape
+    onl = On * c
+    nl = n * c
+    nj = -(-onl // _BLK)
+    nk = -(-nl // _BLK)
+    w0 = np.zeros(nj, np.int64)
+    kb = 1
+    spans = []
+    for j in range(nj):
+        p = np.arange(j * _BLK, (j + 1) * _BLK)
+        rows = np.unique(np.clip(p, 0, onl - 1) // c)
+        nz = np.nonzero(m[rows].any(0))[0]
+        if nz.size:
+            q0, q1 = nz[0] * c, nz[-1] * c + (c - 1)
+            w0[j] = (q0 // _BLK) * _BLK
+            kb = max(kb, -(-int(q1 + 1 - w0[j]) // _BLK))
+            spans.append((q0, q1))
+    if kb > min(max_kb, nk):
+        return None
+    kbl = kb * _BLK
+    w0 = np.minimum(w0, nk * _BLK - kbl)
+    blocks = np.zeros((nj, kbl, _BLK), np.float32)
+    for j in range(nj):
+        p = np.arange(j * _BLK, (j + 1) * _BLK)
+        q = np.arange(w0[j], w0[j] + kbl)
+        pin = p < onl
+        qin = q < nl
+        blk = np.where((p[None, :] % c == q[:, None] % c) & pin[None, :]
+                       & qin[:, None],
+                       m[np.minimum(p[None, :], onl - 1) // c,
+                         np.minimum(q[:, None], nl - 1) // c], 0.0)
+        blocks[j] = blk
+    return _Side(blocks, w0.astype(np.int32), kbl)
+
+
+_DECOMP_CACHE: dict = {}
+
+
+def _decompose(mh: np.ndarray, mw: np.ndarray, c: int):
+    key = (mh.shape, mh.tobytes(), mw.shape, mw.tobytes(), c)
+    if key not in _DECOMP_CACHE:
+        _DECOMP_CACHE[key] = (_row_side(mh), _lane_side(mw, c))
+    return _DECOMP_CACHE[key]
+
+
+def can_fuse(mh: np.ndarray, mw: np.ndarray, c: int) -> bool:
+    """True when both axes decompose into narrow contiguous band windows
+    and the working set fits VMEM comfortably."""
+    rs, ls = _decompose(mh, mw, c)
+    if rs is None or ls is None:
+        return False
+    wpl = _ceil_to(mw.shape[1] * c, _BLK)
+    slab = rs.kbl * wpl * 4
+    bts = ls.blocks.size * 4
+    out_row = _ceil_to(mw.shape[0] * c, _BLK) * _BLK * 4
+    return slab + bts + out_row + rs.blocks[0].size * 4 < 10 * 2 ** 20
+
+
+@functools.partial(jax.jit, static_argnames=("lane_w0", "interpret"))
+def _sandwich_call(x, rowlo, a_blocks, bt_blocks, lane_w0: tuple,
+                   interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ni, _, rhl = a_blocks.shape
+    nj, kbl, _ = bt_blocks.shape
+    wpl = x.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(rowlo_ref, a_ref, bt_ref, x_ref, out_ref, slab, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(rowlo_ref[i], _BLK), rhl), :],
+            slab, sem)
+        cp.start()
+        cp.wait()
+        t1 = jax.lax.dot_general(
+            a_ref[0], slab[:], (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32)  # [128, wpl]
+        for j in range(nj):                      # static lane windows
+            seg = t1[:, lane_w0[j]:lane_w0[j] + kbl]
+            out_ref[:, j * _BLK:(j + 1) * _BLK] = jax.lax.dot_general(
+                seg, bt_ref[j], (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((1, _BLK, rhl), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((_BLK, nj * _BLK), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rhl, wpl), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ni * _BLK, nj * _BLK), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rowlo, a_blocks, bt_blocks, x)
+
+
+def banded_sandwich_pallas(x, mh: np.ndarray, mw: np.ndarray,
+                           interpret: bool = False):
+    """x: [H, W, C] float32; mh: [Ho, H]; mw: [Wo, W] banded numpy
+    matrices. Returns [Ho, Wo, C] float32 = mh @ x @ mw^T per channel.
+    Caller must have checked can_fuse(mh, mw, C)."""
+    h, w, c = x.shape
+    ho, wo = mh.shape[0], mw.shape[0]
+    rs, ls = _decompose(mh, mw, c)
+    wpl = _ceil_to(w * c, _BLK)
+    hp = _ceil_to(h, _BLK)
+    xp = jnp.pad(x.astype(jnp.float32).reshape(h, w * c),
+                 ((0, hp - h), (0, wpl - w * c)))
+    out = _sandwich_call(
+        xp, jnp.asarray(rs.w0), jnp.asarray(rs.blocks),
+        jnp.asarray(ls.blocks), tuple(int(v) for v in ls.w0), interpret)
+    return out[:ho, :wo * c].reshape(ho, wo, c)
