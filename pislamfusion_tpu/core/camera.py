@@ -172,6 +172,100 @@ class CameraOpenCV(Camera):
         return x, y
 
 
+@dataclasses.dataclass(frozen=True)
+class CameraOCAM(Camera):
+    """Scaramuzza omnidirectional (fisheye/catadioptric) model.
+
+    Reference: PIL/src/hardware/Camera/CameraImpl.cpp:360-418 and
+    CameraOCAM.cpp:9-75 (calib-file loader). `pol` maps pixel radius ->
+    mirror-axis component (unprojection); `invpol` maps incidence angle
+    theta -> pixel radius (projection); (c, d, e) is the affine
+    stretch matrix and (cx, cy) the distortion center. Unlike the
+    pinhole family, `unproject` returns UNIT-NORM rays (the reference
+    convention — the z component can be negative for >180-degree FOV)
+    and `project` consumes camera-frame points directly.
+    """
+    pol: tuple = ()
+    invpol: tuple = ()
+    c: float = 1.0
+    d: float = 0.0
+    e: float = 0.0
+
+    @property
+    def name(self):
+        return "OCAM"
+
+    def is_valid(self):
+        return (self.width > 0 and self.height > 0
+                and len(self.pol) > 0 and len(self.invpol) > 0)
+
+    def parameters(self):
+        return [float(self.width), float(self.height), self.cx, self.cy,
+                self.c, self.d, self.e,
+                float(len(self.pol)), *self.pol,
+                float(len(self.invpol)), *self.invpol]
+
+    @staticmethod
+    def from_file(path: str) -> "CameraOCAM":
+        """Parse the Scaramuzza toolbox calib_results.txt layout the
+        reference loads (CameraOCAM.cpp:9-75): pol, invpol, center
+        (row, col), affine (c, d, e), image size (height, width)."""
+        rows = []
+        with open(path) as f:
+            for line in f:
+                s = line.strip()
+                if not s or s.startswith("#"):
+                    continue
+                rows.append([float(v) for v in s.split()])
+        pol = tuple(rows[0][1:1 + int(rows[0][0])])
+        invpol = tuple(rows[1][1:1 + int(rows[1][0])])
+        xc, yc = rows[2]             # row, col of center (Matlab order)
+        c, d, e = rows[3]
+        height, width = int(rows[4][0]), int(rows[4][1])
+        return CameraOCAM(width=width, height=height, cx=yc, cy=xc,
+                          pol=pol, invpol=invpol, c=c, d=d, e=e)
+
+    def project(self, p3d):
+        """[..., 3] camera-frame points -> [..., 2] pixels
+        (CameraImpl.cpp:360-396)."""
+        xp = _xp(p3d)
+        x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
+        norm = xp.sqrt(x * x + y * y)
+        theta = xp.arctan2(-z, norm)     # atan(-z/norm), norm >= 0
+        rho = xp.zeros_like(theta) + self.invpol[0]
+        t_i = xp.ones_like(theta)
+        for k in self.invpol[1:]:
+            t_i = t_i * theta
+            rho = rho + t_i * k
+        invn = 1.0 / xp.maximum(norm, 1e-12)
+        xi = x * invn * rho
+        yi = y * invn * rho
+        u = yi * self.e + xi + self.cx
+        v = yi * self.c + xi * self.d + self.cy
+        degenerate = norm < 1e-12
+        u = xp.where(degenerate, self.cx + 0.0 * u, u)
+        v = xp.where(degenerate, self.cy + 0.0 * v, v)
+        return xp.stack([u, v], -1)
+
+    def unproject(self, p2d):
+        """[..., 2] pixels -> [..., 3] unit-norm rays
+        (CameraImpl.cpp:398-418)."""
+        xp = _xp(p2d)
+        invdet = 1.0 / (self.c - self.d * self.e)
+        du = p2d[..., 0] - self.cx
+        dv = p2d[..., 1] - self.cy
+        yp = invdet * (dv - self.d * du)
+        xi = invdet * (-self.e * dv + self.c * du)
+        r = xp.sqrt(xi * xi + yp * yp)
+        zp = xp.zeros_like(r) + self.pol[0]
+        r_i = xp.ones_like(r)
+        for k in self.pol[1:]:
+            r_i = r_i * r
+            zp = zp + r_i * k
+        invn = 1.0 / xp.sqrt(xi * xi + yp * yp + zp * zp)
+        return xp.stack([invn * xi, invn * yp, -invn * zp], -1)
+
+
 def undistort_map(cam: Camera, target: Camera | None = None):
     """Dense remap grid for image undistortion (reference Undistorter.h).
 
