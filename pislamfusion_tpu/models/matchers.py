@@ -47,6 +47,82 @@ class MatcherBF:
         return idx, ok
 
 
+@MATCHERS.register("BoW")
+@MATCHERS.register("bow")
+class MatcherBoW:
+    """FeatureVector-aligned BF (MatcherBoW.cpp:186-300): candidates
+    restricted to features sharing the vocabulary node `levelsup` levels
+    above the leaves, then cross-check + ratio. TPU-native re-design: the
+    bucket walk becomes a dense node-equality mask on the MXU distance
+    matrix — identical candidate set, one dispatch. Falls back to plain
+    BF when no (compatible) vocabulary is available (the reference
+    crashes instead; a silent-degrade matches DIYSLAM's vocab-optional
+    spirit, logged once)."""
+
+    def __init__(self, cfg=None, vocabulary=None):
+        self.ratio = cfg.get_double("Matcher.Ratio", 0.8) if cfg else 0.8
+        self.levelsup = cfg.get_int("Matcher.LevelsUp", 4) if cfg else 4
+        self._cfg = cfg
+        self._vocab = vocabulary
+        self._vocab_tried = vocabulary is not None
+        self._nids: dict = {}                # frame id -> node ids
+        self._warned = False
+
+    def _vocabulary(self):
+        if not self._vocab_tried:
+            self._vocab_tried = True
+            import os
+            path = (self._cfg.get_string("Vocabulary", "")
+                    if self._cfg else "")
+            if path and os.path.isfile(path):
+                from ..ops.vocabulary import Vocabulary
+                self._vocab = Vocabulary.load(path)
+            if self._vocab is None:
+                from .slam import _default_vocabulary
+                self._vocab = _default_vocabulary()
+        return self._vocab
+
+    def _node_ids(self, frame):
+        nid = self._nids.get(frame.id)
+        if nid is None:
+            _, _, nid = self._vocab.transform_arrays(
+                frame.desc, jnp.asarray(frame.valid), self.levelsup)
+            if len(self._nids) > 16:        # two-view + reloc working set
+                self._nids.clear()
+            self._nids[frame.id] = nid
+        return nid
+
+    def __call__(self, key, fa, fb):
+        vocab = self._vocabulary()
+        desc_a, valid_a, _, ang_a = _arrays(fa)
+        desc_b, valid_b, _, ang_b = _arrays(fb)
+        if vocab is None or (vocab.is_binary != (fa.desc_kind == "orb")):
+            if not self._warned:
+                from ..core.glog import logger
+                logger.warning("Matcher=BoW: no compatible vocabulary; "
+                               "matching unbucketed (BF)")
+                self._warned = True
+            idx, ok = matching.match_descriptors(
+                desc_a, valid_a, desc_b, valid_b, fa.desc_kind,
+                ratio=self.ratio)
+        else:
+            idx, ok = matching.match_descriptors_bucketed(
+                desc_a, valid_a, self._node_ids(fa),
+                desc_b, valid_b, self._node_ids(fb),
+                fa.desc_kind, ratio=self.ratio)
+        ok = matching.rotation_consistency_mask(ang_a, ang_b, idx, ok)
+        return idx, ok
+
+
+@MATCHERS.register("flann")
+class MatcherFlann(MatcherBF):
+    """The reference's MatcherFlann (FLANN cross-check, MatcherFlann.cpp)
+    — FLANN's approximate NN exists to dodge CPU brute-force cost; on the
+    MXU the exact distance matrix IS the cheap path, so this is exact BF
+    with the same cross-check/ratio gates (a strict quality upper bound
+    of the approximate search)."""
+
+
 @MATCHERS.register("multiH")
 class MatcherMultiH:
     """The reference's DEFAULT matcher: conservative BF base + multi-

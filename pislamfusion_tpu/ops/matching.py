@@ -142,6 +142,34 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, kind: str,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "ratio"))
+def match_descriptors_bucketed(desc_a, valid_a, nid_a, desc_b, valid_b,
+                               nid_b, kind: str,
+                               max_dist: float | None = None,
+                               ratio: float = 1.0,
+                               cross_check: bool = True):
+    """BoW-bucketed brute force (MatcherBoW.cpp:186-300): candidates are
+    restricted to features sharing the vocabulary node at levelsup. The
+    reference walks aligned FeatureVector buckets; here the SAME candidate
+    set is a dense node-equality mask over the MXU distance matrix —
+    bucketing as masking, no data-dependent loops. nid_*: [N]/[M] int32
+    node ids (-1 = invalid feature)."""
+    if max_dist is None:
+        max_dist = 80.0 if kind == "orb" else 0.2
+    return _match_bucketed_jit(desc_a, valid_a, nid_a, desc_b, valid_b,
+                               nid_b, kind, float(max_dist), float(ratio),
+                               cross_check)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "max_dist", "ratio",
+                                             "cross_check"))
+def _match_bucketed_jit(desc_a, valid_a, nid_a, desc_b, valid_b, nid_b,
+                        kind, max_dist, ratio, cross_check):
+    same = (nid_a[:, None] == nid_b[None, :]) & (nid_a >= 0)[:, None]
+    dist = distance_matrix(desc_a, desc_b, kind)
+    return match(dist, valid_a, valid_b, max_dist, ratio, same,
+                 cross_check)
+
+
 def match_descriptors_batch(desc_a, valid_a, desc_b, valid_b, kind: str,
                             ratio: float = 0.8):
     """Match MANY candidate keyframes against one frame in ONE dispatch.

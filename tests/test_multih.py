@@ -129,8 +129,9 @@ def test_bf_multih_grows_matches():
 
 
 def test_matcher_registry():
-    """The Matcher?= plugin seam: all three registered matchers run
-    through the uniform (key, frame_a, frame_b) surface."""
+    """The Matcher?= plugin seam: every registered matcher runs through
+    the uniform (key, frame_a, frame_b) surface. BoW buckets via the
+    embedded default vocabulary; flann is the exact-BF stand-in."""
     from pislamfusion_tpu.core.camera import Camera
     from pislamfusion_tpu.core.registry import MATCHERS
     from pislamfusion_tpu.core.svar import Svar
@@ -150,14 +151,44 @@ def test_matcher_registry():
                        "orb")
         frames.append(f)
     counts = {}
-    for name in ("BF", "multiH", "BFMultiH"):
+    for name in ("BF", "multiH", "BFMultiH", "BoW", "flann"):
         m = MATCHERS.create(name, Svar())
         idx, ok = m(jax.random.PRNGKey(1), frames[0], frames[1])
         idx, ok = np.asarray(idx), np.asarray(ok)
         good = _correct(frames[0].xy, frames[1].xy, idx, ok, H)
         counts[name] = (int(ok.sum()), int(good.sum()))
         assert good.sum() > 0.7 * ok.sum(), (name, counts[name])
-        assert ok.sum() > 50, (name, counts[name])
+        assert ok.sum() > 30, (name, counts[name])
     # the growth variants must out-match plain BF
     assert counts["multiH"][1] > counts["BF"][1], counts
     assert counts["BFMultiH"][1] > counts["BF"][1], counts
+
+
+def test_bucketed_matching_restricts_to_shared_nodes():
+    """match_descriptors_bucketed == BF masked to node-equal pairs: every
+    returned match shares the node id, and with a single shared node it
+    degenerates to plain BF."""
+    from pislamfusion_tpu.ops import matching
+    rng = np.random.default_rng(7)
+    Na, Nb = 96, 80
+    da = rng.integers(0, 2, (Na, 256)).astype(np.uint8)
+    db = np.concatenate([da[:Nb // 2], rng.integers(0, 2, (Nb - Nb // 2, 256)).astype(np.uint8)])
+    va = np.ones(Na, bool); vb = np.ones(Nb, bool)
+    nida = rng.integers(0, 4, Na).astype(np.int32)
+    nidb = rng.integers(0, 4, Nb).astype(np.int32)
+    idx, ok = matching.match_descriptors_bucketed(
+        jnp.asarray(da), jnp.asarray(va), jnp.asarray(nida),
+        jnp.asarray(db), jnp.asarray(vb), jnp.asarray(nidb), "orb")
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok.any()
+    assert (nida[ok] == nidb[idx[ok]]).all()
+    one = np.zeros_like(nida), np.zeros_like(nidb)
+    idx1, ok1 = matching.match_descriptors_bucketed(
+        jnp.asarray(da), jnp.asarray(va), jnp.asarray(one[0]),
+        jnp.asarray(db), jnp.asarray(vb), jnp.asarray(one[1]), "orb")
+    idx0, ok0 = matching.match_descriptors(
+        jnp.asarray(da), jnp.asarray(va), jnp.asarray(db),
+        jnp.asarray(vb), "orb")
+    assert (np.asarray(ok1) == np.asarray(ok0)).all()
+    assert (np.asarray(idx1)[np.asarray(ok1)]
+            == np.asarray(idx0)[np.asarray(ok0)]).all()
