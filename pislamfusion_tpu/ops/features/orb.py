@@ -37,7 +37,14 @@ from .. import image as im
 PATCH_SIZE = 31        # FeatureDetectorORB.cpp:106
 HALF_PATCH = 15        # :107
 EDGE_THRESHOLD = 16    # :108
-_GATHER_R = 18         # covers rotated BRIEF offsets (|p| <= 13*sqrt(2))
+_BLUR_R = 3            # BRIEF's pre-blur radius (7x7, :733-740)
+# 18 covers the rotated BRIEF offsets (|p| <= 13*sqrt(2) -> rounded <= 18);
+# +_BLUR_R so the gathered RAW patch carries enough context to blur
+# in-patch: blur is translation-invariant, so blurring the gathered patch
+# equals gathering from a blurred level — per-level gaussian_blur calls
+# (~0.5 ms/frame of full-resolution stencils) collapse into a 7-tap
+# shift-and-add over [N, 43, 43] patches (~26 MFLOP)
+_GATHER_R = 18 + _BLUR_R
 _GATHER = 2 * _GATHER_R + 1
 
 _PATTERN = np.load(os.path.join(os.path.dirname(__file__), "orb_pattern.npy"))
@@ -244,6 +251,23 @@ def ic_angle(patches31):
     return jnp.arctan2(m01, m10)
 
 
+def _blur_patches(patches):
+    """7-tap separable Gaussian (sigma 2) over gathered patches — the
+    in-patch equivalent of the reference's pre-BRIEF level blur
+    (FeatureDetectorORB.cpp:733-740). Valid wherever taps stay >=_BLUR_R
+    from the patch border, which _GATHER_R guarantees for every BRIEF
+    offset. patches: [N, G, G]."""
+    taps = [float(v) for v in im.gaussian_kernel1d(2.0, _BLUR_R)]
+    g = patches.shape[-1]
+    xp = jnp.pad(patches, ((0, 0), (_BLUR_R, _BLUR_R), (0, 0)),
+                 mode="edge")
+    y = sum(w * jax.lax.slice_in_dim(xp, i, i + g, axis=1)
+            for i, w in enumerate(taps))
+    xp = jnp.pad(y, ((0, 0), (0, 0), (_BLUR_R, _BLUR_R)), mode="edge")
+    return sum(w * jax.lax.slice_in_dim(xp, i, i + g, axis=2)
+               for i, w in enumerate(taps))
+
+
 def brief_descriptors(patches, angles, angle_bins: int = 0):
     """Rotated 256-bit BRIEF (computeOrbDescriptor, :186-226).
 
@@ -381,17 +405,14 @@ def orb_detect(img, params: OrbParams = OrbParams()):
             score = fast_score_map(level_img)
             xy, resp, valid = select_keypoints(score, k, params.cell,
                                                params.min_threshold)
-        # stack the raw level (IC-angle reads its 31x31 center) with the
-        # blurred level (BRIEF taps), edge-pad by the gather radius, and
-        # append to the PACKED pyramid: one tall [sum(lh+2r), W+2r, 2]
-        # image lets a single Pallas DMA kernel gather every level's
-        # patches in one call (per-call overhead ~0.35 ms would otherwise
-        # repeat 8x; the packed single call costs ~0.6 ms at N=1000 vs
-        # ~1.9 ms for the vmapped dynamic-slice gather it replaces)
-        blurred = im.gaussian_blur(level_img[..., None], 2.0, 3)[..., 0]
-        both = jnp.stack([level_img, blurred], -1)
-        blk = jnp.pad(both, ((r, r), (r, r), (0, 0)), mode="edge")
-        blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1]), (0, 0)))
+        # edge-pad the RAW level by the gather radius and append to the
+        # PACKED pyramid: one tall [sum(lh+2r), W+2r] image lets a single
+        # Pallas DMA kernel gather every level's patches in one call
+        # (per-call overhead ~0.35 ms would otherwise repeat 8x). IC-angle
+        # reads the raw 31x31 center; BRIEF's blurred taps come from
+        # blurring the gathered patch itself (see _GATHER_R note above)
+        blk = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
+        blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1])))
         blocks.append(blk)
         # packed-image centers: +r for the block's own edge pad (the
         # gather treats centers as origins into an r-padded image)
@@ -407,21 +428,21 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     pxy = jnp.concatenate(block_xy, 0)
     if im.use_tpu_pallas():
         from .patchgather import gather_patches_pallas
-        pat = gather_patches_pallas(packed, pxy, r)     # [N, G, G, 2]
+        pat = gather_patches_pallas(packed, pxy, r)     # [N, G, G]
     else:
-        padded = jnp.pad(packed, ((r, r), (r, r), (0, 0)), mode="edge")
+        padded = jnp.pad(packed, r, mode="edge")
 
         def one(p):
-            return jax.lax.dynamic_slice(padded, (p[1], p[0], 0),
-                                         (_GATHER, _GATHER, 2))
+            return jax.lax.dynamic_slice(padded, (p[1], p[0]),
+                                         (_GATHER, _GATHER))
         pat = jax.vmap(one)(pxy)
     d = r - HALF_PATCH
     feats["angle"] = ic_angle(pat[:, d:d + PATCH_SIZE,
-                                  d:d + PATCH_SIZE, 0])
+                                  d:d + PATCH_SIZE])
     # BRIEF once over ALL levels' patches: the binned path runs its
     # angle_bins one-hot matmuls on one [~N, G^2] operand instead of
     # 8 small per-level batches (8x fewer MXU dispatches)
-    feats["desc"] = brief_descriptors(pat[..., 1], feats["angle"],
+    feats["desc"] = brief_descriptors(_blur_patches(pat), feats["angle"],
                                       params.angle_bins)
     # truncate/pad to exactly n_features, strongest first
     order = jnp.argsort(jnp.where(feats["valid"], -feats["response"], jnp.inf))
