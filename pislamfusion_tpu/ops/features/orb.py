@@ -371,17 +371,33 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     wmax = W + 2 * r
     # build the pyramid first so selection can run as ONE fused Pallas
     # call over the packed level stack (per-pallas_call overhead on this
-    # box is ~0.35 ms — 8 per-level calls would cost more than the op)
-    level_imgs = []
-    level_img = img
-    for lvl in range(params.n_levels):
-        scale = params.scale_factor ** lvl
-        if lvl > 0:
-            lh = max(1, int(round(H / scale)))
-            lw = max(1, int(round(W / scale)))
-            level_img = im.resize_bilinear(level_img[..., None],
-                                           (lh, lw))[..., 0]
-        level_imgs.append(level_img)
+    # box is ~0.35 ms — 8 per-level calls would cost more than the op).
+    # On TPU the resize chain + edge-pad + packing all happen inside ONE
+    # pyramid kernel; level views are cheap slices of its output.
+    pyr_plan = None
+    if im.use_tpu_pallas():
+        from . import pyramid_pallas as pp
+        if pp.pyramid_available(H, W, params.n_levels,
+                                params.scale_factor, r):
+            pyr_packed = pp.build_packed_pyramid(
+                img, params.n_levels, params.scale_factor, r)
+            pyr_plan = pp.pyramid_plan(H, W, params.n_levels,
+                                       params.scale_factor, r)
+    if pyr_plan is not None:
+        level_imgs = [
+            jax.lax.slice(pyr_packed, (b + r, r), (b + r + lh, r + lw))
+            for b, (lh, lw) in zip(pyr_plan.bases, pyr_plan.shapes)]
+    else:
+        level_imgs = []
+        level_img = img
+        for lvl in range(params.n_levels):
+            scale = params.scale_factor ** lvl
+            if lvl > 0:
+                lh = max(1, int(round(H / scale)))
+                lw = max(1, int(round(W / scale)))
+                level_img = im.resize_bilinear(level_img[..., None],
+                                               (lh, lw))[..., 0]
+            level_imgs.append(level_img)
     # fused FAST+NMS+select needs every level on the top-1-per-cell path
     # (true at production sizes; tiny test images fall back to XLA)
     fused_ok = (im.use_tpu_pallas() and params.cell % 8 == 0
@@ -410,21 +426,28 @@ def orb_detect(img, params: OrbParams = OrbParams()):
         # Pallas DMA kernel gather every level's patches in one call
         # (per-call overhead ~0.35 ms would otherwise repeat 8x). IC-angle
         # reads the raw 31x31 center; BRIEF's blurred taps come from
-        # blurring the gathered patch itself (see _GATHER_R note above)
-        blk = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
-        blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1])))
-        blocks.append(blk)
+        # blurring the gathered patch itself (see _GATHER_R note above).
+        # With the pyramid kernel the packed buffer already exists — only
+        # the per-level center offsets are needed.
+        if pyr_plan is not None:
+            row_off = pyr_plan.bases[lvl]
+        else:
+            blk = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
+            blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1])))
+            blocks.append(blk)
         # packed-image centers: +r for the block's own edge pad (the
         # gather treats centers as origins into an r-padded image)
         block_xy.append(xy + jnp.asarray([[r, row_off + r]], jnp.int32))
-        row_off += blk.shape[0]
+        if pyr_plan is None:
+            row_off += blk.shape[0]
         outs["xy"].append(xy.astype(jnp.float32) * scale)
         outs["response"].append(resp)
         outs["octave"].append(jnp.full((k,), lvl, jnp.int32))
         outs["size"].append(jnp.full((k,), PATCH_SIZE * scale, jnp.float32))
         outs["valid"].append(valid)
     feats = {kk: jnp.concatenate(v, 0) for kk, v in outs.items()}
-    packed = jnp.concatenate(blocks, 0)
+    packed = pyr_packed if pyr_plan is not None \
+        else jnp.concatenate(blocks, 0)
     pxy = jnp.concatenate(block_xy, 0)
     if im.use_tpu_pallas():
         from .patchgather import gather_patches_pallas
