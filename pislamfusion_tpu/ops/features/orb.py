@@ -117,6 +117,15 @@ class OrbParams:
         return out
 
 
+def _extract_kernels_on() -> bool:
+    """Gate for the round-2 extraction kernels (fastselect + pyramid):
+    PISLAM_PALLAS_EXTRACT=1 opts in. Off by default until their Mosaic
+    lowering is validated on real hardware — the interpret-mode tests pin
+    semantics but not the TPU compile (flip the default once the tunnel
+    bench passes with them on)."""
+    return os.environ.get("PISLAM_PALLAS_EXTRACT", "0") == "1"
+
+
 def fast_score_map(img):
     """Dense FAST-16 corner score (max t such that 9 contiguous circle pixels
     are all brighter/darker than center by t). img: [H, W] float."""
@@ -375,7 +384,7 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     # On TPU the resize chain + edge-pad + packing all happen inside ONE
     # pyramid kernel; level views are cheap slices of its output.
     pyr_plan = None
-    if im.use_tpu_pallas():
+    if im.use_tpu_pallas() and _extract_kernels_on():
         from . import pyramid_pallas as pp
         if pp.pyramid_available(H, W, params.n_levels,
                                 params.scale_factor, r):
@@ -400,7 +409,8 @@ def orb_detect(img, params: OrbParams = OrbParams()):
             level_imgs.append(level_img)
     # fused FAST+NMS+select needs every level on the top-1-per-cell path
     # (true at production sizes; tiny test images fall back to XLA)
-    fused_ok = (im.use_tpu_pallas() and params.cell % 8 == 0
+    fused_ok = (im.use_tpu_pallas() and _extract_kernels_on()
+                and params.cell % 8 == 0
                 and all(_per_cell_quota(li.shape, max(q, 1), params.cell) == 1
                         for li, q in zip(level_imgs, quotas)))
     if fused_ok:
