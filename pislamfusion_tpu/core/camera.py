@@ -52,6 +52,13 @@ class Camera:
             return CameraATAN(int(p[0]), int(p[1]), *p[2:7])
         if len(p) == 11:
             return CameraOpenCV(int(p[0]), int(p[1]), *p[2:11])
+        # self-describing OCAM vector (>= 12 entries; a degenerate
+        # 1+1-coefficient OCAM would collide with OpenCV's 11 and loses —
+        # real Scaramuzza calibs carry 4+ pol and 6+ invpol coefficients)
+        if len(p) >= 12:
+            cam = CameraOCAM._from_parameter_vector(p)
+            if cam is not None:
+                return cam
         raise ValueError(f"unsupported camera parameter count {len(p)}")
 
     def parameters(self):
@@ -204,6 +211,25 @@ class CameraOCAM(Camera):
                 self.c, self.d, self.e,
                 float(len(self.pol)), *self.pol,
                 float(len(self.invpol)), *self.invpol]
+
+    @staticmethod
+    def _from_parameter_vector(p) -> "CameraOCAM | None":
+        """Inverse of parameters(): [w, h, cx, cy, c, d, e, npol, pol...,
+        ninvpol, invpol...]. Returns None unless the embedded counts are
+        self-consistent (used by Camera.from_parameters dispatch, e.g.
+        when a checkpointed map reloads its cameras)."""
+        if len(p) < 10:
+            return None
+        npol = int(p[7])
+        if npol < 1 or p[7] != npol or len(p) < 9 + npol:
+            return None
+        ninv = int(p[8 + npol])
+        if ninv < 1 or p[8 + npol] != ninv or len(p) != 9 + npol + ninv:
+            return None
+        return CameraOCAM(width=int(p[0]), height=int(p[1]),
+                          cx=p[2], cy=p[3], c=p[4], d=p[5], e=p[6],
+                          pol=tuple(p[8:8 + npol]),
+                          invpol=tuple(p[9 + npol:9 + npol + ninv]))
 
     @staticmethod
     def from_file(path: str) -> "CameraOCAM":

@@ -74,19 +74,25 @@ class MatcherBoW:
             import os
             path = (self._cfg.get_string("Vocabulary", "")
                     if self._cfg else "")
+            # both loaders are memoized, so this shares ONE instance (and
+            # one set of device descent tables) with SLAM's BoW detector
+            from .slam import _default_vocabulary, _load_vocabulary_cached
             if path and os.path.isfile(path):
-                from ..ops.vocabulary import Vocabulary
-                self._vocab = Vocabulary.load(path)
+                self._vocab = _load_vocabulary_cached(path)
             if self._vocab is None:
-                from .slam import _default_vocabulary
                 self._vocab = _default_vocabulary()
         return self._vocab
 
     def _node_ids(self, frame):
         nid = self._nids.get(frame.id)
         if nid is None:
-            _, _, nid = self._vocab.transform_arrays(
-                frame.desc, jnp.asarray(frame.valid), self.levelsup)
+            vocab = self._vocabulary()
+            # clamp to the vocab depth: levelsup >= L would bucket at the
+            # root (node level L - levelsup <= 0 -> one bucket == plain
+            # BF); keep at least one branching level
+            lvl = min(self.levelsup, vocab.L - 1)
+            _, _, nid = vocab.transform_arrays(
+                frame.desc, jnp.asarray(frame.valid), lvl)
             if len(self._nids) > 16:        # two-view + reloc working set
                 self._nids.clear()
             self._nids[frame.id] = nid

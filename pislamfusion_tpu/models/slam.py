@@ -13,6 +13,7 @@ SLAM.isOnline, ...
 """
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from typing import Optional
@@ -35,9 +36,20 @@ from .tracker import Tracker
 from .worldmap import WorldMap
 
 
+@functools.lru_cache(maxsize=4)
+def _load_vocabulary_cached(path: str):
+    """Shared .gbow loads keyed by path: SLAM's detector and Matcher=BoW
+    configured with the same Vocabulary= file reuse one instance."""
+    from ..ops.vocabulary import Vocabulary
+    return Vocabulary.load(path)
+
+
+@functools.lru_cache(maxsize=1)
 def _default_vocabulary():
     """The embedded default ORB vocabulary (resources/orb_vocab.py,
-    trained by scripts/train_default_vocab.py), or None if unavailable."""
+    trained by scripts/train_default_vocab.py), or None if unavailable.
+    Memoized: SLAM's loop detector and Matcher=BoW share one instance
+    (one set of device-resident descent tables)."""
     try:
         from ..core import resource
         from ..ops.vocabulary import Vocabulary
@@ -138,7 +150,7 @@ class SLAM:
         if self.vocabulary is None and vocab_path and \
                 os.path.isfile(vocab_path):
             from ..ops.vocabulary import Vocabulary
-            self.vocabulary = Vocabulary.load(vocab_path)
+            self.vocabulary = _load_vocabulary_cached(vocab_path)
         det_name = cfg.get_string("LoopDetector", "GPS")
         from ..core.registry import LOOP_DETECTORS
         from .loopclose import LoopDetectorBoW

@@ -40,10 +40,15 @@ EDGE_THRESHOLD = 16    # :108
 _BLUR_R = 3            # BRIEF's pre-blur radius (7x7, :733-740)
 # 18 covers the rotated BRIEF offsets (|p| <= 13*sqrt(2) -> rounded <= 18);
 # +_BLUR_R so the gathered RAW patch carries enough context to blur
-# in-patch: blur is translation-invariant, so blurring the gathered patch
-# equals gathering from a blurred level — per-level gaussian_blur calls
-# (~0.5 ms/frame of full-resolution stencils) collapse into a 7-tap
-# shift-and-add over [N, 43, 43] patches (~26 MFLOP)
+# in-patch: blur is translation-invariant, so for INTERIOR keypoints
+# blurring the gathered patch equals gathering from a blurred level —
+# per-level gaussian_blur calls (~0.5 ms/frame of full-resolution
+# stencils) collapse into a 7-tap shift-and-add over [N, 43, 43] patches
+# (~26 MFLOP). Keypoints 16-21 px from an image edge see edge-clamped
+# context where the old level blur used 'reflect' — a boundary-convention
+# change in the outermost taps only (the reference's cv::GaussianBlur
+# uses BORDER_REFLECT_101; descriptor bits there are border-convention
+# noise in every implementation pair)
 _GATHER_R = 18 + _BLUR_R
 _GATHER = 2 * _GATHER_R + 1
 
@@ -415,6 +420,10 @@ def orb_detect(img, params: OrbParams = OrbParams()):
                         for li, q in zip(level_imgs, quotas)))
     if fused_ok:
         from .fastselect import fast_cell_winners
+        # fast_cell_winners re-packs the level views into its own
+        # cell-aligned stack (~10 us of HBM copies at 1080p) — teaching
+        # its plan to read pyr_packed's layout directly would save that,
+        # at the cost of coupling the two kernels' layouts
         winners = fast_cell_winners(level_imgs, params.cell,
                                     params.min_threshold, EDGE_THRESHOLD)
     for lvl in range(params.n_levels):

@@ -192,6 +192,15 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
                njs_ref, bt_ref, a_ref, io_ref, out_ref, slab, abuf, obuf,
                sems):
         li = pl.program_id(0)
+        # zero the lane blocks beyond this level's width once per level:
+        # the output DMA copies the full obuf, and uninitialized VMEM
+        # scratch could hold NaN bits that later levels' zero-weight
+        # matmul windows would propagate (0 * NaN = NaN)
+        for j in range(njl):
+            @pl.when(j >= njs_ref[li])
+            def _():
+                obuf[:, j * _BLK:(j + 1) * _BLK] = jnp.zeros(
+                    (_BLK, _BLK), jnp.float32)
 
         def body(t, _):
             gi = atile_ref[li] + t

@@ -141,7 +141,6 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, kind: str,
                                   cross_check)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "ratio"))
 def match_descriptors_bucketed(desc_a, valid_a, nid_a, desc_b, valid_b,
                                nid_b, kind: str,
                                max_dist: float | None = None,
@@ -170,6 +169,7 @@ def _match_bucketed_jit(desc_a, valid_a, nid_a, desc_b, valid_b, nid_b,
                  cross_check)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "ratio"))
 def match_descriptors_batch(desc_a, valid_a, desc_b, valid_b, kind: str,
                             ratio: float = 0.8):
     """Match MANY candidate keyframes against one frame in ONE dispatch.

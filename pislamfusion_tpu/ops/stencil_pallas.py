@@ -81,7 +81,6 @@ def _lane_side(m: np.ndarray, c: int, max_kb: int = 6) -> _Side | None:
     nk = -(-nl // _BLK)
     w0 = np.zeros(nj, np.int64)
     kb = 1
-    spans = []
     for j in range(nj):
         p = np.arange(j * _BLK, (j + 1) * _BLK)
         rows = np.unique(np.clip(p, 0, onl - 1) // c)
@@ -90,7 +89,6 @@ def _lane_side(m: np.ndarray, c: int, max_kb: int = 6) -> _Side | None:
             q0, q1 = nz[0] * c, nz[-1] * c + (c - 1)
             w0[j] = (q0 // _BLK) * _BLK
             kb = max(kb, -(-int(q1 + 1 - w0[j]) // _BLK))
-            spans.append((q0, q1))
     if kb > min(max_kb, nk):
         return None
     kbl = kb * _BLK
@@ -113,7 +111,11 @@ _DECOMP_CACHE: dict = {}
 
 
 def _decompose(mh: np.ndarray, mw: np.ndarray, c: int):
-    key = (mh.shape, mh.tobytes(), mw.shape, mw.tobytes(), c)
+    # keyed on identity, not content: the matrices come from ops/image.py's
+    # lru_cached builders (stable objects for the process lifetime), and
+    # this runs per stencil op in the per-frame hot path — tobytes() of a
+    # multi-MB dense matrix per call would cost more than the kernel saves
+    key = (id(mh), mh.shape, id(mw), mw.shape, c)
     if key not in _DECOMP_CACHE:
         _DECOMP_CACHE[key] = (_row_side(mh), _lane_side(mw, c))
     return _DECOMP_CACHE[key]

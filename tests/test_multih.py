@@ -182,6 +182,12 @@ def test_bucketed_matching_restricts_to_shared_nodes():
     idx, ok = np.asarray(idx), np.asarray(ok)
     assert ok.any()
     assert (nida[ok] == nidb[idx[ok]]).all()
+    # explicit kwargs must work (the wrapper is NOT jitted; it folds
+    # max_dist/cross_check into static args of the inner jit)
+    matching.match_descriptors_bucketed(
+        jnp.asarray(da), jnp.asarray(va), jnp.asarray(nida),
+        jnp.asarray(db), jnp.asarray(vb), jnp.asarray(nidb), "orb",
+        max_dist=60.0, cross_check=False)
     one = np.zeros_like(nida), np.zeros_like(nidb)
     idx1, ok1 = matching.match_descriptors_bucketed(
         jnp.asarray(da), jnp.asarray(va), jnp.asarray(one[0]),

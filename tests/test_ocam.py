@@ -59,3 +59,17 @@ def test_from_file_layout(tmp_path):
     got = CameraOCAM.from_file(str(p))
     assert got == cam
     assert got.name == "OCAM" and got.is_valid()
+
+
+def test_parameters_roundtrip_via_factory():
+    """Checkpointed maps reconstruct cameras through
+    Camera.from_parameters — the OCAM vector must dispatch back."""
+    from pislamfusion_tpu.core.camera import Camera
+    cam = _synthetic_ocam()
+    got = Camera.from_parameters(cam.parameters())
+    assert isinstance(got, CameraOCAM)
+    assert got == cam
+    # the standard fixed-length vectors still win their counts
+    assert Camera.from_parameters([640, 480]).name == "Ideal"
+    assert Camera.from_parameters(
+        [640, 480, 500, 500, 320, 240, 0.1, 0, 0, 0, 0]).name == "OpenCV"
