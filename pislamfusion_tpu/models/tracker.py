@@ -738,3 +738,54 @@ class TrackerDemo(Tracker):
 
     def _track_ref_kf_epipolar(self, frame: Frame, kf: Frame) -> bool:
         return False   # TrackerDemo has no inverse-depth 2D-2D fallback
+
+
+@TRACKERS.register("ransacPnP")
+class TrackerRansacPnP(Tracker):
+    """The reference's 'ransacPnP' tracker
+    (GSLAM-DIYSLAM/src/zhaoyong/TrackerRansacPnP.cpp): NO motion model —
+    last-frame observations are window-matched around their LAST-frame
+    pixel locations with a wide radius (0.05 * image width, :521), the
+    pose comes from findPnPRansac over those 3D-2D matches (:508-652)
+    with an LM refine, then the shared trackLocalMap. Robust to erratic
+    inter-frame motion (the search window follows the image, not a
+    constant-velocity prediction) at the price of a wider search;
+    registered for ablation like the reference's student variants.
+
+    Inherits the state machine; narrows trackLastFrame only (the fused
+    single-dispatch step bakes the 'opt' motion-model design)."""
+
+    supports_fused = False
+
+    def _track_last_frame(self, frame: Frame) -> bool:
+        last = self.last_frame
+        if last.n_tracked() < 20:
+            return False
+        pos, has = self._gather_frame_points(last)
+        radius = 0.05 * frame.camera.width          # :521
+        wmask = matching.window_mask(
+            jnp.asarray(last.xy.astype(np.float32)),
+            jnp.asarray(frame.xy), radius)
+        idx, ok = matching.match_descriptors(
+            jnp.asarray(last.desc), jnp.asarray(has & last.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            last.desc_kind, window=wmask)
+        idxn, okn = jax.device_get((idx, ok))
+        sel = np.nonzero(okn & has)[0]
+        if sel.size < 20:
+            return False
+        # PnP-RANSAC for the initial pose (fixed-capacity arrays keyed to
+        # the keypoint budget so the program never recompiles)
+        n = frame.n_kp
+        p3d = np.zeros((n, 3), np.float32)
+        val = np.zeros(n, bool)
+        p3d[idxn[sel]] = pos[sel]
+        val[idxn[sel]] = True
+        res = ransac.find_pnp(self._next_key(), jnp.asarray(p3d),
+                              jnp.asarray(frame.rays[:, :2]),
+                              jnp.asarray(val))
+        if not bool(res.ok):
+            return False
+        T_c2w = np.asarray(lie.se3_inv(res.model)).astype(np.float32)
+        # shared pose-LM refine + kp2mp assignment from the RANSAC pose
+        return self._solve_pose(frame, T_c2w, pos, has, idxn, okn, last)

@@ -247,3 +247,32 @@ def test_tracker_demo_path():
     assert slam.frames_tracked > 0.7 * slam.frames_total, \
         (slam.frames_tracked, slam.frames_total)
     assert slam.map.point_num() > 100
+
+
+def test_tracker_ransacpnp_path():
+    """Tracker?=ransacPnP (zhaoyong/TrackerRansacPnP.cpp): no motion
+    model — wide window match around last-frame pixels + findPnPRansac
+    pose + LM refine. Must track the same strip as the other variants."""
+    from pislamfusion_tpu.models.tracker import TrackerRansacPnP
+    rng = np.random.default_rng(12)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 61.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "ransacPnP")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert isinstance(slam.tracker, TrackerRansacPnP)
+    assert not slam.tracker.use_fused
+    assert slam.frames_tracked > 0.7 * slam.frames_total, \
+        (slam.frames_tracked, slam.frames_total)
+    assert slam.map.point_num() > 100
