@@ -122,13 +122,27 @@ class OrbParams:
         return out
 
 
+_EXTRACT_ON: bool | None = None
+
+
 def _extract_kernels_on() -> bool:
     """Gate for the round-2 extraction kernels (fastselect + pyramid):
-    PISLAM_PALLAS_EXTRACT=1 opts in. Off by default until their Mosaic
-    lowering is validated on real hardware — the interpret-mode tests pin
-    semantics but not the TPU compile (flip the default once the tunnel
-    bench passes with them on)."""
-    return os.environ.get("PISLAM_PALLAS_EXTRACT", "0") == "1"
+    PISLAM_PALLAS_EXTRACT=0/1 overrides; otherwise they turn on once the
+    hardware-validation marker exists (written by the TPU recovery
+    validator after the kernels compile, run, and beat the baseline on
+    the real chip — the interpret-mode tests pin semantics but not the
+    Mosaic lowering, and a cold driver bench must never hit an
+    unvalidated kernel compile)."""
+    global _EXTRACT_ON
+    if _EXTRACT_ON is None:
+        env = os.environ.get("PISLAM_PALLAS_EXTRACT", "")
+        if env in ("0", "1"):
+            _EXTRACT_ON = env == "1"
+        else:
+            _EXTRACT_ON = os.path.isfile(os.path.join(
+                os.path.dirname(__file__), "..", "..", "..",
+                ".pallas_extract_ok"))
+    return _EXTRACT_ON
 
 
 def fast_score_map(img):

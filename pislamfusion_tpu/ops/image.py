@@ -228,8 +228,17 @@ def _use_pallas_stencil() -> bool:
     than the saved traffic (see ops/stencil_pallas.py)."""
     global _PALLAS_STENCIL
     if _PALLAS_STENCIL is None:
-        _PALLAS_STENCIL = (os.environ.get("PISLAM_PALLAS_STENCIL") == "1"
-                           and use_tpu_pallas())
+        env = os.environ.get("PISLAM_PALLAS_STENCIL", "")
+        if env in ("0", "1"):
+            on = env == "1"
+        else:
+            # hardware-validation marker (see _use_pallas_extract's twin
+            # in ops/features/orb.py): written by the TPU recovery
+            # validator once the kernel beats the XLA path on-chip
+            on = os.path.isfile(os.path.join(
+                os.path.dirname(__file__), "..", "..",
+                ".pallas_stencil_ok"))
+        _PALLAS_STENCIL = on and use_tpu_pallas()
     return _PALLAS_STENCIL
 
 
