@@ -53,19 +53,59 @@ def _gradients(img):
     return dx, dy
 
 
-def _octave_stack(img, params: SiftParams):
-    """[S+3, H, W] Gaussian stack for one octave."""
+def _chain_sigmas(params: SiftParams):
     S = params.scales_per_octave
     k = 2.0 ** (1.0 / S)
-    imgs = [img]
+    out = []
     sigma_prev = params.sigma0
     for i in range(1, S + 3):
         sigma_total = params.sigma0 * k ** i
-        sigma_inc = float(np.sqrt(max(sigma_total ** 2 - sigma_prev ** 2,
-                                      1e-6)))
-        imgs.append(im.gaussian_blur(imgs[-1][..., None],
-                                     sigma_inc)[..., 0])
+        out.append(float(np.sqrt(max(sigma_total ** 2 - sigma_prev ** 2,
+                                     1e-6))))
         sigma_prev = sigma_total
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _stack_matrices(h: int, w: int, params: SiftParams):
+    """Composed chain-blur operators per scale: M_i = B_i @ ... @ B_1 in
+    float64 — EXACTLY the chained discrete blurs, as one matrix per axis
+    per scale (no incremental-vs-direct sigma convention change). Returns
+    (mhs, mws) or None when a band doesn't stay narrow."""
+    from .. import stencil_pallas as sp
+    mhs, mws = [], []
+    mh = np.eye(h, dtype=np.float64)
+    mw = np.eye(w, dtype=np.float64)
+    for s in _chain_sigmas(params):
+        taps = tuple(float(v) for v in im.gaussian_kernel1d(s))
+        mh = np.asarray(im._blur_matrix(h, taps, "reflect"),
+                        np.float64) @ mh
+        mw = np.asarray(im._blur_matrix(w, taps, "reflect"),
+                        np.float64) @ mw
+        mhs.append(mh.astype(np.float32))
+        mws.append(mw.astype(np.float32))
+    if not sp.stack_fusable(mhs, mws):
+        return None
+    return tuple(mhs), tuple(mws)
+
+
+def _octave_stack(img, params: SiftParams):
+    """[S+3, H, W] Gaussian stack for one octave.
+
+    On TPU (stencil kernel enabled) the whole stack is ONE Pallas call
+    over composed chain matrices — the XLA chain re-reads and re-writes
+    the full octave once per scale (S+2 sequential banded ops)."""
+    h, w = int(img.shape[0]), int(img.shape[1])
+    if im._use_pallas_stencil() and min(h, w) >= 2 * 128:
+        mats = _stack_matrices(h, w, params)
+        if mats is not None:
+            from .. import stencil_pallas as sp
+            outs = sp.banded_stack_pallas(img, mats[0], mats[1],
+                                          cache_key=(h, w, params))
+            return jnp.concatenate([img[None], outs], 0)
+    imgs = [img]
+    for s in _chain_sigmas(params):
+        imgs.append(im.gaussian_blur(imgs[-1][..., None], s)[..., 0])
     return jnp.stack(imgs)
 
 

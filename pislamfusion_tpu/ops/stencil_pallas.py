@@ -183,6 +183,170 @@ def _sandwich_call(x, rowlo, a_blocks, bt_blocks, lane_w0: tuple,
     )(rowlo, a_blocks, bt_blocks, x)
 
 
+def _row_blocks_fixed(m: np.ndarray, kbl: int):
+    """Per-tile [128, kbl] row blocks with a caller-fixed window width."""
+    On, n = m.shape
+    ni = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    mp = np.zeros((ni * _BLK, nk * _BLK), np.float32)
+    mp[:On, :n] = m
+    blocks = np.zeros((ni, _BLK, kbl), np.float32)
+    w0 = np.zeros(ni, np.int64)
+    for i in range(ni):
+        nz = np.nonzero(mp[i * _BLK:(i + 1) * _BLK].any(0))[0]
+        if nz.size:
+            s = min(max((nz[0] // _BLK) * _BLK, 0), nk * _BLK - kbl)
+            if nz[-1] >= s + kbl:
+                raise ValueError("row band exceeds the fixed window")
+            w0[i] = s
+            blocks[i] = mp[i * _BLK:(i + 1) * _BLK, s:s + kbl]
+    return blocks, w0.astype(np.int32)
+
+
+def _lane_blocks_fixed(m: np.ndarray, kbl: int):
+    """Per-out-lane-tile [kbl, 128] transposed blocks, fixed width, C=1."""
+    On, n = m.shape
+    nj = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    blocks = np.zeros((nj, kbl, _BLK), np.float32)
+    w0 = np.zeros(nj, np.int64)
+    mp = np.zeros((nj * _BLK, nk * _BLK), np.float32)
+    mp[:On, :n] = m
+    for j in range(nj):
+        nz = np.nonzero(mp[j * _BLK:(j + 1) * _BLK].any(0))[0]
+        if nz.size:
+            s = min(max((nz[0] // _BLK) * _BLK, 0), nk * _BLK - kbl)
+            if nz[-1] >= s + kbl:
+                raise ValueError("lane band exceeds the fixed window")
+            w0[j] = s
+            blocks[j] = mp[j * _BLK:(j + 1) * _BLK, s:s + kbl].T
+    return blocks, w0.astype(np.int32)
+
+
+def _min_kb(m: np.ndarray) -> int:
+    On, n = m.shape
+    nb = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    mp = np.zeros((nb * _BLK, nk * _BLK), np.float32)
+    mp[:On, :n] = m
+    kb = 1
+    for i in range(nb):
+        nz = np.nonzero(mp[i * _BLK:(i + 1) * _BLK].any(0))[0]
+        if nz.size:
+            s = (nz[0] // _BLK) * _BLK
+            kb = max(kb, -(-int(nz[-1] + 1 - s) // _BLK))
+    return kb
+
+
+def stack_fusable(mhs, mws, max_kb: int = 4) -> bool:
+    """True when every pair's bands fit narrow fixed windows (C=1)."""
+    try:
+        kbr = max(_min_kb(m) for m in mhs)
+        kbl = max(_min_kb(m) for m in mws)
+    except ValueError:
+        return False
+    nkr = -(-mhs[0].shape[1] // _BLK)
+    nkl = -(-mws[0].shape[1] // _BLK)
+    return kbr <= min(max_kb, nkr) and kbl <= min(max_kb, nkl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stack_call(x, rowlo, lanelo, a_blocks, bt_blocks, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, ni, _, rhl = a_blocks.shape
+    _, nj, kbl, _ = bt_blocks.shape
+    wpl = x.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(rowlo_ref, lanelo_ref, a_ref, bt_ref, x_ref, out_ref,
+               slab, sem):
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_ref.at[pl.ds(pl.multiple_of(rowlo_ref[p * ni + i], _BLK),
+                           rhl), :],
+            slab, sem)
+        cp.start()
+        cp.wait()
+        t1 = jax.lax.dot_general(
+            a_ref[0, 0], slab[:], (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32)
+        for j in range(nj):
+            w0 = pl.multiple_of(lanelo_ref[p * nj + j], _BLK)
+            seg = jax.lax.dynamic_slice_in_dim(t1, w0, kbl, axis=1)
+            out_ref[0, :, j * _BLK:(j + 1) * _BLK] = jax.lax.dot_general(
+                seg, bt_ref[0, j], (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, ni),
+        in_specs=[
+            pl.BlockSpec((1, 1, _BLK, rhl), lambda p, i, *_: (p, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nj, kbl, _BLK), lambda p, i, *_: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLK, nj * _BLK),
+                               lambda p, i, *_: (p, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rhl, wpl), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, ni * _BLK, nj * _BLK),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rowlo, lanelo, a_blocks, bt_blocks, x)
+
+
+_STACK_CACHE: dict = {}
+
+
+def banded_stack_pallas(x, mhs, mws, cache_key=None,
+                        interpret: bool = False):
+    """P banded sandwiches of the SAME input in one kernel:
+    out[p] = mhs[p] @ x @ mws[p]^T. x: [H, W] (C=1); all pairs share one
+    output shape. One slab DMA feeds both passes per (pair, row-tile) —
+    the chained-blur formulation this replaces re-reads and re-writes the
+    full image once per output (SIFT's Gaussian octave stack,
+    SiftGPU ProgramCU.cu's per-scale passes).
+
+    cache_key: optional hashable identity for the matrix set (skips
+    re-decomposing multi-MB matrices per call)."""
+    h, w = x.shape
+    ho, wo = mhs[0].shape[0], mws[0].shape[0]
+    key = cache_key if cache_key is not None else (
+        tuple(id(m) for m in mhs), tuple(id(m) for m in mws))
+    tabs = _STACK_CACHE.get(key)
+    if tabs is None:
+        kbr = max(_min_kb(m) for m in mhs) * _BLK
+        kblw = max(_min_kb(m) for m in mws) * _BLK
+        ab, rl, bb, ll = [], [], [], []
+        for mh, mw in zip(mhs, mws):
+            a, r = _row_blocks_fixed(mh, kbr)
+            b, l = _lane_blocks_fixed(mw, kblw)
+            ab.append(a)
+            rl.append(r)
+            bb.append(b)
+            ll.append(l)
+        tabs = (jnp.asarray(np.stack(ab)), np.concatenate(rl),
+                jnp.asarray(np.stack(bb)), np.concatenate(ll))
+        _STACK_CACHE[key] = tabs
+    a_blocks, rowlo, bt_blocks, lanelo = tabs
+    wpl = _ceil_to(w, _BLK)
+    hp = _ceil_to(h, _BLK)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, hp - h), (0, wpl - w)))
+    out = _stack_call(xp, jnp.asarray(rowlo), jnp.asarray(lanelo),
+                      a_blocks, bt_blocks, interpret)
+    return out[:, :ho, :wo]
+
+
 def banded_sandwich_pallas(x, mh: np.ndarray, mw: np.ndarray,
                            interpret: bool = False):
     """x: [H, W, C] float32; mh: [Ho, H]; mw: [Wo, W] banded numpy

@@ -60,6 +60,27 @@ def test_resize_matrices_c1():
     _check(x, mh, mw)
 
 
+def test_banded_stack_matches_sift_chain():
+    """banded_stack_pallas over the composed chain matrices must equal
+    the sequential per-scale blur chain (the SIFT octave stack)."""
+    from pislamfusion_tpu.ops.features import sift
+    from pislamfusion_tpu.ops.stencil_pallas import banded_stack_pallas
+    rng = np.random.default_rng(6)
+    h, w = 256, 320
+    params = sift.SiftParams()
+    mats = sift._stack_matrices(h, w, params)
+    assert mats is not None
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    outs = np.asarray(banded_stack_pallas(jnp.asarray(img), list(mats[0]),
+                                          list(mats[1]), interpret=True))
+    ref = img
+    for i, s in enumerate(sift._chain_sigmas(params)):
+        ref = np.asarray(im.gaussian_blur(
+            jnp.asarray(ref)[..., None], s)[..., 0])
+        err = np.abs(outs[i] - ref).max()
+        assert err < 5e-2, (i, err)
+
+
 def test_wide_sift_blur_c1():
     """SIFT-width blur (21+ taps) still decomposes into narrow windows."""
     rng = np.random.default_rng(4)
