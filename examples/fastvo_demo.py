@@ -12,6 +12,7 @@ measures it at ~106 FPS @1080p on one v5e; here the synthetic frames are
 320x240 so it runs anywhere). Usage:
 
     python examples/fastvo_demo.py [out_dir] [--frames N]
+        [--segments K [--correct]]
 """
 import os
 import sys
@@ -79,11 +80,17 @@ def main():
         anchors = dist_vo.anchors_from_gps(metas)
         n_dev = len(jax.devices())
         mesh = make_mesh(jax.devices()) if n_dev > 1 else None
+        # --correct: two-phase drift-corrected variant — bend each
+        # segment's chain onto the next segment's GPS anchor before
+        # compositing, so segment joints cannot misregister
+        kw = dict(correct_drift=True, anchor_stride=seg_len - 1) \
+            if "--correct" in sys.argv else {}
         print(f"{segs.shape[0]} segments x {seg_len} frames over "
-              f"{n_dev} device(s), GPS-derived anchors")
-        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh)
+              f"{n_dev} device(s), GPS-derived anchors"
+              + (", drift-corrected" if kw else ""))
+        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh, **kw)
         t0 = time.perf_counter()
-        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh)
+        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh, **kw)
         dt = time.perf_counter() - t0
         est = np.zeros_like(poses)
         n_match = np.zeros(len(poses), np.int32)

@@ -125,17 +125,16 @@ class FastVO:
         oyx = jnp.stack([origin_t[1], origin_t[0]]) * ELE
         return M.composite_patch(c_lap, c_w, p_lap, p_w, oyx)
 
-    def _step(self, carry, inputs):
-        """One sequential step: extract + match + pose LM + mosaic feed.
-        (A variant that hoisted extraction into a batched vmap outside the
-        scan measured ~12% SLOWER on v5e — streaming one frame at a time
-        through the scan keeps intermediates cache-resident.)"""
+    def _track_step(self, carry, rgb):
+        """One VO step WITHOUT the mosaic feed: extract + match + pose LM.
+        carry = (prev_desc, prev_valid, prev_p3d, pose_prev2, pose_est).
+        Factored out of _step so the segment-parallel path
+        (parallel/dist_vo.py) can run a track-only pass, bend the chains
+        onto the GPS anchors, and feed with corrected poses."""
         cam, params = self.cam, self.params
         N = params.n_features
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
-        prev_desc, prev_valid, prev_p3d, pose_prev2, pose_est, \
-            c_lap, c_w = carry
-        rgb = inputs
+        prev_desc, prev_valid, prev_p3d, pose_prev2, pose_est = carry
         gray = im.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
         feats = self._detect(gray)
         # constant-velocity prediction (the reference's motion model,
@@ -163,11 +162,20 @@ class FastVO:
         T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt, iters=8,
                                        huber_delta=2.45 / fx)
         pose_new = lie.se3_inv(T_ref)
-        c_lap, c_w = self._feed(pose_new, rgb, c_lap, c_w)
         new_p3d = self._plane_points(feats["xy"], pose_new)
         n_match = jnp.sum(ok)
         return ((feats["desc"], feats["valid"], new_p3d, pose_est,
-                 pose_new, c_lap, c_w), (pose_new, n_match))
+                 pose_new), (pose_new, n_match))
+
+    def _step(self, carry, inputs):
+        """One sequential step: extract + match + pose LM + mosaic feed.
+        (A variant that hoisted extraction into a batched vmap outside the
+        scan measured ~12% SLOWER on v5e — streaming one frame at a time
+        through the scan keeps intermediates cache-resident.)"""
+        rgb = inputs
+        tcarry, (pose_new, n_match) = self._track_step(carry[:5], rgb)
+        c_lap, c_w = self._feed(pose_new, rgb, carry[5], carry[6])
+        return tcarry + (c_lap, c_w), (pose_new, n_match)
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4))
     def _process(self, frames, pose0, c_lap, c_w):

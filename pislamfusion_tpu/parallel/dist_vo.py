@@ -23,15 +23,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import image as im
+from ..ops import lie
 from ..ops import mosaic as M
-from ..ops.features import orb
 
 
 def _segment_program(vo, frames_k, anchor):
     """One segment's full track+fuse scan on a FRESH canvas (traced)."""
     first = frames_k[0]
     gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
-    f0 = orb.orb_detect(gray0.astype(jnp.float32), vo.params)
+    f0 = vo._detect(gray0)
     p3d0 = vo._plane_points(f0["xy"], anchor)
     c_lap, c_w = M.alloc_canvas(vo.canvas_tiles, vo.canvas_tiles, vo.bands)
     c_lap, c_w = vo._feed(anchor, frames_k[0], c_lap, c_w)
@@ -41,6 +41,34 @@ def _segment_program(vo, frames_k, anchor):
     n0 = jnp.sum(f0["valid"]).astype(n_match.dtype)
     n_match = jnp.concatenate([n0[None], n_match], 0)
     return poses, n_match, tuple(carry[5]), tuple(carry[6])
+
+
+def _segment_track(vo, frames_k, anchor):
+    """Track-only scan of one segment (no compositing) -> poses, n_match."""
+    first = frames_k[0]
+    gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
+    f0 = vo._detect(gray0)
+    p3d0 = vo._plane_points(f0["xy"], anchor)
+    carry = (f0["desc"], f0["valid"], p3d0, anchor, anchor)
+    carry, (poses, n_match) = jax.lax.scan(vo._track_step, carry,
+                                           frames_k[1:])
+    poses = jnp.concatenate([anchor[None], poses], 0)
+    n0 = jnp.sum(f0["valid"]).astype(n_match.dtype)
+    return poses, jnp.concatenate([n0[None], n_match], 0)
+
+
+def _segment_feed(vo, frames_k, poses_k):
+    """Feed-only scan: composite each frame at the given (corrected) pose
+    into a fresh canvas pyramid."""
+    c_lap, c_w = M.alloc_canvas(vo.canvas_tiles, vo.canvas_tiles, vo.bands)
+
+    def fstep(carry, inp):
+        pose, rgb = inp
+        return vo._feed(pose, rgb, carry[0], carry[1]), None
+
+    (c_lap, c_w), _ = jax.lax.scan(fstep, (c_lap, c_w),
+                                   (poses_k, frames_k))
+    return tuple(c_lap), tuple(c_w)
 
 
 def _merge_canvases(lap_all, w_all):
@@ -71,7 +99,51 @@ def _run_survey(vo_static, frames, anchors, valid):
     return poses, n_match, tuple(lap), tuple(w)
 
 
-def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _run_survey_corrected(vo_static, frames, anchors, valid, stride):
+    """Two-phase survey: track-only scans, endpoint bending onto the NEXT
+    segment's GPS anchor, then feed-only scans with corrected poses.
+
+    With overlapped segmentation (segments_from_frames(overlap>=1)),
+    segment s's frame at local index `stride` is the same physical frame
+    as segment s+1's frame 0, whose true pose is anchors[s+1]. The
+    endpoint error err = anchors[s+1] * inv(pose_s[stride]) is distributed
+    along the chain in se3 log space (the classic pose-graph endpoint
+    relaxation): pose_i' = exp(clip(i/stride, 0, 1) * log(err)) * pose_i.
+    Frame 0 keeps its anchor exactly; the shared boundary frame lands on
+    the next anchor exactly, so consecutive segment canvases agree at the
+    joint instead of disagreeing by the accumulated VO drift."""
+    poses, n_match = jax.vmap(
+        lambda f, a: _segment_track(vo_static, f, a))(frames, anchors)
+    next_anchor = jnp.concatenate([anchors[1:], anchors[-1:]], 0)
+    Sa = anchors.shape[0]
+    # the last VALID segment has no next anchor (its "next" is either
+    # padding or nothing): leave it unbent
+    has_next = ((jnp.arange(Sa) < Sa - 1) & valid
+                & jnp.roll(valid, -1))
+    err = jax.vmap(lambda na, p: lie.se3_mul(na, lie.se3_inv(p)))(
+        next_anchor, poses[:, stride])
+    xi = jax.vmap(lie.se3_log)(err)
+    xi = jnp.where(has_next[:, None], xi, 0.0)
+    K = poses.shape[1]
+    t = jnp.clip(jnp.arange(K, dtype=jnp.float32) / float(stride), 0.0, 1.0)
+
+    def bend(poses_k, xi_s):
+        corr = jax.vmap(lambda ti: lie.se3_exp(ti * xi_s))(t)
+        return jax.vmap(lie.se3_mul)(corr, poses_k)
+
+    poses_c = jax.vmap(bend)(poses, xi)
+    lap_all, w_all = jax.vmap(
+        lambda f, p: _segment_feed(vo_static, f, p))(frames, poses_c)
+    vmask = valid[:, None, None, None]
+    w_all = tuple(jnp.where(vmask, wi, 0.0) for wi in w_all)
+    lap, w = _merge_canvases(lap_all, w_all)
+    return poses_c, n_match, tuple(lap), tuple(w)
+
+
+def process_survey(vo, frames, anchors, mesh: Mesh | None = None,
+                   correct_drift: bool = False,
+                   anchor_stride: int | None = None):
     """Track+fuse S segments in parallel over the mesh.
 
     vo: a FastVO configured for the survey's canvas geometry.
@@ -84,10 +156,28 @@ def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
     with copies of segment 0 whose canvases are weight-masked out of the
     merge and whose poses are dropped before returning. Memory is one
     canvas pyramid per in-flight segment.
+
+    correct_drift=True runs the two-phase variant: track-only scans,
+    per-segment endpoint bending onto the NEXT segment's anchor (see
+    _run_survey_corrected), then feed-only scans with the corrected poses
+    — so intra-segment VO drift no longer shows up as misregistration
+    between neighboring segment canvases at their joints. Requires
+    overlapped segmentation (segments_from_frames(overlap>=1)) and
+    anchor_stride = seg_len - overlap (the frame count between anchors).
+    Costs ~20% more device time than the fused single pass (extraction is
+    shared work either way; the feed pass re-runs compositing only).
     """
     frames = jnp.asarray(frames)
     anchors = jnp.asarray(anchors, jnp.float32)
     S = frames.shape[0]
+    if correct_drift:
+        if anchor_stride is None or not (0 < anchor_stride
+                                         < frames.shape[1]):
+            raise ValueError(
+                "correct_drift needs anchor_stride = seg_len - overlap in "
+                "[1, K): segment s's frame at that index must be segment "
+                "s+1's anchored first frame (use segments_from_frames with "
+                "overlap >= 1)")
 
     pad = 0 if mesh is None else (-S) % mesh.devices.size
     if pad:
@@ -102,7 +192,11 @@ def process_survey(vo, frames, anchors, mesh: Mesh | None = None):
         frames = jax.device_put(frames, shard)
         anchors = jax.device_put(anchors, shard)
         valid = jax.device_put(valid, shard)
-    poses, n_match, lap, w = _run_survey(vo, frames, anchors, valid)
+    if correct_drift:
+        poses, n_match, lap, w = _run_survey_corrected(
+            vo, frames, anchors, valid, int(anchor_stride))
+    else:
+        poses, n_match, lap, w = _run_survey(vo, frames, anchors, valid)
     vo.canvas_lap, vo.canvas_w = list(lap), list(w)
     out = jax.device_get((poses, n_match))
     return out[0][:S], out[1][:S]

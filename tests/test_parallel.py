@@ -205,6 +205,96 @@ def test_dist_vo_segments_match_sequential(rng):
     assert psnr > 24.0, f"merged mosaic PSNR {psnr:.1f} dB"
 
 
+def test_dist_vo_drift_correction(rng):
+    """correct_drift=True bends each segment's estimated chain onto the
+    NEXT segment's GPS anchor (shared boundary frame under overlap=1):
+    the bent boundary pose must land on that anchor EXACTLY, the full
+    trajectory must not get worse, and the merged mosaic must still
+    reconstruct the ground."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.models.fastvo import FastVO
+    from pislamfusion_tpu.ops import mosaic as M
+    from pislamfusion_tpu.parallel import make_mesh, dist_vo
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_survey import make_ground, nadir_pose, render_view, \
+        degrade_frame
+
+    srng = np.random.default_rng(11)
+    ground = make_ground(srng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    N, seg_len, overlap = 10, 4, 1
+    stride = seg_len - overlap
+    truth = np.asarray([nadir_pose(30.0 + 1.4 * k, 38.0, 25.0)
+                        for k in range(N)])          # [N, 7]
+    # mild blur+noise induces real VO drift at this resolution
+    frames = np.stack([
+        degrade_frame(render_view(ground, cam, p), srng,
+                      blur_px=1.2, noise=2.5) for p in truth])
+    segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
+                                                overlap=overlap)
+    anchors = truth[firsts]                          # GPS truth anchors
+    S = segs.shape[0]
+    assert S == 3 and firsts[1] - firsts[0] == stride
+
+    lp, _ = M.auto_resolution(cam, 25.0, 0.5)
+    es = M.ELE_PIXELS * lp
+    min_xy = truth[:, :2].min(0) - 3 * es
+    span = truth[:, :2].max(0) - min_xy + 3 * es
+    tiles = int(np.ceil(span.max() / es)) + 2
+    mesh = make_mesh(jax.devices()[:8])   # S=3 -> exercises mesh padding
+    vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
+                n_levels=4, window_radius=40.0, fast_warp=False)
+
+    est_u, nm_u = dist_vo.process_survey(vo, segs, anchors, mesh)
+    img_u, cov_u = vo.blended()
+    est_c, nm_c = dist_vo.process_survey(vo, segs, anchors, mesh,
+                                         correct_drift=True,
+                                         anchor_stride=stride)
+    img_c, cov_c = vo.blended()
+    assert (nm_c[:, 1:] > 50).all(), nm_c
+    # tracking itself is identical (correction is post-hoc bending)
+    assert np.array_equal(nm_u, nm_c)
+
+    # 1) boundary frames land on the next anchor EXACTLY (by construction)
+    for s in range(S - 1):
+        dp = np.linalg.norm(est_c[s, stride, :3] - anchors[s + 1, :3])
+        dq = abs(float(np.dot(est_c[s, stride, 3:], anchors[s + 1, 3:])))
+        assert dp < 1e-3, (s, dp)
+        assert dq > 1.0 - 1e-5, (s, dq)
+    # ... which the uncorrected chains do NOT (drift is real here)
+    drift_u = max(np.linalg.norm(est_u[s, stride, :3] - anchors[s + 1, :3])
+                  for s in range(S - 1))
+    assert drift_u > 1e-3, drift_u
+
+    # 2) whole-trajectory error does not get worse (anchors are truth, so
+    # bending toward them can only help up to interpolation error)
+    def ate(est):
+        err = [np.linalg.norm(est[s, k, :3] - truth[firsts[s] + k, :3])
+               for s in range(S) for k in range(seg_len)
+               if firsts[s] + k < N]
+        return np.mean(err), np.max(err)
+    mean_u, max_u = ate(est_u)
+    mean_c, max_c = ate(est_c)
+    assert mean_c <= mean_u + 1e-4, (mean_c, mean_u)
+    assert max_c <= max_u + 1e-4, (max_c, max_u)
+
+    # 3) the corrected merged mosaic still reconstructs the ground plane
+    assert cov_c.sum() > 0.9 * cov_u.sum()
+    ys, xs = np.nonzero(cov_c)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img_c[ys, xs].astype(np.float64) - ground[gy, gx]
+    psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+    assert psnr > 22.0, f"corrected merged mosaic PSNR {psnr:.1f} dB"
+
+    # bad stride is rejected up front
+    with pytest.raises(ValueError):
+        dist_vo.process_survey(vo, segs, anchors, mesh, correct_drift=True)
+
+
 def test_anchors_from_gps_and_segmenter(rng):
     """Dataset-layer anchor production: segments_from_frames splits a flat
     survey (tail-padded, optional overlap) and anchors_from_gps turns the
