@@ -12,7 +12,7 @@ measures it at ~106 FPS @1080p on one v5e; here the synthetic frames are
 320x240 so it runs anywhere). Usage:
 
     python examples/fastvo_demo.py [out_dir] [--frames N]
-        [--segments K [--correct]]
+        [--segments K [--correct] [--nogps]]
 """
 import os
 import sys
@@ -74,10 +74,17 @@ def main():
         seg_len = int(sys.argv[sys.argv.index("--segments") + 1])
         segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
                                                     overlap=1)
-        gps_noise = rng.normal(0, 0.05, (len(firsts), 3))
-        metas = [SimpleNamespace(gps_enu=poses[s, :3] + gps_noise[i],
-                                 pyr=None) for i, s in enumerate(firsts)]
-        anchors = dist_vo.anchors_from_gps(metas)
+        nogps = "--nogps" in sys.argv
+        if nogps:
+            # GPS-free: anchor segments on a 2x-downsampled serial
+            # track-only coarse pass instead of GPS fixes
+            anchors, _ = dist_vo.anchors_from_coarse(
+                vo, frames, firsts, poses[0], scale=2)
+        else:
+            gps_noise = rng.normal(0, 0.05, (len(firsts), 3))
+            metas = [SimpleNamespace(gps_enu=poses[s, :3] + gps_noise[i],
+                                     pyr=None) for i, s in enumerate(firsts)]
+            anchors = dist_vo.anchors_from_gps(metas)
         n_dev = len(jax.devices())
         mesh = make_mesh(jax.devices()) if n_dev > 1 else None
         # --correct: two-phase drift-corrected variant — bend each
@@ -86,7 +93,8 @@ def main():
         kw = dict(correct_drift=True, anchor_stride=seg_len - 1) \
             if "--correct" in sys.argv else {}
         print(f"{segs.shape[0]} segments x {seg_len} frames over "
-              f"{n_dev} device(s), GPS-derived anchors"
+              f"{n_dev} device(s), "
+              + ("coarse-pass anchors" if nogps else "GPS-derived anchors")
               + (", drift-corrected" if kw else ""))
         est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh, **kw)
         t0 = time.perf_counter()
@@ -123,7 +131,12 @@ def main():
     path = os.path.join(out_dir, "result.png")
     _write_png(path, np.clip(img, 0, 255).astype(np.uint8))
     print(f"wrote {path}")
-    ok = err.max() < 0.6 and psnr > 20.0
+    # GPS-free anchors inherit the coarse serial chain's drift (~5% of
+    # traverse here), so the absolute-pose gate widens; with GPS fixes
+    # (or the plain batch path) the tight gate applies
+    err_gate, psnr_gate = (2.0, 14.0) if "--nogps" in sys.argv \
+        else (0.6, 20.0)
+    ok = err.max() < err_gate and psnr > psnr_gate
     print("FASTVO OK" if ok else "FASTVO FAIL")
     return 0 if ok else 1
 

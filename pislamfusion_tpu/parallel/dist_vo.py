@@ -238,6 +238,54 @@ def anchors_from_gps(frames_meta, plane_se3=None):
     return np.asarray(out, np.float32)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _track_only(vo_static, frames, anchor):
+    return _segment_track(vo_static, frames, anchor)
+
+
+def anchors_from_coarse(vo, frames, firsts, pose0, scale: int = 4,
+                        n_features: int | None = None):
+    """GPS-free segment anchors via a coarse first pass (the alternative
+    anchor source SURVEY.md section 2.9 scopes alongside GPS).
+
+    Downsamples the whole survey `scale`x (area-average pooling — cheap,
+    alias-free, XLA-friendly), runs ONE serial track-only FastVO chain
+    over it (~1/scale^2 the extraction cost of a full-res serial pass),
+    and reads the segment first frames' estimated poses as the anchors
+    for the full-res segment-parallel run. The coarse chain still drifts
+    (it is serial VO), but every segment anchor sits ON that one chain,
+    so combined with correct_drift=True the full-res segments are
+    mutually consistent at their joints — the mosaic is seam-coherent
+    even though the absolute trajectory carries the coarse pass's drift.
+
+    vo: the full-res FastVO (plane geometry + camera are read from it).
+    frames: [N, H, W(,3)] the WHOLE survey. firsts: [S] segment start
+    indices (from segments_from_frames). pose0: [7] plane-coordinate pose
+    of frame 0 (the gauge anchor — without GPS the absolute frame must
+    come from the caller, e.g. Map2DPrepare semantics).
+    Returns (anchors [S, 7] float32, coarse n_match [N]).
+    """
+    from ..models.fastvo import FastVO
+
+    frames = jnp.asarray(frames)
+    N, H, W = frames.shape[:3]
+    H2, W2 = H // scale, W // scale
+    fr = frames[:, :H2 * scale, :W2 * scale].astype(jnp.float32)
+    if fr.ndim == 4:
+        fr = fr.reshape(N, H2, scale, W2, scale, fr.shape[-1]).mean((2, 4))
+    else:
+        fr = fr.reshape(N, H2, scale, W2, scale).mean((2, 4))
+    cam_s = vo.cam.scaled(1.0 / scale)
+    nf = int(n_features or vo.params.n_features)
+    vo_s = FastVO(cam_s, vo.min_xy, 1, vo.length_pixel, bands=1,
+                  n_features=nf, n_levels=4,
+                  window_radius=max(8.0, vo.window_radius / scale),
+                  patch_tiles=1)
+    poses, n_match = jax.device_get(_track_only(
+        vo_s, fr, jnp.asarray(pose0, jnp.float32)))
+    return poses[np.asarray(firsts)], n_match
+
+
 def segments_from_frames(frames, seg_len: int, overlap: int = 0):
     """Split a [N, H, W(,C)] survey into [S, K] segments (K = seg_len),
     tail-padded by repeating the last frame; consecutive segments can

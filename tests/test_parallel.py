@@ -295,6 +295,82 @@ def test_dist_vo_drift_correction(rng):
         dist_vo.process_survey(vo, segs, anchors, mesh, correct_drift=True)
 
 
+def test_dist_vo_coarse_pass_anchors(rng):
+    """GPS-free scale-out: a coarse (2x-downsampled) serial track-only
+    pass produces the segment anchors, and the full-res segment-parallel
+    run with correct_drift lands every boundary frame on the coarse
+    chain — trajectory within tolerance of truth, merged mosaic
+    reconstructs the ground."""
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.models.fastvo import FastVO
+    from pislamfusion_tpu.ops import mosaic as M
+    from pislamfusion_tpu.parallel import make_mesh, dist_vo
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_survey import make_ground, nadir_pose, render_view
+
+    srng = np.random.default_rng(13)
+    ground = make_ground(srng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    N, seg_len, overlap = 10, 4, 1
+    stride = seg_len - overlap
+    truth = np.asarray([nadir_pose(30.0 + 1.4 * k, 44.0, 25.0)
+                        for k in range(N)])
+    frames = np.stack([render_view(ground, cam, p) for p in truth])
+    segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
+                                                overlap=overlap)
+
+    lp, _ = M.auto_resolution(cam, 25.0, 0.5)
+    es = M.ELE_PIXELS * lp
+    min_xy = truth[:, :2].min(0) - 3 * es
+    span = truth[:, :2].max(0) - min_xy + 3 * es
+    tiles = int(np.ceil(span.max() / es)) + 2
+    vo = FastVO(cam, min_xy, tiles, lp, bands=3, n_features=512,
+                n_levels=4, window_radius=40.0, fast_warp=False)
+
+    anchors, nm_coarse = dist_vo.anchors_from_coarse(
+        vo, frames, firsts, truth[0], scale=2, n_features=384)
+    assert anchors.shape == (segs.shape[0], 7)
+    assert (nm_coarse[1:] > 40).all(), nm_coarse
+    # the coarse chain is serial VO: it drifts (measured ~5% of traverse
+    # at half res here) but stays bounded — absolute accuracy without GPS
+    # is inherently drift-limited; what the coarse pass buys is JOINT
+    # consistency of the parallel segments, asserted below
+    coarse_err = np.linalg.norm(anchors[:, :3] - truth[firsts, :3], axis=1)
+    assert coarse_err.max() < 1.0, coarse_err
+
+    mesh = make_mesh(jax.devices()[:8])
+    est, nm = dist_vo.process_survey(vo, segs, anchors, mesh,
+                                     correct_drift=True,
+                                     anchor_stride=stride)
+    assert (nm[:, 1:] > 50).all()
+    S = segs.shape[0]
+    # joint consistency: every boundary frame lands on the coarse-chain
+    # anchor exactly, so neighboring full-res segments agree there
+    for s in range(S - 1):
+        dp = np.linalg.norm(est[s, stride, :3] - anchors[s + 1, :3])
+        assert dp < 1e-3, (s, dp)
+    # absolute error stays in the coarse chain's drift regime (the
+    # full-res segments inherit the anchors' drift, not more)
+    err = [np.linalg.norm(est[s, k, :3] - truth[firsts[s] + k, :3])
+           for s in range(S) for k in range(seg_len)
+           if firsts[s] + k < N]
+    assert max(err) < coarse_err.max() + 0.3, (max(err), coarse_err.max())
+    img, covered = vo.blended()
+    assert covered.sum() > 5000
+    ys, xs = np.nonzero(covered)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img[ys, xs].astype(np.float64) - ground[gy, gx]
+    psnr = 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+    # vs-truth PSNR carries the absolute drift (the mosaic is smoothly
+    # warped by it); the pipeline_demo standard for estimated-pose
+    # mosaics is >14 dB
+    assert psnr > 14.0, f"coarse-anchored mosaic PSNR {psnr:.1f} dB"
+
+
 def test_anchors_from_gps_and_segmenter(rng):
     """Dataset-layer anchor production: segments_from_frames splits a flat
     survey (tail-padded, optional overlap) and anchors_from_gps turns the
