@@ -320,6 +320,10 @@ class SLAM:
             self.mapper.finish()
             if self.mapper.gps_fitted:
                 self.mapper.fit_gps_all()
+        # per-run statistics some trackers keep (TrackerPlanar's
+        # Evaluater report, TrackerPlanar.cpp:55-78)
+        if self.tracker is not None and hasattr(self.tracker, "report"):
+            self.tracker.report()
 
     def call(self, command: str, arg=None):
         """String-command surface (DIYSLAM.cpp:366-394)."""

@@ -789,3 +789,206 @@ class TrackerRansacPnP(Tracker):
         T_c2w = np.asarray(lie.se3_inv(res.model)).astype(np.float32)
         # shared pose-LM refine + kp2mp assignment from the RANSAC pose
         return self._solve_pose(frame, T_c2w, pos, has, idxn, okn, last)
+
+
+@TRACKERS.register("planar")
+class TrackerPlanar(Tracker):
+    """The reference's 'planar' tracker
+    (GSLAM-DIYSLAM/src/zhaoyong/TrackerPlanar.cpp, registered as
+    `Tracker?=planar` :657): an RTSfM-style GEO-REGISTERED pair-chain
+    reconstructor rather than an incremental VO chain. It never leaves
+    the initializing state (track() :304-317): every >= 1 s of frame
+    time (:421) it two-view-initializes the (lastKF, current) pair
+    (:430-470), snaps BOTH poses onto their GPS+attitude priory poses
+    with map scale from the GPS/estimated baseline ratio
+    (fitGPS :319-345), refines the pair with a 2-frame GPS-prior bundle
+    adjustment over the triangulated points (:530-580), and inserts the
+    pair + its points directly in geo coordinates (:589-612); the pair
+    reference then advances. Useful for nadir surveys where every
+    frame pair sees the ground plane and GPS makes each pair's
+    absolute pose observable without a persistent track.
+
+    Divergences (documented): poses land in the local ENU frame (this
+    build's geo frame) instead of ECEF-minus-`Origin` (:282, :585) —
+    same information, different chart; and without GPS priors the
+    reference clears the map every pair (:611 `_map->clear()`), which
+    this build mirrors by replacing the previous pair.
+
+    The per-pair success statistics the reference's Evaluater prints at
+    shutdown (:55-78) are logged by `report()` (wired to SLAM.finish)."""
+
+    supports_fused = False
+
+    def __init__(self, wmap: WorldMap, cfg, mapper=None):
+        super().__init__(wmap, cfg, mapper)
+        self._pair_ref: Optional[Frame] = None
+        self._access = 0
+        self._successes: list[tuple[int, int]] = []
+        self.pt_cap = cfg.get_int("Planar.PointCap", 512)
+        self.min_interval = cfg.get_double("Planar.MinInterval", 1.0)
+
+    def track(self, frame: Frame) -> bool:
+        with timer.scope("Tracker::track"), \
+                glog.ScopedLogger(self.cfg, bit=1) as lg:
+            self._log = lg
+            lg << f"frame {frame.id} [PLANAR]"
+            if self._pair_ref is None:   # first frame: seed the pair chain
+                self.ensure_features(frame)
+                self._pair_ref = frame
+                self.last_frame = frame
+                return True              # :419 `if(!_lastKF) ... return true`
+            if frame.timestamp - self._pair_ref.timestamp \
+                    < self.min_interval:   # :421
+                lg << ",skip(dt)"
+                return False
+            self.ensure_features(frame)
+            ok = self._pair_initialize(frame, lg)
+            if ok:
+                self.last_frame = frame
+                self.status = Status.TRACKING
+            return ok
+
+    def report(self):
+        """Evaluater::report (:65-74): success count + mean match/point
+        stats over the run."""
+        if not self._successes:
+            glog.logger.info(f"TrackerPlanar: 0/{self._access} pairs")
+            return
+        m = int(np.mean([s[0] for s in self._successes]))
+        p = int(np.mean([s[1] for s in self._successes]))
+        glog.logger.info(
+            f"TrackerPlanar: {len(self._successes)}/{self._access} pairs, "
+            f"mean matches {m}, mean points {p}")
+
+    # ----------------------------------------------------------- pair init
+    def _pair_initialize(self, frame: Frame, lg) -> bool:
+        ref = self._pair_ref
+        self._access += 1
+        # match4initialize with the full configured Matcher (:430)
+        idx, okm = self._get_matcher()(self._next_key(), ref, frame)
+        idxn, okn = jax.device_get((idx, okm))
+        n_match = int(okn.sum())
+        lg << f",match {n_match}"
+        if n_match < max(100, ref.n_kp // 10):   # :430
+            self._pair_ref = frame
+            return False
+        ra = ref.rays[:, :2]
+        rb = frame.rays[np.where(okn, idxn, 0)][:, :2]
+        res = init2view.initialize_two_view(
+            self._next_key(), jnp.asarray(ra), jnp.asarray(rb),
+            jnp.asarray(okn), sigma=max(1.0 / ref.camera.fx, 1e-4))
+        if not bool(res.ok):   # :478 `_initializer->initialize` failed
+            self._pair_ref = frame
+            lg << ",init FAIL"
+            return False
+        mask = np.asarray(res.mask)
+        pts = np.asarray(res.points)          # ref-camera gauge
+        T_c2w = np.asarray(res.T_c2w)         # cur -> ref
+
+        pr1, pr2 = ref.priory_pose(), frame.priory_pose()
+        if pr1 is not None and pr2 is not None:
+            pose_ref, pose_cur, pts_w, n_pts = self._fit_pair_gps(
+                ref, frame, pr1[0], pr2[0], T_c2w, pts, mask, idxn)
+            self.cfg.set("GPS.Fitted", "1")   # :584
+        else:
+            # no GPS: the reference keeps only the latest pair
+            # (`_map->clear()`, :611)
+            for fid in [f.id for f in self.map.frames()]:
+                self.map.erase_frame(fid)
+            for pid in [p.id for p in self.map.points()]:
+                self.map.erase_point(pid)
+            pose_ref = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+            pose_cur = T_c2w.astype(np.float32)
+            sel = np.nonzero(mask)[0][:self.pt_cap]
+            pts_w, n_pts = pts[sel], len(sel)
+            self._pair_sel = sel
+        # insert the pair + points (:589-612)
+        self._insert_pair(ref, frame, pose_ref, pose_cur, pts_w, n_pts,
+                          idxn)
+        lg << f",pair OK,{n_pts} pts"
+        self._successes.append((n_match, n_pts))
+        self._pair_ref = frame
+        return True
+
+    def _fit_pair_gps(self, ref, frame, T1, T2, T_c2w, pts, mask, idxn):
+        """fitGPS (:319-345) + the 2-frame GPS-prior BA (:530-580):
+        scale from the GPS/estimated baseline ratio, poses snapped to
+        the priors, then joint LM over both poses and the pair's points
+        with SE3 priors weighted by the GPS/attitude sigmas."""
+        d_gps = float(np.linalg.norm(T2[:3] - T1[:3]))
+        d_est = float(np.linalg.norm(T_c2w[:3]))
+        scale = d_gps / max(d_est, 1e-9)
+        # ref-gauge -> geo: se3 = prior2 o inv(est_cur), scale first (:337)
+        l2e = hse3.se3_mul(T2, hse3.se3_inv(T_c2w.astype(np.float64)))
+        sel = np.nonzero(mask)[0][:self.pt_cap]
+        self._pair_sel = sel
+        pts_w = hse3.se3_apply(l2e, pts[sel] * scale).astype(np.float32)
+        P = self.pt_cap
+        n = len(sel)
+        pts_p, pmask = pad_to(pts_w, P)
+        obs_f = np.concatenate([np.zeros(n, np.int32),
+                                np.ones(n, np.int32)])
+        obs_p = np.concatenate([np.arange(n, dtype=np.int32)] * 2)
+        obs_uv = np.concatenate([ref.rays[sel][:, :2],
+                                 frame.rays[np.where(mask, idxn, 0)][sel][:, :2]])
+        obs_fp, omask = pad_to(obs_f, 2 * P)
+        obs_pp, _ = pad_to(obs_p, 2 * P)
+        obs_uvp, _ = pad_to(obs_uv.astype(np.float32), 2 * P)
+        poses_w2c = np.stack([hse3.se3_inv(T1), hse3.se3_inv(T2)]).astype(
+            np.float32)
+        info = np.zeros((2, 6), np.float32)
+        for i, fr in enumerate((ref, frame)):
+            info[i, :3] = 1.0 / max(fr.gps_acc, 0.1) ** 2
+            # attitude information: the reference's default PYR sigma is
+            # (1,10,10) deg when unmeasured (:100-103); one isotropic
+            # 10-deg sigma keeps the prior rotation soft
+            info[i, 3:] = 1.0 / np.radians(10.0) ** 2
+        prob = ba.make_problem(
+            poses=poses_w2c, pose_fixed=np.zeros(2, bool), points=pts_p,
+            point_fixed=~pmask, obs_frame=obs_fp, obs_point=obs_pp,
+            obs_uv=obs_uvp, obs_weight=omask.astype(np.float32),
+            prior_frame=np.arange(2, dtype=np.int32),
+            prior_pose=poses_w2c.copy(), prior_info=info)
+        new_poses, new_pts, _ = ba.optimize(
+            prob, iters=self.cfg.get_int("Planar.BAIters", 15))
+        new_poses, new_pts = jax.device_get((new_poses, new_pts))
+        pose_ref = hse3.se3_inv(new_poses[0]).astype(np.float32)
+        pose_cur = hse3.se3_inv(new_poses[1]).astype(np.float32)
+        return pose_ref, pose_cur, new_pts[:n], n
+
+    def _insert_pair(self, ref, frame, pose_ref, pose_cur, pts_w, n_pts,
+                     idxn):
+        ref.pose_c2w = np.asarray(pose_ref, np.float32)
+        frame.pose_c2w = np.asarray(pose_cur, np.float32)
+        color_img = ref.color if ref.color is not None else ref.image
+        with self.map.update_lock:
+            for fr in (ref, frame):
+                if self.map.frame(fr.id) is None:
+                    fr.is_keyframe = True
+                    self.map.insert_frame(fr)
+            sel = self._pair_sel
+            for j in range(n_pts):
+                i = int(sel[j])
+                pid = self.map.get_pid()
+                kp_ref, kp_cur = i, int(idxn[i])
+                color = np.full(3, 128, np.uint8)
+                if color_img is not None:
+                    x, y = ref.xy[kp_ref].astype(int)
+                    if 0 <= y < color_img.shape[0] \
+                            and 0 <= x < color_img.shape[1]:
+                        c = color_img[y, x]
+                        color = (np.full(3, int(c), np.uint8)
+                                 if np.ndim(c) == 0 else c.astype(np.uint8))
+                mp = MapPoint(id=pid, position=pts_w[j].astype(np.float32),
+                              descriptor=np.asarray(frame.desc[kp_cur]),
+                              color=color, ref_frame=frame.id)
+                # normal towards the observing camera (:598)
+                view = pose_cur[:3] - pts_w[j]
+                mp.normal = (view / max(np.linalg.norm(view), 1e-9)).astype(
+                    np.float32)
+                self.map.insert_point(mp)
+                self.map.add_observation(pid, ref.id, kp_ref)
+                self.map.add_observation(pid, frame.id, kp_cur)
+            ref.connections[frame.id] = n_pts
+            frame.connections[ref.id] = n_pts
+            self.map.version += 1
