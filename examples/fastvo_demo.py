@@ -41,6 +41,8 @@ def main():
     n_frames = 24
     if "--frames" in sys.argv:
         n_frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    # GPS-free coarse-pass anchors only exist on the --segments path
+    nogps = "--segments" in sys.argv and "--nogps" in sys.argv
 
     rng = np.random.default_rng(7)
     ground = make_ground(rng)
@@ -74,7 +76,6 @@ def main():
         seg_len = int(sys.argv[sys.argv.index("--segments") + 1])
         segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
                                                     overlap=1)
-        nogps = "--nogps" in sys.argv
         if nogps:
             # GPS-free: anchor segments on a 2x-downsampled serial
             # track-only coarse pass instead of GPS fixes
@@ -134,8 +135,7 @@ def main():
     # GPS-free anchors inherit the coarse serial chain's drift (~5% of
     # traverse here), so the absolute-pose gate widens; with GPS fixes
     # (or the plain batch path) the tight gate applies
-    err_gate, psnr_gate = (2.0, 14.0) if "--nogps" in sys.argv \
-        else (0.6, 20.0)
+    err_gate, psnr_gate = (2.0, 14.0) if nogps else (0.6, 20.0)
     ok = err.max() < err_gate and psnr > psnr_gate
     print("FASTVO OK" if ok else "FASTVO FAIL")
     return 0 if ok else 1

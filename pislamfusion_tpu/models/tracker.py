@@ -836,7 +836,12 @@ class TrackerPlanar(Tracker):
                 self.ensure_features(frame)
                 self._pair_ref = frame
                 self.last_frame = frame
-                return True              # :419 `if(!_lastKF) ... return true`
+                # the reference returns true here (:419) but never feeds
+                # the mosaic itself; in this build SLAM feeds the mosaic
+                # for every tracked frame, so the seed reports untracked
+                # to keep its (not yet estimated) identity pose out of
+                # the composite
+                return False
             if frame.timestamp - self._pair_ref.timestamp \
                     < self.min_interval:   # :421
                 lg << ",skip(dt)"
@@ -892,11 +897,14 @@ class TrackerPlanar(Tracker):
             self.cfg.set("GPS.Fitted", "1")   # :584
         else:
             # no GPS: the reference keeps only the latest pair
-            # (`_map->clear()`, :611)
-            for fid in [f.id for f in self.map.frames()]:
-                self.map.erase_frame(fid)
-            for pid in [p.id for p in self.map.points()]:
-                self.map.erase_point(pid)
+            # (`_map->clear()`, :611). Clear under update_lock + version
+            # bump so version-checked snapshots can't straddle it.
+            with self.map.update_lock:
+                for fid in [f.id for f in self.map.frames()]:
+                    self.map.erase_frame(fid)
+                for pid in [p.id for p in self.map.points()]:
+                    self.map.erase_point(pid)
+                self.map.version += 1
             pose_ref = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
             pose_cur = T_c2w.astype(np.float32)
             sel = np.nonzero(mask)[0][:self.pt_cap]
@@ -918,8 +926,14 @@ class TrackerPlanar(Tracker):
         d_gps = float(np.linalg.norm(T2[:3] - T1[:3]))
         d_est = float(np.linalg.norm(T_c2w[:3]))
         scale = d_gps / max(d_est, 1e-9)
-        # ref-gauge -> geo: se3 = prior2 o inv(est_cur), scale first (:337)
-        l2e = hse3.se3_mul(T2, hse3.se3_inv(T_c2w.astype(np.float64)))
+        # ref-gauge -> geo: fold the scale into the ESTIMATED pose before
+        # composing (the reference composes prior2 o inv(unscaled est)
+        # and lets its BA absorb the resulting (d_gps-d_est) rigid offset
+        # of the mapped cloud, :337-340; scaling first places the ref
+        # camera on its prior exactly, a strictly better BA start)
+        T_est = T_c2w.astype(np.float64).copy()
+        T_est[:3] *= scale
+        l2e = hse3.se3_mul(T2, hse3.se3_inv(T_est))
         sel = np.nonzero(mask)[0][:self.pt_cap]
         self._pair_sel = sel
         pts_w = hse3.se3_apply(l2e, pts[sel] * scale).astype(np.float32)

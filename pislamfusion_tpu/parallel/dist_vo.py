@@ -267,20 +267,25 @@ def anchors_from_coarse(vo, frames, firsts, pose0, scale: int = 4,
     """
     from ..models.fastvo import FastVO
 
-    frames = jnp.asarray(frames)
+    frames = np.asarray(frames)
     N, H, W = frames.shape[:3]
     H2, W2 = H // scale, W // scale
-    fr = frames[:, :H2 * scale, :W2 * scale].astype(jnp.float32)
-    if fr.ndim == 4:
-        fr = fr.reshape(N, H2, scale, W2, scale, fr.shape[-1]).mean((2, 4))
-    else:
-        fr = fr.reshape(N, H2, scale, W2, scale).mean((2, 4))
+    # pool per-frame on the host: peak extra memory = the pooled survey
+    # (N*H2*W2*4 bytes), never a full-res float32 copy of the whole
+    # survey (a 1000-frame 1080p survey would be ~8 GB on-device)
+    ch = frames.shape[3:]
+    fr = np.empty((N, H2, W2) + ch, np.float32)
+    for i in range(N):
+        f = frames[i, :H2 * scale, :W2 * scale].astype(np.float32)
+        fr[i] = f.reshape((H2, scale, W2, scale) + ch).mean((1, 3))
+    fr = jnp.asarray(fr)
     cam_s = vo.cam.scaled(1.0 / scale)
     nf = int(n_features or vo.params.n_features)
     vo_s = FastVO(cam_s, vo.min_xy, 1, vo.length_pixel, bands=1,
-                  n_features=nf, n_levels=4,
+                  n_features=nf,
+                  n_levels=min(getattr(vo.params, "n_levels", 4), 4),
                   window_radius=max(8.0, vo.window_radius / scale),
-                  patch_tiles=1)
+                  patch_tiles=1, detector=vo.detector)
     poses, n_match = jax.device_get(_track_only(
         vo_s, fr, jnp.asarray(pose0, jnp.float32)))
     return poses[np.asarray(firsts)], n_match
