@@ -49,6 +49,8 @@ class MatcherBF:
 
 @MATCHERS.register("BoW")
 @MATCHERS.register("bow")
+@MATCHERS.register("liu_bow")
+@MATCHERS.register("hybird")
 class MatcherBoW:
     """FeatureVector-aligned BF (MatcherBoW.cpp:186-300): candidates
     restricted to features sharing the vocabulary node `levelsup` levels
@@ -57,7 +59,10 @@ class MatcherBoW:
     matrix — identical candidate set, one dispatch. Falls back to plain
     BF when no (compatible) vocabulary is available (the reference
     crashes instead; a silent-degrade matches DIYSLAM's vocab-optional
-    spirit, logged once)."""
+    spirit, logged once). The `hybird` registration (MatcherHybird.cpp —
+    a bow attempt with FLANN fallback whose bow branch is commented out)
+    and the `liu_bow` student variant collapse here: bucketed-with-
+    fallback IS this class's behavior."""
 
     def __init__(self, cfg=None, vocabulary=None):
         self.ratio = cfg.get_double("Matcher.Ratio", 0.8) if cfg else 0.8
@@ -121,18 +126,30 @@ class MatcherBoW:
 
 
 @MATCHERS.register("flann")
+@MATCHERS.register("flanntest")
+@MATCHERS.register("SiftGPU")
+@MATCHERS.register("liu_SiftGPU")
 class MatcherFlann(MatcherBF):
     """The reference's MatcherFlann (FLANN cross-check, MatcherFlann.cpp)
     — FLANN's approximate NN exists to dodge CPU brute-force cost; on the
     MXU the exact distance matrix IS the cheap path, so this is exact BF
     with the same cross-check/ratio gates (a strict quality upper bound
-    of the approximate search)."""
+    of the approximate search). The `SiftGPU` matcher registrations
+    (SiftMatchCU.cpp's GPU brute force) collapse here for the same
+    reason; `flanntest` was its debug twin."""
 
 
 @MATCHERS.register("multiH")
+@MATCHERS.register("flannH")
+@MATCHERS.register("flann_multiH")
+@MATCHERS.register("bf_knn_multiH")
 class MatcherMultiH:
     """The reference's DEFAULT matcher: conservative BF base + multi-
-    homography window growth (MatcherMultiH.cpp:197-450)."""
+    homography window growth (MatcherMultiH.cpp:197-450). The
+    `flannH`/`flann_multiH`/`bf_knn_multiH` registrations (FLANN or
+    knn-ratio BF base + the same growth) collapse here: the MXU exact
+    distance matrix already IS the knn-ratio base, so the variants
+    differ only in the approximate-NN engine this build doesn't need."""
 
     def __init__(self, cfg=None):
         self.n_h = cfg.get_int("Matcher.MaxHomographies", 4) if cfg else 4
@@ -144,6 +161,45 @@ class MatcherMultiH:
         idx, ok, _ = multih.match_multih(
             key, desc_a, valid_a, xy_a, desc_b, valid_b, xy_b,
             kind=fa.desc_kind, n_h=self.n_h, window=self.window)
+        ok = matching.rotation_consistency_mask(ang_a, ang_b, idx, ok)
+        return idx, ok
+
+
+@MATCHERS.register("bowH")
+@MATCHERS.register("bow_homography")
+class MatcherBoWH(MatcherBoW):
+    """BoW-bucketed base + multi-homography window growth — the
+    reference's `bowH`/`bow_homography` registrations (MatcherMultiH's
+    growth over MatcherBoW's FeatureVector-aligned base; MatcherMultiH.cpp
+    itself buckets its base by FeatureVector when one exists, :197-270).
+    The node-equality mask narrows the BASE candidates; the homography
+    growth pass stays unrestricted, recovering cross-bucket matches the
+    bucketing would drop. Falls back to the plain multiH base when no
+    compatible vocabulary is available (logged once by the parent)."""
+
+    def __init__(self, cfg=None, vocabulary=None):
+        super().__init__(cfg, vocabulary)
+        self.n_h = cfg.get_int("Matcher.MaxHomographies", 4) if cfg else 4
+        self.window = cfg.get_double("Matcher.Window", 8.0) if cfg else 8.0
+
+    def __call__(self, key, fa, fb):
+        vocab = self._vocabulary()
+        desc_a, valid_a, xy_a, ang_a = _arrays(fa)
+        desc_b, valid_b, xy_b, ang_b = _arrays(fb)
+        base_mask = None
+        if vocab is not None and (vocab.is_binary == (fa.desc_kind == "orb")):
+            nid_a, nid_b = self._node_ids(fa), self._node_ids(fb)
+            base_mask = (nid_a[:, None] == nid_b[None, :]) \
+                & (nid_a >= 0)[:, None]
+        elif not self._warned:
+            from ..core.glog import logger
+            logger.warning("Matcher=bowH: no compatible vocabulary; "
+                           "base match unbucketed (multiH)")
+            self._warned = True
+        idx, ok, _ = multih.match_multih(
+            key, desc_a, valid_a, xy_a, desc_b, valid_b, xy_b,
+            kind=fa.desc_kind, n_h=self.n_h, window=self.window,
+            base_mask=base_mask)
         ok = matching.rotation_consistency_mask(ang_a, ang_b, idx, ok)
         return idx, ok
 

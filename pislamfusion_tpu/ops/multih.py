@@ -33,16 +33,24 @@ def _apply_h(H, xy):
 def match_multih(key, desc_a, valid_a, xy_a, desc_b, valid_b, xy_b,
                  kind: str = "orb", n_h: int = 4, window: float = 8.0,
                  max_dist: float | None = None, h_threshold: float = 3.0,
-                 ransac_iters: int = 192, ratio: float = 0.8):
+                 ransac_iters: int = 192, ratio: float = 0.8,
+                 base_mask=None):
     """Returns (idx [Na] a->b match index, ok [Na], n_planes) — the base
     ratio+cross-checked BF matches grown by up to n_h homography-guided
     window re-matches (MatcherMultiH.cpp:197-450 semantics: the base is a
     conservative matcher; the growth pass inside each homography's window
-    uses the absolute threshold alone, findMatchWindow :129-168)."""
+    uses the absolute threshold alone, findMatchWindow :129-168).
+
+    base_mask [Na, Nb] (optional) restricts the BASE match's candidate
+    pairs — e.g. a vocabulary node-equality mask turns this into the
+    reference's `bowH` matcher (BoW-bucketed base, MatcherMultiH.cpp's
+    default base IS BoW-bucketed when a FeatureVector exists, :197-270);
+    the homography growth pass stays unrestricted either way."""
     dist = matching.distance_matrix(desc_a, desc_b, kind)
     if max_dist is None:
         max_dist = 80.0 if kind == "orb" else 0.2
-    idx, ok = matching.match(dist, valid_a, valid_b, max_dist, ratio=ratio)
+    idx, ok = matching.match(dist, valid_a, valid_b, max_dist, ratio=ratio,
+                             window_mask=base_mask)
 
     pb = xy_b[jnp.where(ok, idx, 0)]
     remaining = ok

@@ -151,7 +151,7 @@ def test_matcher_registry():
                        "orb")
         frames.append(f)
     counts = {}
-    for name in ("BF", "multiH", "BFMultiH", "BoW", "flann"):
+    for name in ("BF", "multiH", "BFMultiH", "BoW", "flann", "bowH"):
         m = MATCHERS.create(name, Svar())
         idx, ok = m(jax.random.PRNGKey(1), frames[0], frames[1])
         idx, ok = np.asarray(idx), np.asarray(ok)
@@ -162,6 +162,15 @@ def test_matcher_registry():
     # the growth variants must out-match plain BF
     assert counts["multiH"][1] > counts["BF"][1], counts
     assert counts["BFMultiH"][1] > counts["BF"][1], counts
+    # bowH = bucketed base + growth: must out-match the bucketed BoW base
+    assert counts["bowH"][1] > counts["BoW"][1], counts
+    # every matcher name a reference config can carry resolves (the
+    # approximate-NN / student variants collapse onto the exact-MXU
+    # classes; see models/matchers.py docstrings for the mapping)
+    for alias in ("flannH", "flann_multiH", "bf_knn_multiH", "hybird",
+                  "liu_bow", "bow_homography", "SiftGPU", "flanntest",
+                  "liu_SiftGPU", "bow"):
+        assert MATCHERS.create(alias, Svar()) is not None, alias
 
 
 def test_bucketed_matching_restricts_to_shared_nodes():
