@@ -59,6 +59,7 @@ class Tracker:
         self.max_overlap = cfg.get_double("SLAM.MaxOverlap", 0.95)
         self.loop_detector = None   # wired by SLAM for relocalization
         self.matcher = None         # lazy MATCHERS.create (Matcher?= cfg)
+        self._initializer = None    # lazy INITIALIZERS.create (Initializer?=)
         self.detector = None        # wired by SLAM (feature extractor)
         self.use_fused = False      # wired by SLAM (ORB + SLAM.Fused)
         self._local_stage = None    # staged local-map arrays (device)
@@ -157,7 +158,7 @@ class Tracker:
         ra = ref.rays[:, :2]
         rb = frame.rays[np.where(okn, idxn, 0)][:, :2]
         sigma = 1.0 / ref.camera.fx
-        res = init2view.initialize_two_view(
+        res = self._get_initializer()(
             self._next_key(), jnp.asarray(ra), jnp.asarray(rb),
             jnp.asarray(okn), sigma=max(sigma, 1e-4))
         if not bool(res.ok):
@@ -527,6 +528,15 @@ class Tracker:
                 return True
         return False
 
+    def _get_initializer(self):
+        """Lazy Initializer plugin (the reference's `Initializer?=` seam,
+        Initializer.h:22-34): svd (default, H/F RANSAC + cheirality) /
+        opt (joint SE3+inverse-depth epipolar LM) through INITIALIZERS."""
+        if self._initializer is None:
+            from .initializers import create_initializer
+            self._initializer = create_initializer(self.cfg)
+        return self._initializer
+
     def _get_matcher(self):
         """Lazy Matcher plugin (the reference's `Matcher?=` seam,
         Matcher.h): BF / multiH (default, MatcherMultiH.cpp) / BFMultiH
@@ -879,7 +889,7 @@ class TrackerPlanar(Tracker):
             return False
         ra = ref.rays[:, :2]
         rb = frame.rays[np.where(okn, idxn, 0)][:, :2]
-        res = init2view.initialize_two_view(
+        res = self._get_initializer()(
             self._next_key(), jnp.asarray(ra), jnp.asarray(rb),
             jnp.asarray(okn), sigma=max(1.0 / ref.camera.fx, 1e-4))
         if not bool(res.ok):   # :478 `_initializer->initialize` failed

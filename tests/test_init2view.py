@@ -71,3 +71,39 @@ def test_pure_rotation_rejected(rng):
     res = init2view.initialize_two_view(jax.random.PRNGKey(2), ra, rb,
                                         jnp.ones(ra.shape[0], bool))
     assert not bool(res.ok)
+
+
+def test_initializer_opt_variant(rng):
+    """Initializer?=opt (InitializerOpt.cpp): joint SE3 + inverse-depth
+    epipolar LM from identity recovers the same two-view geometry as svd
+    on a clean pair (the reference variant ships no RANSAC — Huber only,
+    matching its post-matcher-prune usage), and refuses a pure rotation
+    via the translation gate (:69-73). Also: every reference
+    `Initializer?=` name resolves through the registry."""
+    from pislamfusion_tpu.core.svar import Svar
+    from pislamfusion_tpu.models.initializers import (
+        InitializerOpt, InitializerSVD, create_initializer)
+    ra, rb, X, R, t, out = make_pair(rng, outlier_frac=0.0)
+    init = InitializerOpt()
+    res = init(jax.random.PRNGKey(3), ra, rb, jnp.ones(ra.shape[0], bool))
+    assert bool(res.ok)
+    check_motion(res, R, t)
+    mask = np.asarray(res.mask)
+    assert mask.sum() > 150
+    Xe = np.asarray(res.points)[mask]
+    Xt = X[mask]
+    scale = np.median(Xt[:, 2] / Xe[:, 2])
+    assert np.abs(Xe * scale - Xt).max() < 0.6
+    # pure rotation: the 0.03 translation gate must refuse
+    ra0, rb0, *_ = make_pair(rng, baseline=(0.0, 0.0, 0.0),
+                             outlier_frac=0.0)
+    res0 = init(jax.random.PRNGKey(4), ra0, rb0,
+                jnp.ones(ra0.shape[0], bool))
+    assert not bool(res0.ok)
+    # registry: every reference initializer registration resolves
+    cfg = Svar()
+    for name, cls in (("svd", InitializerSVD), ("eigen", InitializerSVD),
+                      ("svdzm", InitializerSVD), ("opt", InitializerOpt),
+                      ("opt_svd", InitializerOpt)):
+        cfg.set("Initializer", name)
+        assert isinstance(create_initializer(cfg), cls), name
