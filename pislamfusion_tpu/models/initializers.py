@@ -20,8 +20,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.registry import INITIALIZERS
+from ..core.registry import ESTIMATORS, INITIALIZERS
 from ..ops import ba, init2view, lie
+
+
+# --- Estimator?= seam (GSLAM/core/Estimator.h plugin): the reference picks
+# its geometric-estimation backend by name. Here the backends differ only
+# in the RANSAC local-optimization policy (the vmapped sweep + refit is
+# shared), so a profile resolves to the lo_topk passed to ops.ransac.
+ESTIMATORS.register("OpenCV", lambda cfg=None: 1)       # EstimatorOpenCV.cpp
+ESTIMATORS.register("opencv", lambda cfg=None: 1)
+ESTIMATORS.register(                                     # liuguochen/
+    "LORANSAC",                                          # EstimatorLORANSAC.cpp
+    lambda cfg=None: cfg.get_int("Estimator.LOTopK", 8) if cfg else 8)
+ESTIMATORS.register(
+    "loransac",
+    lambda cfg=None: cfg.get_int("Estimator.LOTopK", 8) if cfg else 8)
+
+
+def estimator_lo_topk(cfg) -> int:
+    """Resolve `Estimator?=` to the LO-RANSAC top-K (1 = plain best-refit)."""
+    name = cfg.get_string("Estimator", "OpenCV") if cfg else "OpenCV"
+    try:
+        return ESTIMATORS.create(name, cfg)
+    except KeyError:
+        from ..core.glog import logger
+        logger.warning(f"Estimator '{name}' unknown; using OpenCV")
+        return 1
 
 
 @INITIALIZERS.register("svd")
@@ -37,10 +62,12 @@ class InitializerSVD:
     def __init__(self, cfg=None):
         self.iters = cfg.get_int("Initializer.RansacIters", 256) \
             if cfg else 256
+        self.lo_topk = estimator_lo_topk(cfg)
 
     def __call__(self, key, ra, rb, valid, sigma: float = 0.004):
         return init2view.initialize_two_view(key, ra, rb, valid,
-                                             sigma=sigma, iters=self.iters)
+                                             sigma=sigma, iters=self.iters,
+                                             lo_topk=self.lo_topk)
 
 
 @INITIALIZERS.register("opt")

@@ -126,9 +126,9 @@ def _check_rt(R, t, ra, rb, valid, reproj_th2: float,
     return jnp.sum(good), good, X
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "lo_topk"))
 def initialize_two_view(key, ra_xy, rb_xy, valid, sigma: float = 0.004,
-                        iters: int = 256):
+                        iters: int = 256, lo_topk: int = 1):
     """Full two-view bootstrap. ra_xy, rb_xy: [N, 2] normalized coords of
     matched keypoints in frames a/b; sigma: measurement noise in normalized
     units (~1 px / f). Returns TwoViewResult; translation has unit norm
@@ -136,9 +136,11 @@ def initialize_two_view(key, ra_xy, rb_xy, valid, sigma: float = 0.004,
     ka, kb = jax.random.split(key)
     # --- H and F hypotheses + ORB-SLAM chi-square scores
     resH = ransac.find_homography(ka, ra_xy, rb_xy, valid,
-                                  threshold=2.447 * sigma, iters=iters)
+                                  threshold=2.447 * sigma, iters=iters,
+                                  lo_topk=lo_topk)
     resF = ransac.find_fundamental(kb, ra_xy, rb_xy, valid,
-                                   threshold=1.96 * sigma, iters=iters)
+                                   threshold=1.96 * sigma, iters=iters,
+                                   lo_topk=lo_topk)
     eh = _h_err(resH.model, ra_xy, rb_xy)
     ef = _f_err(resF.model, ra_xy, rb_xy)
     s2 = sigma * sigma

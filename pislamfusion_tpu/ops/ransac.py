@@ -132,10 +132,18 @@ def _f_epipolar_err(F, pa, pb):
     return d_a + d_b
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "lo_topk"))
 def find_homography(key, pa, pb, valid, threshold: float = 3.0,
-                    iters: int = 256):
-    """RANSAC H: pa -> pb (pixels). threshold in px (symmetric transfer)."""
+                    iters: int = 256, lo_topk: int = 1):
+    """RANSAC H: pa -> pb (pixels). threshold in px (symmetric transfer).
+
+    lo_topk > 1 enables LO-RANSAC (EstimatorLORANSAC.cpp:363-398): the
+    reference refits on the inlier set every time a hypothesis takes the
+    lead and keeps the refit when it scores better. The batched equivalent
+    refits the top-K hypotheses of the whole sweep in one vmap and keeps
+    the best refit by (inlier count, then inlier-error score) — every
+    "new best" of a serial scan is among the sweep's top-K, and the fixed
+    hypothesis budget plays the role of its adaptive-iteration stop."""
     na, Ta = _normalize_2d(pa, valid)
     nb, Tb = _normalize_2d(pb, valid)
     idx = _sample_indices(key, pa.shape[0], valid, iters, 4)
@@ -148,9 +156,14 @@ def find_homography(key, pa, pb, valid, threshold: float = 3.0,
     inl = (errs < th) & valid[None, :]
     counts = jnp.sum(inl, -1)
     best = jnp.argmax(counts)
-    # two rounds of all-inlier refit
     inliers = inl[best]
     Hn = Hs[best]
+    if lo_topk > 1:
+        Hn, inliers = _lo_refine(
+            counts, inl, valid, min(lo_topk, iters), th,
+            lambda m: _h_dlt_weighted(na, nb, m),
+            lambda M: _h_transfer_err(M, na, nb))
+    # two rounds of all-inlier refit
     for _ in range(2):
         Hn = _h_dlt_weighted(na, nb, inliers)
         err = _h_transfer_err(Hn, na, nb)
@@ -162,10 +175,32 @@ def find_homography(key, pa, pb, valid, threshold: float = 3.0,
     return RansacResult(H, inliers, count.astype(jnp.float32), ok)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+def _lo_refine(counts, inl, valid, k: int, th, fit, err_of):
+    """Shared LO-RANSAC step: refit the top-k hypotheses by inlier count on
+    their full inlier sets, rescore, return the winner's (model, inliers).
+    Winner order is lexicographic (count desc, truncated inlier error asc)
+    — CheckFundamental's score tie-break, EstimatorLORANSAC.cpp:254-255."""
+    _, cand = jax.lax.top_k(counts, k)
+
+    def one(ci):
+        M = fit(inl[ci])
+        err = err_of(M)
+        m = (err < th) & valid
+        return M, jnp.sum(m), jnp.sum(jnp.where(m, err, 0.0))
+
+    Ms, cc, sc = jax.vmap(one)(cand)
+    n = valid.shape[0]
+    keyv = cc.astype(jnp.float32) - sc / (th * n + 1.0)
+    bi = jnp.argmax(keyv)
+    M = Ms[bi]
+    return M, (err_of(M) < th) & valid
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lo_topk"))
 def find_fundamental(key, pa, pb, valid, threshold: float = 3.0,
-                     iters: int = 256):
-    """RANSAC F (8-point): pb^T F pa = 0. threshold in px."""
+                     iters: int = 256, lo_topk: int = 1):
+    """RANSAC F (8-point): pb^T F pa = 0. threshold in px.
+    lo_topk: see find_homography (LO-RANSAC top-K local optimization)."""
     na, Ta = _normalize_2d(pa, valid)
     nb, Tb = _normalize_2d(pb, valid)
     idx = _sample_indices(key, pa.shape[0], valid, iters, 8)
@@ -178,6 +213,11 @@ def find_fundamental(key, pa, pb, valid, threshold: float = 3.0,
     best = jnp.argmax(counts)
     inliers = inl[best]
     Fn = Fs[best]
+    if lo_topk > 1:
+        Fn, inliers = _lo_refine(
+            counts, inl, valid, min(lo_topk, iters), th,
+            lambda m: _f_dlt_weighted(na, nb, m),
+            lambda M: _f_epipolar_err(M, na, nb))
     for _ in range(2):
         Fn = _f_dlt_weighted(na, nb, inliers)
         err = _f_epipolar_err(Fn, na, nb)

@@ -107,3 +107,11 @@ def test_initializer_opt_variant(rng):
                       ("opt_svd", InitializerOpt)):
         cfg.set("Initializer", name)
         assert isinstance(create_initializer(cfg), cls), name
+    # Estimator?= seam: LORANSAC flips the initializer's RANSAC to the
+    # top-K local-optimization path (EstimatorLORANSAC.cpp)
+    from pislamfusion_tpu.models.initializers import estimator_lo_topk
+    assert estimator_lo_topk(cfg) == 1
+    cfg.set("Estimator", "LORANSAC")
+    assert estimator_lo_topk(cfg) == 8
+    cfg.set("Initializer", "svd")
+    assert create_initializer(cfg).lo_topk == 8

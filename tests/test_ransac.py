@@ -216,3 +216,42 @@ def test_parallax(rng):
     c_far = float(ransac.parallax_cos(Ta, Tb, far)[0])
     assert c_near < c_far
     assert c_far > 0.9998  # the reference's low-parallax rejection zone
+
+
+def test_lo_ransac_fundamental(rng):
+    """Estimator?=LORANSAC (liuguochen/EstimatorLORANSAC.cpp:363-398): the
+    top-K local-optimization pass must (a) stay exact on the same fixture
+    the plain path passes, and (b) never find FEWER inliers than the plain
+    best-refit path under a starved hypothesis budget — LO is the
+    reference's recovery for a weak minimal-sample draw."""
+    n = 300
+    T = rand_pose(rng)
+    X = np.asarray(rng.uniform(-1, 1, size=(n, 3))) + [0, 0, 4.0]
+    ra = X[:, :2] / X[:, 2:]
+    Xb = np.asarray(lie.se3_apply(lie.se3_inv(T), jnp.asarray(X,
+                                                              jnp.float32)))
+    rb = Xb[:, :2] / Xb[:, 2:]
+    ra += rng.normal(0, 0.001, ra.shape)
+    rb += rng.normal(0, 0.001, rb.shape)
+    out = rng.random(n) < 0.4
+    rb[out] = rng.uniform(-0.5, 0.5, size=(int(out.sum()), 2))
+    pa = jnp.asarray(ra, jnp.float32)
+    pb = jnp.asarray(rb, jnp.float32)
+    v = jnp.ones(n, bool)
+    # starved budget: 24 hypotheses against 40% outliers
+    plain = ransac.find_fundamental(jax.random.PRNGKey(5), pa, pb, v,
+                                    threshold=0.004, iters=24)
+    lo = ransac.find_fundamental(jax.random.PRNGKey(5), pa, pb, v,
+                                 threshold=0.004, iters=24, lo_topk=8)
+    assert bool(lo.ok)
+    assert float(lo.score) >= float(plain.score)
+    inl = np.asarray(lo.inliers)
+    assert inl[~out].mean() > 0.85
+    assert inl[out].mean() < 0.15
+    # homography variant smoke (same API)
+    hplain = ransac.find_homography(jax.random.PRNGKey(6), pa, pb, v,
+                                    threshold=0.004, iters=24)
+    hlo = ransac.find_homography(jax.random.PRNGKey(6), pa, pb, v,
+                                 threshold=0.004, iters=24, lo_topk=8)
+    assert float(hlo.score) >= 0  # H on non-planar scene: just must run
+    assert hlo.model.shape == hplain.model.shape
