@@ -248,6 +248,7 @@ class Mapper:
             th = 2.0 * sigma * np.sqrt(5.991)
             good = (okn & (da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
                     & (ea < th) & (eb < th) & np.isfinite(X).all(1))
+            good = self._filter_new_points(frame, good)
             color_img = frame.color if frame.color is not None else frame.image
             for j in np.nonzero(good)[0]:
                 ka = int(j)
@@ -277,6 +278,12 @@ class Mapper:
                 self._plane_buffer.append(pid)
                 created += 1
         return created
+
+    def _filter_new_points(self, frame: Frame, good):
+        """Candidate-selection hook for _create_new_points; the base mapper
+        keeps every candidate that passed the geometric gates. Subclasses
+        (MapperZhangMi) impose spatial quotas here."""
+        return good
 
     def _fuse(self, frame: Frame):
         """Project neighbors' points into this KF; bind to free keypoints,
@@ -854,3 +861,43 @@ class Mapper:
             self.plane_se3 = np.asarray(res.model)
             self.plane_queue.product(self.plane_se3)
             self._plane_sent = True
+
+
+@MAPPERS.register("zhangmi")
+class MapperZhangMi(Mapper):
+    """`Mapper?=zhangmi` (zhangmi/MapperZhangMi.cpp): same pipeline as demo
+    — identical 3-KF/2-obs recent-point culling (:190-211), parent fusion
+    (:375-422) and current+parents-free local BA (:424+) — but new-point
+    triangulation is SPATIALLY RATIONED: the reference walks the 32x32
+    feature grid and triangulates at most one match per cell, only in
+    cells holding no mapped keypoint yet (:228-246, "triangulate one
+    mappoint for one grid"). Even coverage at a fraction of the points —
+    the ablation counterpart to demo's take-everything policy. The guided
+    window match it uses per cell is subsumed by the base's batched
+    epipolar-gated matching; the quota is applied to the surviving
+    candidates, preferring the lowest-reprojection match per cell."""
+
+    GRID = 32   # FRAME_GRID_COLS == FRAME_GRID_ROWS == 32 (MapFrame.h:7-8)
+
+    def _filter_new_points(self, frame: Frame, good):
+        if not np.any(good):
+            return good
+        g = self.GRID
+        w = max(float(frame.camera.width), 1.0)
+        h = max(float(frame.camera.height), 1.0)
+        cx = np.clip((frame.xy[:, 0] * g / w).astype(np.int64), 0, g - 1)
+        cy = np.clip((frame.xy[:, 1] * g / h).astype(np.int64), 0, g - 1)
+        cell = cy * g + cx
+        # cells already holding a mapped keypoint never triangulate
+        # (needTriangulate=false, :234-241); kp2mp reflects points from
+        # earlier reference-keyframe passes too, so the quota holds
+        # across the whole _create_new_points call
+        occupied = set(cell[np.asarray(frame.kp2mp) >= 0].tolist())
+        out = np.zeros_like(good)
+        for j in np.nonzero(good)[0]:
+            c = int(cell[j])
+            if c in occupied:
+                continue
+            occupied.add(c)
+            out[j] = True
+        return out

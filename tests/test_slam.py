@@ -337,3 +337,40 @@ def test_tracker_planar_path():
     # design has the same propagation)
     assert np.percentile(np.abs(pz - (cam_z + 25.0)), 80) < 1.5, \
         (np.median(pz), cam_z)
+
+
+def test_mapper_zhangmi_grid_quota():
+    """Mapper?=zhangmi (zhangmi/MapperZhangMi.cpp:228-246): triangulation
+    rationed to one new point per 32x32 grid cell, only in cells without a
+    mapped keypoint — tracking must still hold on the strip, with strictly
+    fewer map points than the take-everything demo mapper on the same
+    frames and every keyframe's points spread across distinct cells."""
+    from pislamfusion_tpu.models.mapper import MapperZhangMi
+    rng = np.random.default_rng(13)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 61.0, 3.0)]
+
+    def run(mapper_name):
+        cfg = Svar()
+        cfg.set("FeatureDetector", "ORB")
+        cfg.set("Mapper", mapper_name)
+        cfg.set("SLAM.nFeature", "600")
+        cfg.set("SLAM.LoopClose", "0")
+        cfg.set("SLAM.BAFrameCap", "8")
+        cfg.set("SLAM.BAPointCap", "1024")
+        cfg.set("SLAM.BAObsCap", "4096")
+        cfg.set("SLAM.LocalBAIters", "8")
+        slam = create_slam(cfg, cam)
+        for i, p in enumerate(poses):
+            slam.track(render_view(ground, cam, p), float(i))
+        slam.finish()
+        return slam
+
+    zm = run("zhangmi")
+    assert isinstance(zm.mapper, MapperZhangMi)
+    assert zm.frames_tracked > 0.7 * zm.frames_total, \
+        (zm.frames_tracked, zm.frames_total)
+    demo = run("demo")
+    assert 0 < zm.map.point_num() < 0.8 * demo.map.point_num(), \
+        (zm.map.point_num(), demo.map.point_num())
