@@ -1016,3 +1016,58 @@ class TrackerPlanar(Tracker):
             ref.connections[frame.id] = n_pts
             frame.connections[ref.id] = n_pts
             self.map.version += 1
+
+
+@TRACKERS.register("liu_testInit")
+@TRACKERS.register("testInit")
+class TrackerInitTest(Tracker):
+    """`Tracker?=liu_testInit` (liuguochen/TrackTestInitializer.cpp:680):
+    an initializer EVALUATION harness, not a SLAM tracker. Every frame it
+    matches against the previous frame and runs the configured
+    `Initializer?=` on the pair, accumulating what the reference's
+    Evaluater reports at exit — successes/attempts, mean match count,
+    mean inlier count (:55-78, success() at :673). Builds no map;
+    `report()` returns the stats dict (the reference LOG(INFO)s it)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.attempts = 0
+        self.successes: list = []   # (n_match, n_inliers) per accepted pair
+
+    def track(self, frame: Frame) -> bool:
+        self.ensure_features(frame)
+        ref = self.ref_frame
+        self.ref_frame = frame
+        self.last_frame = frame
+        if ref is None or ref.n_kp == 0 or frame.n_kp == 0:
+            return False
+        self.attempts += 1
+        idx, ok = self._get_matcher()(self._next_key(), ref, frame)
+        idxn, okn = jax.device_get((idx, ok))
+        n_match = int(okn.sum())
+        # match4initialize acceptance gate (:436): at least 100 matches or
+        # a tenth of the reference frame's keypoints
+        if n_match < max(100, ref.n_kp // 10):
+            return False
+        ra = ref.rays[:, :2]
+        rb = frame.rays[np.where(okn, idxn, 0)][:, :2]
+        res = self._get_initializer()(
+            self._next_key(), jnp.asarray(ra), jnp.asarray(rb),
+            jnp.asarray(okn), sigma=max(1.0 / ref.camera.fx, 1e-4))
+        if not bool(res.ok):
+            return False
+        n_inl = int(np.asarray(res.mask).sum())
+        self.successes.append((n_match, n_inl))
+        self._n_inliers = n_inl
+        return True
+
+    def report(self) -> dict:
+        """Evaluater::report (:66-77): mean matches/inliers over successes."""
+        n = len(self.successes)
+        return {
+            "success": n, "attempts": self.attempts,
+            "mean_matches": int(np.mean([m for m, _ in self.successes]))
+            if n else 0,
+            "mean_inliers": int(np.mean([i for _, i in self.successes]))
+            if n else 0,
+        }

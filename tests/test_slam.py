@@ -374,3 +374,31 @@ def test_mapper_zhangmi_grid_quota():
     demo = run("demo")
     assert 0 < zm.map.point_num() < 0.8 * demo.map.point_num(), \
         (zm.map.point_num(), demo.map.point_num())
+
+
+def test_tracker_liu_testinit_harness():
+    """Tracker?=liu_testInit (liuguochen/TrackTestInitializer.cpp): the
+    initializer-evaluation harness must run pairwise initialization on a
+    strip without building a map, and report() must mirror Evaluater
+    (successes/attempts + mean matches/inliers)."""
+    from pislamfusion_tpu.models.tracker import TrackerInitTest
+    rng = np.random.default_rng(14)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 49.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "liu_testInit")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.LoopClose", "0")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    tr = slam.tracker
+    assert isinstance(tr, TrackerInitTest)
+    rep = tr.report()
+    assert rep["attempts"] == len(poses) - 1
+    assert rep["success"] >= 0.6 * rep["attempts"], rep
+    assert rep["mean_inliers"] > 50, rep
+    assert slam.map.point_num() == 0      # evaluation only, no map
