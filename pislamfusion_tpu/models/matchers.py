@@ -205,6 +205,8 @@ class MatcherBoWH(MatcherBoW):
 
 
 @MATCHERS.register("BFMultiH")
+@MATCHERS.register("bf_multiH")
+@MATCHERS.register("zy_bfMultiH")
 class MatcherBFMultiH:
     """MatcherBFMultiH.cpp:296-490: cross-check BF, best-run rotation
     vote, F-RANSAC prune, peel <=5 homographies, epipolar-guided window

@@ -61,7 +61,11 @@ def _default_vocabulary():
 
 
 @FEATURE_DETECTORS.register("ORB")
-class OrbDetector:
+@FEATURE_DETECTORS.register("cvORB")      # FeatureDetectorcvORB (OpenCV
+@FEATURE_DETECTORS.register("liu_ORB")    # backend) and the liuguochen
+@FEATURE_DETECTORS.register("liu_cvORB")  # re-registrations differ only in
+class OrbDetector:                        # the host library wrapped; one
+    # TPU ORB program serves all four names (same pattern/pyramid/BRIEF)
     def __init__(self, cfg):
         import functools
         import jax

@@ -1071,3 +1071,64 @@ class TrackerInitTest(Tracker):
             "mean_inliers": int(np.mean([i for _, i in self.successes]))
             if n else 0,
         }
+
+
+@TRACKERS.register("testLoopDetector")
+class TrackerLoopTest(Tracker):
+    """`Tracker?=testLoopDetector` (zhaoyong/TrackerTestLoopDetector.cpp:
+    97-169): a loop-DETECTOR evaluation harness — no pose estimation, no
+    triangulation. A frame becomes a keyframe when its matches to the last
+    keyframe fall under 200 (and >0.5 s passed, :116); each keyframe
+    queries the wired `LoopDetector?=` and match-verifies every candidate
+    (>=50 matches, :150-152). Verified (ref_id, frame_id) loop pairs land
+    in `self.loops_found` (the reference LOG(INFO)s "LoopFound")."""
+
+    supports_fused = False
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._local_kfs: list = []    # <=6 recent keyframes (:125)
+        self.loops_found: list = []   # verified (ref_id, frame_id)
+        self.n_keyframes = 0
+
+    def track(self, frame: Frame) -> bool:
+        self.ensure_features(frame)
+        self.last_frame = frame
+        if frame.n_kp < 300:          # :103
+            return False
+        if not self._local_kfs:
+            frame.is_keyframe = True
+            self.map.insert_frame(frame)
+            self._local_kfs.append(frame)
+            self.n_keyframes += 1
+            if self.loop_detector is not None:
+                self.loop_detector.insert(frame)
+            return True
+        last = self._local_kfs[-1]
+        idx, ok = self._get_matcher()(self._next_key(), last, frame)
+        n_match = int(jax.device_get(jnp.sum(ok)))
+        if n_match < 200 and frame.timestamp - last.timestamp > 0.5:
+            frame.is_keyframe = True
+            self.n_keyframes += 1
+            # parent connections so the detector's exclusion set mirrors
+            # the reference's addParent before obtainCandidates (:117-123)
+            for ref in self._local_kfs:
+                frame.connections[ref.id] = n_match
+            if len(self._local_kfs) > 5:
+                self._local_kfs.pop(0)   # :125
+            self._local_kfs.append(frame)
+            cands = (self.loop_detector.candidates(frame)
+                     if self.loop_detector is not None else [])
+            self.map.insert_frame(frame)
+            if self.loop_detector is not None:
+                self.loop_detector.insert(frame)
+            frame.connections = {}       # clearParents (:136)
+            for fid in cands:
+                ref = self.map.frame(fid)
+                if ref is None:
+                    continue
+                i2, o2 = self._get_matcher()(self._next_key(), ref, frame)
+                if int(jax.device_get(jnp.sum(o2))) < 50:   # :150-152
+                    continue
+                self.loops_found.append((fid, frame.id))
+        return True

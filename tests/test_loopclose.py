@@ -73,3 +73,32 @@ def test_loop_closes_and_reduces_drift():
     assert ate_on <= ate_off * 1.05, (ate_on, ate_off)
     span = 2 * 16.0
     assert ate_on < 0.03 * span, f"ATE {ate_on:.3f} m after closure"
+
+
+def test_tracker_test_loop_detector_harness():
+    """Tracker?=testLoopDetector (zhaoyong/TrackerTestLoopDetector.cpp):
+    the loop-detector evaluation harness walks the closed circuit with no
+    pose estimation, promotes keyframes on match decay, and must find at
+    least one match-verified loop pair with a real frame gap when the
+    circuit closes."""
+    from pislamfusion_tpu.models.tracker import TrackerLoopTest
+    rng = np.random.default_rng(15)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = _circuit()
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "testLoopDetector")
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.LoopClose", "1")
+    cfg.set("LoopDetector", "BoW")
+    cfg.set("SLAM.LoopMinFrameGap", "25")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    tr = slam.tracker
+    assert isinstance(tr, TrackerLoopTest)
+    assert tr.n_keyframes >= 4, tr.n_keyframes
+    assert len(tr.loops_found) >= 1, "no verified loop on a closed circuit"
+    assert all(f - r >= 25 for r, f in tr.loops_found), tr.loops_found
