@@ -212,7 +212,7 @@ def main():
     label = ("track+fuse FPS @320x240 (BENCH_SMALL smoke run)" if small else
              "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
              "5-band mosaic composite, single chip)")
-    print(json.dumps({
+    result = {
         "metric": label,
         "value": round(fps, 2),
         "unit": "frames/sec",
@@ -224,18 +224,43 @@ def main():
         "sift_track_fuse_fps": sift_fps,
         "slam_track_fps": slam_fps,
         "slam_frames_tracked": slam_tracked,
-    }))
+    }
+    print(json.dumps(result))
+    # remember the last good ON-HARDWARE run: the axon tunnel has multi-hour
+    # outages, and a dead tunnel at measurement time should report the error
+    # WITH the most recent real measurement attached (never AS the value)
+    if os.environ.get("BENCH_CPU", "") != "1" and not small and fps > 0:
+        try:
+            result["measured_at"] = time.time()
+            with open(os.path.join(os.path.dirname(os.path.abspath(
+                    __file__)), ".bench_last_good.json"), "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
 
 
 def _error_json(exc: BaseException) -> str:
-    return json.dumps({
+    out = {
         "metric": "track+fuse FPS @1080p (ORB-1000 + match + pose LM + "
                   "5-band mosaic composite, single chip)",
         "value": 0.0,
         "unit": "frames/sec",
         "vs_baseline": 0.0,
         "error": f"{type(exc).__name__}: {exc}",
-    })
+    }
+    # attach (never substitute) the last successful on-hardware measurement
+    # so a tunnel outage at bench time doesn't erase the real number
+    try:
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_last_good.json")
+        with open(p) as f:
+            last = json.load(f)
+        last["age_hours"] = round(
+            (time.time() - last.pop("measured_at", 0.0)) / 3600.0, 1)
+        out["last_good_on_hardware"] = last
+    except (OSError, ValueError):
+        pass
+    return json.dumps(out)
 
 
 def _probe_backend(timeout_s: float) -> bool:
