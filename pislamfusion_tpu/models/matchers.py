@@ -73,7 +73,7 @@ class MatcherBoW:
         self._nids: dict = {}                # frame id -> node ids
         self._warned = False
 
-    def _vocabulary(self):
+    def _vocabulary(self, kind: str = "orb"):
         if not self._vocab_tried:
             self._vocab_tried = True
             import os
@@ -85,13 +85,14 @@ class MatcherBoW:
             if path and os.path.isfile(path):
                 self._vocab = _load_vocabulary_cached(path)
             if self._vocab is None:
-                self._vocab = _default_vocabulary()
+                self._vocab = _default_vocabulary(
+                    "sift" if kind == "sift" else "orb")
         return self._vocab
 
     def _node_ids(self, frame):
         nid = self._nids.get(frame.id)
         if nid is None:
-            vocab = self._vocabulary()
+            vocab = self._vocabulary(getattr(frame, "desc_kind", "orb"))
             # clamp to the vocab depth: levelsup >= L would bucket at the
             # root (node level L - levelsup <= 0 -> one bucket == plain
             # BF); keep at least one branching level
@@ -104,7 +105,7 @@ class MatcherBoW:
         return nid
 
     def __call__(self, key, fa, fb):
-        vocab = self._vocabulary()
+        vocab = self._vocabulary(getattr(fa, "desc_kind", "orb"))
         desc_a, valid_a, _, ang_a = _arrays(fa)
         desc_b, valid_b, _, ang_b = _arrays(fb)
         if vocab is None or (vocab.is_binary != (fa.desc_kind == "orb")):
@@ -183,7 +184,7 @@ class MatcherBoWH(MatcherBoW):
         self.window = cfg.get_double("Matcher.Window", 8.0) if cfg else 8.0
 
     def __call__(self, key, fa, fb):
-        vocab = self._vocabulary()
+        vocab = self._vocabulary(getattr(fa, "desc_kind", "orb"))
         desc_a, valid_a, xy_a, ang_a = _arrays(fa)
         desc_b, valid_b, xy_b, ang_b = _arrays(fb)
         base_mask = None

@@ -44,17 +44,22 @@ def _load_vocabulary_cached(path: str):
     return Vocabulary.load(path)
 
 
-@functools.lru_cache(maxsize=1)
-def _default_vocabulary():
-    """The embedded default ORB vocabulary (resources/orb_vocab.py,
-    trained by scripts/train_default_vocab.py), or None if unavailable.
-    Memoized: SLAM's loop detector and Matcher=BoW share one instance
-    (one set of device-resident descent tables)."""
+@functools.lru_cache(maxsize=2)
+def _default_vocabulary(kind: str = "orb"):
+    """The embedded default vocabulary for the detector kind — binary ORB
+    (resources/orb_vocab.py, scripts/train_default_vocab.py) or float SIFT
+    (resources/sift_vocab.py, scripts/train_sift_vocab.py) — or None if
+    unavailable. The reference ships its .gbow inside the binary the same
+    way (FileResource.h:9-111). Memoized: SLAM's loop detector and
+    Matcher=BoW share one instance (one set of device descent tables)."""
     try:
         from ..core import resource
         from ..ops.vocabulary import Vocabulary
-        from ..resources import orb_vocab                       # noqa: F401
-        data = resource.get(orb_vocab.NAME)
+        if kind == "sift":
+            from ..resources import sift_vocab as mod           # noqa: F401
+        else:
+            from ..resources import orb_vocab as mod            # noqa: F401
+        data = resource.get(mod.NAME)
         return Vocabulary.loads(data) if data else None
     except Exception:                                           # noqa: BLE001
         return None
@@ -160,15 +165,13 @@ class SLAM:
         from .loopclose import LoopDetectorBoW
         feat_kind = cfg.get_string(
             "FeatureDetector", cfg.get_string("SLAM.Feature", "ORB"))
-        if det_name == "BoW" and self.vocabulary is None \
-                and feat_kind.lower() != "sift":
-            # no vocab configured: fall back to the EMBEDDED default ORB
-            # vocabulary (the reference ships its .gbow inside the binary
-            # via FileResource, FileResource.h:9-111) before degrading to
-            # the GPS distance detector. ORB only — a binary vocab cannot
-            # score SIFT's float descriptors (the SIFT config still
-            # degrades to GPS below)
-            self.vocabulary = _default_vocabulary()
+        if det_name == "BoW" and self.vocabulary is None:
+            # no vocab configured: fall back to the EMBEDDED default
+            # vocabulary matching the detector's descriptor type — binary
+            # ORB or float SIFT (the reference's Default.cfg detector) —
+            # before degrading to the GPS distance detector
+            self.vocabulary = _default_vocabulary(
+                "sift" if feat_kind.lower() == "sift" else "orb")
         if det_name == "BoW" and self.vocabulary is None:
             det_name = "GPS"    # no vocab -> fall back to distance detector
         detector = LOOP_DETECTORS.create(det_name, self.map, cfg)

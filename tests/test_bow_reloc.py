@@ -76,3 +76,43 @@ def test_bow_kidnap_recovery():
         if d < 0.2 * span:
             ok += 1
     assert ok >= 1, "recovered pose far from the revisited map region"
+
+
+def test_sift_default_vocabulary_bow():
+    """The reference's DEFAULT detector is SIFT (Default.cfg:2-9) and its
+    loop detection is BoW over a shipped vocabulary. The embedded float
+    SIFT vocab (resources/sift_vocab, scripts/train_sift_vocab.py) must
+    auto-load for SIFT configs — previously they silently degraded to the
+    GPS distance detector — and assign words to real SIFT descriptors."""
+    import jax.numpy as jnp
+    from pislamfusion_tpu.models.slam import _default_vocabulary
+
+    voc = _default_vocabulary("sift")
+    assert voc is not None and not voc.empty()
+    assert not voc.is_binary and voc.node_desc.shape[1] == 128
+    # word assignment on real SIFT descriptors from a textured frame
+    rng = np.random.default_rng(8)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    img = render_view(ground, cam, nadir_pose(40.0, 40.0, 25.0))
+    from pislamfusion_tpu.ops.features import sift
+    feats = sift.sift_detect(
+        jnp.asarray(np.asarray(img, np.float32).mean(-1)),
+        sift.SiftParams(n_features=300, contrast_threshold=0.008))
+    wid, w, _ = voc.transform_arrays(feats["desc"], feats["valid"])
+    widn = np.asarray(wid)[np.asarray(feats["valid"])]
+    assert len(widn) > 20
+    assert (widn >= 0).all()
+    assert len(np.unique(widn)) > 10    # spreads over the vocabulary
+    # the SLAM wiring must pick BoW (not the GPS fallback) for SIFT
+    cfg = Svar()
+    cfg.set("FeatureDetector", "Sift")
+    cfg.set("Sift.ContrastThreshold", "0.008")
+    cfg.set("SLAM.nFeature", "300")
+    cfg.set("SLAM.LoopClose", "1")
+    cfg.set("LoopDetector", "BoW")
+    slam = create_slam(cfg, cam)
+    slam.track(img, 0.0)
+    slam.track(render_view(ground, cam, nadir_pose(42.0, 40.0, 25.0)), 1.0)
+    assert isinstance(slam.tracker.loop_detector, LoopDetectorBoW)
+    assert slam.vocabulary is not None and not slam.vocabulary.is_binary
