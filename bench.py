@@ -255,11 +255,13 @@ def _error_json(exc: BaseException) -> str:
                          ".bench_last_good.json")
         with open(p) as f:
             last = json.load(f)
-        last["age_hours"] = round(
-            (time.time() - last.pop("measured_at", 0.0)) / 3600.0, 1)
-        out["last_good_on_hardware"] = last
-    except (OSError, ValueError):
-        pass
+        if isinstance(last, dict):
+            ts = last.pop("measured_at", None)
+            if isinstance(ts, (int, float)) and ts > 0:
+                last["age_hours"] = round((time.time() - ts) / 3600.0, 1)
+            out["last_good_on_hardware"] = last
+    except Exception:  # noqa: BLE001 — never mask the real error with the
+        pass           # fallback formatter's own failure
     return json.dumps(out)
 
 

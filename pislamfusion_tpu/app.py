@@ -195,17 +195,17 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
 def main(argv: Optional[List[str]] = None) -> int:
     from .core.jaxcache import enable_persistent_cache
     from .core.svar import svar
+    if argv is None:
+        argv = sys.argv[1:]
     # crash stacktraces on SIGSEGV/SIGABRT/fatal signals — the reference
     # installs installStackTrace() first thing in main (src/main.cpp:12,
     # gui/StackTrace.cpp:334 prints 100 frames to stderr). faulthandler is
     # the CPython-native equivalent (covers C-extension/XLA crashes that a
     # Python traceback would miss). Opt out with StackTrace=0.
     import faulthandler
-    if "StackTrace=0" not in (argv if argv is not None else sys.argv[1:]):
+    if "StackTrace=0" not in argv:
         faulthandler.enable()
     enable_persistent_cache()
-    if argv is None:
-        argv = sys.argv[1:]
     positional = svar.parse_main(argv)
     act = svar.get_string("Act", "SLAM")
     if act == "SLAM":

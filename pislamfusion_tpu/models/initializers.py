@@ -115,8 +115,14 @@ class InitializerOpt:
         q = jnp.maximum(idepth, 1e-6)
         points = ray3 / q[:, None]
         # :79-88 — idepth in (0.1, 20) i.e. depth in (0.05, 10);
-        # normalized squared reprojection below 1e-5
-        mask = valid & (idepth > 0.1) & (idepth < 20.0) & (chi2_2d < 1e-5)
+        # normalized squared reprojection below 1e-5. ALSO require the
+        # point in front of the SECOND camera: optimize_pose_invdepth
+        # zeroes the residual when the reprojected depth is <= 1e-6
+        # (ops/ba.py), so chi2_2d == 0 alone would pass behind-camera
+        # matches through the gate (the SVD path's db > 0 twin).
+        pc2 = lie.se3_apply(T_w2c, points)
+        mask = (valid & (idepth > 0.1) & (idepth < 20.0)
+                & (chi2_2d < 1e-5) & (pc2[:, 2] > 1e-6))
         n_pts = int(jnp.sum(mask))
         ok = (n_pts > 50) and (2 * n_pts > n_valid)    # :90-95
         return init2view.TwoViewResult(

@@ -248,7 +248,7 @@ class Mapper:
             th = 2.0 * sigma * np.sqrt(5.991)
             good = (okn & (da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
                     & (ea < th) & (eb < th) & np.isfinite(X).all(1))
-            good = self._filter_new_points(frame, good)
+            good = self._filter_new_points(frame, good, ea + eb)
             color_img = frame.color if frame.color is not None else frame.image
             for j in np.nonzero(good)[0]:
                 ka = int(j)
@@ -279,10 +279,11 @@ class Mapper:
                 created += 1
         return created
 
-    def _filter_new_points(self, frame: Frame, good):
+    def _filter_new_points(self, frame: Frame, good, err=None):
         """Candidate-selection hook for _create_new_points; the base mapper
         keeps every candidate that passed the geometric gates. Subclasses
-        (MapperZhangMi) impose spatial quotas here."""
+        (MapperZhangMi) impose spatial quotas here. err: [N] summed
+        two-view reprojection error per candidate (quota tie-breaking)."""
         return good
 
     def _fuse(self, frame: Frame):
@@ -879,7 +880,7 @@ class MapperZhangMi(Mapper):
 
     GRID = 32   # FRAME_GRID_COLS == FRAME_GRID_ROWS == 32 (MapFrame.h:7-8)
 
-    def _filter_new_points(self, frame: Frame, good):
+    def _filter_new_points(self, frame: Frame, good, err=None):
         if not np.any(good):
             return good
         g = self.GRID
@@ -894,7 +895,10 @@ class MapperZhangMi(Mapper):
         # across the whole _create_new_points call
         occupied = set(cell[np.asarray(frame.kp2mp) >= 0].tolist())
         out = np.zeros_like(good)
-        for j in np.nonzero(good)[0]:
+        cand = np.nonzero(good)[0]
+        if err is not None:     # lowest reprojection error wins its cell
+            cand = cand[np.argsort(np.asarray(err)[cand], kind="stable")]
+        for j in cand:
             c = int(cell[j])
             if c in occupied:
                 continue

@@ -1096,8 +1096,12 @@ class TrackerLoopTest(Tracker):
         self.last_frame = frame
         if frame.n_kp < 300:          # :103
             return False
+        # NB: is_keyframe stays False — setting it would route these
+        # identity-pose frames into SLAM's loop_closer.try_close, which
+        # (a) re-inserts them into the same detector (double posting-list
+        # entries halve the common-words gate) and (b) attempts real SE3
+        # closures on an evaluation-only map
         if not self._local_kfs:
-            frame.is_keyframe = True
             self.map.insert_frame(frame)
             self._local_kfs.append(frame)
             self.n_keyframes += 1
@@ -1108,7 +1112,6 @@ class TrackerLoopTest(Tracker):
         idx, ok = self._get_matcher()(self._next_key(), last, frame)
         n_match = int(jax.device_get(jnp.sum(ok)))
         if n_match < 200 and frame.timestamp - last.timestamp > 0.5:
-            frame.is_keyframe = True
             self.n_keyframes += 1
             # parent connections so the detector's exclusion set mirrors
             # the reference's addParent before obtainCandidates (:117-123)
