@@ -155,7 +155,9 @@ class SLAM:
         # vocabulary (for BoW loop detection / relocalization); loaded from
         # a .gbow file (Vocabulary.h:98-107) when configured
         import os
-        vocab_path = cfg.get_string("Vocabulary", "")
+        # Default.cfg aliases the path as SLAM.Vocabulary?=$(Vocabulary)
+        vocab_path = cfg.get_string(
+            "Vocabulary", cfg.get_string("SLAM.Vocabulary", ""))
         if self.vocabulary is None and vocab_path and \
                 os.path.isfile(vocab_path):
             from ..ops.vocabulary import Vocabulary

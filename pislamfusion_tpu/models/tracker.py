@@ -211,10 +211,19 @@ class Tracker:
     # ------------------------------------------------------------ tracking
     def _track_frame(self, frame: Frame) -> bool:
         ok = False
-        if self.status == Status.TRACKING and self.last_frame is not None:
+        # the reference's stage toggles (TrackerOpt.cpp:638, :1109-1110):
+        # DisableTrackLastFrame skips last-frame matching entirely (every
+        # frame tracks against the ref keyframe); EnableTrackSubMap=0 skips
+        # the local-map refinement pass
+        track_last = not self.cfg.get_bool("DisableTrackLastFrame", False)
+        track_submap = self.cfg.get_bool("EnableTrackSubMap", True)
+        if track_last and self.status == Status.TRACKING \
+                and self.last_frame is not None:
             # gate on the HOST cache directly — touching frame.desc would
             # materialize predispatched device features (a tunnel fetch)
-            if self.use_fused and frame._feats is None:
+            # the fused program hard-wires last-frame + local-map stages,
+            # so it only serves the default toggle combination
+            if self.use_fused and frame._feats is None and track_submap:
                 ok = self._track_fused(frame)
                 if ok:   # fused path already ran the local-map refinement
                     self.status = Status.TRACKING
@@ -227,7 +236,7 @@ class Tracker:
         self.ensure_features(frame)
         if not ok:
             ok = self._track_ref_kf(frame)
-        if ok:
+        if ok and track_submap:
             ok = self._track_local_map(frame)
         if ok:
             self.status = Status.TRACKING

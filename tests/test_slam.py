@@ -402,3 +402,31 @@ def test_tracker_liu_testinit_harness():
     assert rep["success"] >= 0.6 * rep["attempts"], rep
     assert rep["mean_inliers"] > 50, rep
     assert slam.map.point_num() == 0      # evaluation only, no map
+
+
+def test_tracker_stage_toggles():
+    """DisableTrackLastFrame / EnableTrackSubMap (TrackerOpt.cpp:638,
+    :1109-1110): with last-frame matching disabled and the submap pass off,
+    every frame must route through trackRefKeyframe alone and the strip
+    must still track."""
+    rng = np.random.default_rng(16)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in np.arange(25.0, 55.0, 3.0)]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "600")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("DisableTrackLastFrame", "1")
+    cfg.set("EnableTrackSubMap", "0")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    for i, p in enumerate(poses):
+        slam.track(render_view(ground, cam, p), float(i))
+    slam.finish()
+    assert slam.frames_tracked > 0.7 * slam.frames_total, \
+        (slam.frames_tracked, slam.frames_total)
+    assert slam.map.point_num() > 100
