@@ -430,3 +430,58 @@ def test_tracker_stage_toggles():
     assert slam.frames_tracked > 0.7 * slam.frames_total, \
         (slam.frames_tracked, slam.frames_total)
     assert slam.map.point_num() > 100
+
+
+def test_reference_shaped_config_file(tmp_path):
+    """A Default.cfg-shaped config (same key schema, `?=` defaults, the
+    if/else vocabulary selection, GUI keys present-but-inert) must come up
+    with exactly the reference's module selections through `conf=` — the
+    switch-over path for a reference user's existing config files."""
+    cfg_file = tmp_path / "default_like.cfg"
+    cfg_file.write_text(
+        "Map?=Hash\n"
+        "LoopDetector?=GPS\n"
+        "FeatureDetector?=ORB\n"
+        "Tracker?=opt\n"
+        "Mapper?=demo\n"
+        "Matcher?=multiH\n"
+        "Initializer?=svd\n"
+        "if $(FeatureDetector)=Sift\n"
+        "Vocabulary?=sift_10_4_tf_l1.gbow\n"
+        "else\n"
+        "Vocabulary?=\n"
+        "endif\n"
+        "DisableTrackLastFrame?=0\n"
+        "EnableTrackSubMap?=1\n"
+        "BundlePlugin?=libgslam_optimizer_xx\n"
+        "SLAM.Feature   ?= $(FeatureDetector)\n"
+        "SLAM.nFeature  ?= 600\n"
+        "SLAM.isOnline  ?= 0\n"
+        "SLAM.RestartWhenLost ?= 0\n"
+        "SLAM.MaxOverlap?= 0.95\n"
+        "SLAM.MaxLoopDistance=400\n"
+        "SLAM.LoopClose=0\n"
+        "AutoStart=1\nAutoQuit=0\nWin3D.Enable?=1\n"
+        "Map2D.Type ?=3\nMap2D.Scale?=0.5\nMap2D.Alpha?=0\n"
+        "Map2D.BandNumber=5\nVideo.fps=30\n"
+        "Result.BackGroundColor=255\n")
+    cfg = Svar()
+    cfg.parse_main([f"conf={cfg_file}"])
+    assert cfg.get_string("SLAM.Feature", "") == "ORB"   # $() expansion
+    assert cfg.get_string("Vocabulary", "x") == ""       # else-branch taken
+    rng = np.random.default_rng(17)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    slam = create_slam(cfg, cam)
+    for i in range(8):
+        slam.track(render_view(ground, cam,
+                               nadir_pose(25.0 + 3.0 * i, 30.0, 25.0)),
+                   float(i))
+    slam.finish()
+    from pislamfusion_tpu.models.mapper import Mapper as MapperDemo
+    from pislamfusion_tpu.models.matchers import MatcherMultiH
+    from pislamfusion_tpu.models.tracker import Tracker as TrackerOpt
+    assert type(slam.tracker) is TrackerOpt
+    assert type(slam.mapper) is MapperDemo
+    assert isinstance(slam.tracker._get_matcher(), MatcherMultiH)
+    assert slam.frames_tracked >= 5
