@@ -169,7 +169,7 @@ def test_matcher_registry():
     # classes; see models/matchers.py docstrings for the mapping)
     for alias in ("flannH", "flann_multiH", "bf_knn_multiH", "hybird",
                   "liu_bow", "bow_homography", "SiftGPU", "flanntest",
-                  "liu_SiftGPU", "bow"):
+                  "liu_SiftGPU", "bow", "bf_multiH", "zy_bfMultiH"):
         assert MATCHERS.create(alias, Svar()) is not None, alias
 
 
