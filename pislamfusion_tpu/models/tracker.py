@@ -298,9 +298,16 @@ class Tracker:
         # MATERIALIZE the device features (a full tunnel fetch per frame)
         if last is None or last.n_kp == 0 or last.n_tracked() < 20:
             return False
-        if self._local_stage is None:
+        # SNAPSHOT the stage tuple: invalidate_local_stage() runs on the
+        # mapper thread (GPS SIM3 fit / loop-closure callbacks) and nulls
+        # self._local_stage at any time — re-reading the attribute after
+        # the None-check raced exactly that (unpack-of-None crashes seen
+        # in the 500-frame online stress under cold-compile timing)
+        stage = self._local_stage
+        if stage is None:
             self._stage_local_map()
-            if self._local_stage is None:
+            stage = self._local_stage
+            if stage is None:
                 return False
         cam = frame.camera
         # snapshot the staging inputs ATOMICALLY vs whole-map rewrites
@@ -313,7 +320,7 @@ class Tracker:
                                                    self.motion))
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
-        lpos, ldesc, lvalid, ids_p = self._local_stage
+        lpos, ldesc, lvalid, ids_p = stage
         # previous frame's features: reuse the DEVICE handles from its own
         # fused step when present (zero re-upload), else stage from host.
         # SNAPSHOT feats_dev first: the online mapper worker nulls it after
