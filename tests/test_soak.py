@@ -119,3 +119,43 @@ def test_online_liveness():
     assert slam.track_errors == 0, f"{slam.track_errors} thread errors"
     assert slam.frames_total == len(poses)
     assert slam.frames_tracked > 0.2 * len(poses)
+
+
+def test_online_long_race_hunt():
+    """250-frame ONLINE survey with loop closure (BoW), GPS fitting, and
+    culling all active — the configuration whose thread interleaving
+    crashed round 2's 500-frame stress (unpack of a mapper-invalidated
+    _local_stage snapshot, tracker.py). Accuracy is NOT asserted (online
+    mode starves on 1 core); the assertion is zero tracking-thread
+    exceptions and liveness to the end."""
+    rng = np.random.default_rng(31)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = []
+    for r in range(2):
+        for iy, y in enumerate(np.arange(30.0, 56.0, 4.0)):
+            xs = np.arange(26.0, 62.0, 1.5)
+            for x in (xs if iy % 2 == 0 else xs[::-1]):
+                poses.append(nadir_pose(x, y, 25.0))
+    poses = np.stack(poses)[:250]
+    local = LocalFrame(116.0, 40.0, 0.0)
+    cfg = Svar()
+    for k, v in [("FeatureDetector", "ORB"), ("SLAM.nFeature", "400"),
+                 ("SLAM.MaxOverlap", "0.9"), ("SLAM.LoopClose", "1"),
+                 ("LoopDetector", "BoW"), ("SLAM.isOnline", "1"),
+                 ("SLAM.BAFrameCap", "8"), ("SLAM.BAPointCap", "1024"),
+                 ("SLAM.BAObsCap", "4096"), ("SLAM.LocalBAIters", "6"),
+                 ("Plane.MinPoints", "400"), ("GPS.MinFrames2Fit", "5")]:
+        cfg.set(k, v)
+    slam = create_slam(cfg, cam)
+    fusion = FusionSystem(cfg, cam).start()
+    rng2 = np.random.default_rng(32)
+    for i, p in enumerate(poses):
+        img = render_view(ground, cam, p)
+        lla = local.local_to_lla(p[:3] + rng2.normal(0, 0.4, 3))
+        slam.track(img, float(i), gps_lla=lla, gps_acc=0.5)
+    slam.finish()
+    fusion.finish()
+    assert slam.track_errors == 0, f"{slam.track_errors} thread errors"
+    assert slam.frames_total == len(poses)
+    assert slam.map.point_num() > 0
