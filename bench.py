@@ -281,6 +281,32 @@ def _probe_backend(timeout_s: float) -> bool:
         return False
 
 
+if __name__ == "__main__" and os.environ.get("BENCH_CHILD", "") != "1":
+    # Supervisor shell: a SIGSEGV (e.g. deserializing a CORRUPT persistent
+    # compilation-cache entry — seen 2026-08-18 after a process was killed
+    # mid-write) kills the interpreter with NO output, which would leave
+    # the driver's bench artifact without a JSON line. Run the real bench
+    # as a child; if it dies without printing JSON, retry once with the
+    # persistent cache disabled, then fall back to the error formatter.
+    import subprocess
+    r = None
+    for retry_env in ({}, {"PISLAM_JAX_CACHE": "0"}):
+        r = subprocess.run(
+            [sys.executable] + sys.argv,
+            env={**os.environ, "BENCH_CHILD": "1", **retry_env}, text=True,
+            capture_output=True)
+        sys.stderr.write(r.stderr)
+        if any(ln.strip().startswith("{") for ln in r.stdout.splitlines()):
+            sys.stdout.write(r.stdout)
+            sys.exit(0)
+        print(f"bench child exited rc={r.returncode} with no JSON line"
+              + ("; retrying with the persistent cache disabled"
+                 if not retry_env else ""), file=sys.stderr)
+    print(_error_json(RuntimeError(
+        f"bench child crashed (rc={r.returncode}) with no JSON output "
+        "even with the persistent cache disabled")))
+    sys.exit(0)
+
 if __name__ == "__main__":
     # The TPU tunnel on this box flakes at backend init — sometimes raising
     # UNAVAILABLE (round 1's rc=1 bench) and sometimes HANGING. Probe the

@@ -172,7 +172,8 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
         if tiles_dir and origin and fusion.map2d is not None:
             n = exporters.export_geo_tiles(
                 fusion.map2d, origin, tiles_dir,
-                zoom=cfg.get_int("GeoTiles.Zoom", 19))
+                zoom=cfg.get_int("GeoTiles.Zoom", 19),
+                datum=cfg.get_string("GeoTiles.Datum", "wgs84"))
             print(f"geo-tiles: wrote {n} tiles to {tiles_dir}")
 
     ratio = slam.frames_tracked / max(slam.frames_total, 1)

@@ -2,8 +2,9 @@
 
 Equivalent of GSLAM/GSLAM/core/TileManager.h (TileBase/ImageTile ABC +
 hashVal keying :10-54) and the projection half of TileProjection.h (the
-WGS84 web-mercator mapping; the GCJ02/BD09 China-offset datum shifts of the
-reference's Google-China tiles are NOT reproduced — plain WGS84 only).
+WGS84 web-mercator mapping; the GCJ02/BD09 China-offset datum shifts of
+the reference's GCJ02Projection/BaiduProjection live in core/gps.py —
+datum_shift — and are applied at tile placement via GeoTiles.Datum).
 `export_geo_tiles` (io/exporters.py) produces the leaf level; TileManager
 holds/serves tiles in memory with an LRU bound and builds parent levels by
 downsampling, mirroring the reference's use for map display and export.

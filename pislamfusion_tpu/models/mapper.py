@@ -77,6 +77,11 @@ class Mapper:
         # model survives the map rescale (the reference shares this via the
         # GPS.Fitted svar + shared frame objects)
         self.on_map_transformed = None
+        # callback() for NON-rigid map rewrites (the gps_fitting pose-graph
+        # bend): no single SIM3 exists to hand the tracker, but its staged
+        # local-map cloud still moved and must be invalidated IN the locked
+        # critical section with the rewrite + version bump
+        self.on_map_deformed = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -779,6 +784,11 @@ class Mapper:
                     continue
                 fr.pose_c2w = new_c2w[kidx[fid]]
             self.map.version += 1
+            # the point cloud moved (non-rigidly): the tracker's staged
+            # local map is stale — invalidate inside the lock so the stage
+            # can never be observed non-None alongside the bumped version
+            if self.on_map_deformed is not None:
+                self.on_map_deformed()
         return True
 
     def apply_sim3(self, S: np.ndarray):

@@ -77,8 +77,12 @@ class MatcherBoW:
         if not self._vocab_tried:
             self._vocab_tried = True
             import os
-            path = (self._cfg.get_string("Vocabulary", "")
-                    if self._cfg else "")
+            # accept the SLAM.Vocabulary alias here too — relying on
+            # SLAM.__init__ to have resolved it first breaks standalone
+            # MATCHERS.create(cfg) construction
+            path = (self._cfg.get_string(
+                "Vocabulary", self._cfg.get_string("SLAM.Vocabulary", ""))
+                if self._cfg else "")
             # both loaders are memoized, so this shares ONE instance (and
             # one set of device descent tables) with SLAM's BoW detector
             from .slam import _default_vocabulary, _load_vocabulary_cached

@@ -152,6 +152,7 @@ class SLAM:
         self.tracker = TRACKERS.create(cfg.get_string("Tracker", "opt"),
                                        self.map, cfg, self.mapper)
         self.mapper.on_map_transformed = self.tracker.on_map_transformed
+        self.mapper.on_map_deformed = self.tracker.invalidate_local_stage
         # vocabulary (for BoW loop detection / relocalization); loaded from
         # a .gbow file (Vocabulary.h:98-107) when configured
         import os

@@ -66,6 +66,11 @@ class Tracker:
         self.min_inliers = cfg.get_int("SLAM.MinTrackInliers", 30)
         # matching thresholds (MatcherBoW.cpp:133-174)
         self.chi2_px = cfg.get_double("SLAM.Chi2Threshold", 5.991)
+        # stage toggles (TrackerOpt.cpp:638, :1109-1110) — cached here like
+        # the thresholds above: re-reading Svar per frame contends its lock
+        # with the mapper thread on the hot path
+        self._track_last = not cfg.get_bool("DisableTrackLastFrame", False)
+        self._track_submap = cfg.get_bool("EnableTrackSubMap", True)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -215,8 +220,8 @@ class Tracker:
         # DisableTrackLastFrame skips last-frame matching entirely (every
         # frame tracks against the ref keyframe); EnableTrackSubMap=0 skips
         # the local-map refinement pass
-        track_last = not self.cfg.get_bool("DisableTrackLastFrame", False)
-        track_submap = self.cfg.get_bool("EnableTrackSubMap", True)
+        track_last = self._track_last
+        track_submap = self._track_submap
         if track_last and self.status == Status.TRACKING \
                 and self.last_frame is not None:
             # gate on the HOST cache directly — touching frame.desc would
@@ -267,6 +272,7 @@ class Tracker:
         every keyframe / map transform) so the per-frame hot path is ONE
         fused dispatch."""
         with self.map.update_lock:   # consistent gauge for the staged cloud
+            stage_version = self.map.version
             ref = self.map.frame(self.ref_kf_id)
             local_ids = {self.ref_kf_id}
             if ref is not None:
@@ -285,8 +291,17 @@ class Tracker:
         lpos_p, maskp = pad_to(lpos, LOCAL_POINT_CAP)
         ldesc_p, _ = pad_to(np.asarray(ldesc), LOCAL_POINT_CAP)
         ids_p, _ = pad_to(np.asarray(ids, np.int64), LOCAL_POINT_CAP, -1)
-        self._local_stage = (jnp.asarray(lpos_p), jnp.asarray(ldesc_p),
-                             jnp.asarray(maskp), ids_p)
+        stage = (jnp.asarray(lpos_p), jnp.asarray(ldesc_p),
+                 jnp.asarray(maskp), ids_p)
+        with self.map.update_lock:
+            # publish ONLY if no map transform landed since the locked
+            # read above (every transform bumps version inside its own
+            # locked critical section): assigning unconditionally would
+            # REINSTATE a stale-gauge cloud that invalidate_local_stage()
+            # already nulled, and the per-frame version check — whose
+            # baseline is read AFTER the bump — would never catch it
+            self._local_stage = (stage if self.map.version == stage_version
+                                 else None)
 
     def _track_fused(self, frame: Frame) -> bool:
         """trackLastFrame + trackLocalMap as ONE fused device program
@@ -298,23 +313,25 @@ class Tracker:
         # MATERIALIZE the device features (a full tunnel fetch per frame)
         if last is None or last.n_kp == 0 or last.n_tracked() < 20:
             return False
-        # SNAPSHOT the stage tuple: invalidate_local_stage() runs on the
-        # mapper thread (GPS SIM3 fit / loop-closure callbacks) and nulls
-        # self._local_stage at any time — re-reading the attribute after
-        # the None-check raced exactly that (unpack-of-None crashes seen
-        # in the 500-frame online stress under cold-compile timing)
-        stage = self._local_stage
-        if stage is None:
+        if self._local_stage is None:
             self._stage_local_map()
-            stage = self._local_stage
-            if stage is None:
-                return False
         cam = frame.camera
         # snapshot the staging inputs ATOMICALLY vs whole-map rewrites
         # (GPS SIM3 fits / loop closures on the mapper thread): a transform
-        # landing between these reads mixes gauges and sheds tracking
+        # landing between these reads mixes gauges and sheds tracking.
+        # The stage tuple is snapshotted under the SAME lock as the version
+        # baseline: every transform invalidates the stage inside its locked
+        # critical section (before or with the version bump), so a non-None
+        # stage here is gauge-consistent with map_version, and the
+        # post-fetch version check catches transforms in flight. A pre-lock
+        # snapshot raced exactly that — a transform landing between the
+        # snapshot and the version read produced an undetectably
+        # gauge-mixed result (and, before round 2, unpack-of-None crashes).
         with timer.scope("Tracker::fusedGather"), self.map.update_lock:
             map_version = self.map.version
+            stage = self._local_stage
+            if stage is None:   # invalidated since the restage attempt
+                return False
             pos, has = self._gather_frame_points(last)
             T_pred_w2c = hse3.se3_inv(hse3.se3_mul(last.pose_c2w,
                                                    self.motion))

@@ -131,3 +131,32 @@ def test_geo_tiles(rng, tmp_path):
     t = read_png(tiles[0])
     assert t.shape == (256, 256, 3)
     assert (t < 250).any()   # some actual content, not all background
+
+def test_geo_tiles_datum_shift(rng, tmp_path):
+    """GeoTiles.Datum=gcj02 places tiles on the China-offset grid
+    (TileProjection.h GCJ02Projection): inside China the GCJ-02 offset is
+    hundreds of meters, so the tile x/y indices shift vs plain WGS-84."""
+    from pislamfusion_tpu.core.svar import Svar
+    from pislamfusion_tpu.models.map2d import create_map2d
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    origin = [116.35, 39.96, 40.0]                    # Beijing: in China
+    tile_sets = {}
+    for datum in ("wgs84", "gcj02"):
+        m2d = create_map2d("weighted", Svar())
+        plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        poses = [np.array([x, 30.0, 25.0, 1, 0, 0, 0]) for x in (25.0, 30.0)]
+        assert m2d.prepare(plane, cam, [(None, p) for p in poses])
+        img = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
+        for p in poses:
+            assert m2d.feed(img, p)
+        out = os.path.join(str(tmp_path), datum)
+        n = exporters.export_geo_tiles(m2d, origin, out, zoom=18,
+                                       datum=datum)
+        assert n >= 1
+        z_dir = os.path.join(out, "18")
+        tile_sets[datum] = {
+            (os.path.basename(r), f) for r, _, fs in os.walk(z_dir)
+            for f in fs}
+    # the ~300 m GCJ-02 offset at zoom 18 (~0.6 m/px, 256px tiles) moves
+    # the survey by roughly 2 tiles: the index sets must differ
+    assert tile_sets["wgs84"] != tile_sets["gcj02"]

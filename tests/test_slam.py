@@ -485,3 +485,49 @@ def test_reference_shaped_config_file(tmp_path):
     assert type(slam.mapper) is MapperDemo
     assert isinstance(slam.tracker._get_matcher(), MatcherMultiH)
     assert slam.frames_tracked >= 5
+
+
+def test_stage_publish_respects_version_bump(slam_run):
+    """A map transform landing between _stage_local_map's locked read and
+    its publish must NOT reinstate the stale-gauge cloud: the publish is
+    version-checked (a plain assignment here silently reverses the mapper
+    thread's invalidate_local_stage and the per-frame version check —
+    whose baseline is read after the bump — never catches it)."""
+    import pislamfusion_tpu.models.tracker as trmod
+    slam, _ = slam_run
+    tr = slam.tracker
+    tr._stage_local_map()
+    assert tr._local_stage is not None   # precondition: stage buildable
+    orig = trmod.pad_to
+    bumped = []
+
+    def bumping_pad_to(*a, **k):
+        if not bumped:   # one transform, mid-stage (after the locked read)
+            bumped.append(1)
+            with tr.map.update_lock:
+                tr.map.version += 1
+                tr.invalidate_local_stage()
+        return orig(*a, **k)
+
+    trmod.pad_to = bumping_pad_to
+    try:
+        tr._stage_local_map()
+        assert tr._local_stage is None, \
+            "stale-gauge stage reinstated after a mid-stage map transform"
+    finally:
+        trmod.pad_to = orig
+    tr._stage_local_map()                # and a clean restage still works
+    assert tr._local_stage is not None
+
+
+def test_mapper_deform_hook_invalidates_stage(slam_run):
+    """gps_fitting's pose-graph bend moves the whole cloud NON-rigidly (no
+    SIM3 for on_map_transformed): SLAM wires mapper.on_map_deformed to the
+    tracker's stage invalidation, called inside the rewrite's locked
+    critical section."""
+    slam, _ = slam_run
+    assert slam.mapper.on_map_deformed is not None
+    slam.tracker._stage_local_map()
+    assert slam.tracker._local_stage is not None
+    slam.mapper.on_map_deformed()
+    assert slam.tracker._local_stage is None
