@@ -176,12 +176,18 @@ def test_slam_sift_path():
     assert slam.map.point_num() > 100
 
 
-def test_map_checkpoint_resume(slam_run, tmp_path):
+@pytest.mark.parametrize("ckpt_name", ["map.ckpt", "map.map"])
+def test_map_checkpoint_resume(slam_run, tmp_path, ckpt_name):
     """MapFile2Load resume (DIYSLAM.cpp:256-258): a fresh SLAM instance
     loads the finished map and RELOCALIZES into it instead of
-    re-initializing — frames track against the loaded keyframes."""
+    re-initializing — frames track against the loaded keyframes.
+
+    Parametrized over both checkpoint formats: the native npz v2
+    (``.ckpt``) and the reference's MapHash binary layout (``.map``,
+    MapHash.cpp:365-545) — resuming from a MapHash blob exercises the
+    descriptor-carrying save/load dispatch end-to-end."""
     slam, gt = slam_run
-    ckpt = str(tmp_path / "map.ckpt")
+    ckpt = str(tmp_path / ckpt_name)
     assert slam.map.save(ckpt)
     n_pts = slam.map.point_num()
     cfg = Svar()
