@@ -286,25 +286,59 @@ if __name__ == "__main__" and os.environ.get("BENCH_CHILD", "") != "1":
     # compilation-cache entry — seen 2026-08-18 after a process was killed
     # mid-write) kills the interpreter with NO output, which would leave
     # the driver's bench artifact without a JSON line. Run the real bench
-    # as a child; if it dies without printing JSON, retry once with the
-    # persistent cache disabled, then fall back to the error formatter.
+    # as a child; if it dies without printing JSON, quarantine the cache
+    # dir and retry, then retry once more with the cache disabled, then
+    # fall back to the error formatter.
+    import shutil
     import subprocess
+
+    def _quarantine_cache() -> bool:
+        """Move the persistent compile-cache dir aside (the documented
+        corrupt-entry recipe) so the retry — and every later run —
+        repopulates a clean cache instead of re-hitting the bad entry."""
+        env = os.environ.get("PISLAM_JAX_CACHE", "")
+        cache = env if env not in ("", "0", "1") else os.path.expanduser(
+            "~/.cache/pislamfusion_xla")
+        if not os.path.isdir(cache):
+            return False
+        try:
+            shutil.move(cache, f"{cache}.corrupt-{os.getpid()}")
+            return True
+        except OSError:
+            return False
+
+    # stderr INHERITS (streams live — a hung child must not go dark);
+    # only stdout (the JSON line) is captured. The timeout bounds a
+    # post-probe tunnel hang so the driver still gets an error JSON.
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "3300"))
     r = None
-    for retry_env in ({}, {"PISLAM_JAX_CACHE": "0"}):
-        r = subprocess.run(
-            [sys.executable] + sys.argv,
-            env={**os.environ, "BENCH_CHILD": "1", **retry_env}, text=True,
-            capture_output=True)
-        sys.stderr.write(r.stderr)
+    for attempt, retry_env in enumerate(
+            ({}, {}, {"PISLAM_JAX_CACHE": "0"})):
+        try:
+            r = subprocess.run(
+                [sys.executable] + sys.argv,
+                env={**os.environ, "BENCH_CHILD": "1", **retry_env},
+                text=True, stdout=subprocess.PIPE, timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            print(_error_json(RuntimeError(
+                f"bench child hung past {child_timeout:.0f}s "
+                "(BENCH_CHILD_TIMEOUT) — tunnel stall mid-run")))
+            sys.exit(0)
         if any(ln.strip().startswith("{") for ln in r.stdout.splitlines()):
             sys.stdout.write(r.stdout)
             sys.exit(0)
+        note = ""
+        if attempt == 0:
+            note = ("; quarantined the compile cache and retrying"
+                    if _quarantine_cache()
+                    else "; retrying (no cache dir to quarantine)")
+        elif attempt == 1:
+            note = "; retrying with the persistent cache disabled"
         print(f"bench child exited rc={r.returncode} with no JSON line"
-              + ("; retrying with the persistent cache disabled"
-                 if not retry_env else ""), file=sys.stderr)
+              f"{note}", file=sys.stderr)
     print(_error_json(RuntimeError(
         f"bench child crashed (rc={r.returncode}) with no JSON output "
-        "even with the persistent cache disabled")))
+        "even after cache quarantine and with the cache disabled")))
     sys.exit(0)
 
 if __name__ == "__main__":

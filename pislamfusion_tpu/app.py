@@ -28,6 +28,13 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
     attached, save outputs. Returns (slam, fusion)."""
     if not dataset_paths:
         raise SystemExit("no dataset given (pass e.g. survey.npudronemap)")
+    # validate end-of-run export knobs UP FRONT: a typo'd datum must fail
+    # here, not after the multi-hour survey has already been tracked
+    datum = cfg.get_string("GeoTiles.Datum", "wgs84").strip().lower()
+    if datum not in ("wgs84", "gcj02", "bd09"):
+        raise SystemExit(f"GeoTiles.Datum={datum!r} unknown "
+                         "(expected wgs84, gcj02 or bd09)")
+    cfg.set("GeoTiles.Datum", datum)
     datasets = []
     for p in dataset_paths:
         ds = open_dataset(p)

@@ -142,6 +142,12 @@ class LoopCloserSE3Graph:
         self.min_interval = cfg.get_int("LoopCloser.MinInterval", 5)
         self.min_correction = cfg.get_double("LoopCloser.MinCorrection",
                                              0.25)
+        # callback() fired INSIDE the locked rewrite, with the version
+        # bump: the tracker's staged local map must be invalidated in the
+        # same critical section (same invariant as Mapper.on_map_deformed)
+        # so a tracker snapshot can never pair a stale-gauge stage with a
+        # post-bump version baseline
+        self.on_map_deformed = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -303,3 +309,5 @@ class LoopCloserSE3Graph:
             # bump inside the lock so a tracker snapshot between rewrite
             # and bump isn't spuriously discarded by the version check
             self.map.version += 1
+            if self.on_map_deformed is not None:
+                self.on_map_deformed()

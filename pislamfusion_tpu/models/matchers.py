@@ -80,9 +80,8 @@ class MatcherBoW:
             # accept the SLAM.Vocabulary alias here too — relying on
             # SLAM.__init__ to have resolved it first breaks standalone
             # MATCHERS.create(cfg) construction
-            path = (self._cfg.get_string(
-                "Vocabulary", self._cfg.get_string("SLAM.Vocabulary", ""))
-                if self._cfg else "")
+            from .slam import resolve_vocab_path
+            path = resolve_vocab_path(self._cfg) if self._cfg else ""
             # both loaders are memoized, so this shares ONE instance (and
             # one set of device descent tables) with SLAM's BoW detector
             from .slam import _default_vocabulary, _load_vocabulary_cached

@@ -36,6 +36,15 @@ from .tracker import Tracker
 from .worldmap import WorldMap
 
 
+def resolve_vocab_path(cfg) -> str:
+    """The configured .gbow path: Default.cfg aliases it as
+    SLAM.Vocabulary?=$(Vocabulary), so `Vocabulary` wins over
+    `SLAM.Vocabulary`. ONE implementation (matchers.MatcherBoW shares it)
+    — Svar.get persists defaults, so duplicated nesting orders diverge."""
+    return cfg.get_string("Vocabulary",
+                          cfg.get_string("SLAM.Vocabulary", ""))
+
+
 @functools.lru_cache(maxsize=4)
 def _load_vocabulary_cached(path: str):
     """Shared .gbow loads keyed by path: SLAM's detector and Matcher=BoW
@@ -156,9 +165,7 @@ class SLAM:
         # vocabulary (for BoW loop detection / relocalization); loaded from
         # a .gbow file (Vocabulary.h:98-107) when configured
         import os
-        # Default.cfg aliases the path as SLAM.Vocabulary?=$(Vocabulary)
-        vocab_path = cfg.get_string(
-            "Vocabulary", cfg.get_string("SLAM.Vocabulary", ""))
+        vocab_path = resolve_vocab_path(cfg)
         if self.vocabulary is None and vocab_path and \
                 os.path.isfile(vocab_path):
             from ..ops.vocabulary import Vocabulary
@@ -184,6 +191,13 @@ class SLAM:
         self.loop_closer = LOOP_CLOSERS.create(
             cfg.get_string("LoopCloser", "se3graph"), self.map, cfg,
             detector)
+        # closure rewrites must invalidate the tracker's staged local map
+        # INSIDE their locked critical section (same contract as
+        # mapper.on_map_deformed) — the post-try_close invalidate below is
+        # only a same-thread refresh, not a cross-thread guarantee
+        if hasattr(self.loop_closer, "on_map_deformed"):
+            self.loop_closer.on_map_deformed = \
+                self.tracker.invalidate_local_stage
         feat = cfg.get_string("FeatureDetector",
                               cfg.get_string("SLAM.Feature", "ORB"))
         self.detector = FEATURE_DETECTORS.create(feat, cfg)

@@ -526,6 +526,29 @@ def test_stage_publish_respects_version_bump(slam_run):
     assert tr._local_stage is not None
 
 
+def test_loopcloser_deform_hook_invalidates_stage(slam_run):
+    """LoopCloserSE3Graph's whole-map rewrite fires on_map_deformed inside
+    its locked critical section (wired by SLAM to the tracker's stage
+    invalidation), so a mapper-thread closure can never leave a
+    stale-gauge stage paired with a bumped version."""
+    slam, _ = slam_run
+    assert getattr(slam.loop_closer, "on_map_deformed", None) is not None
+    slam.tracker._stage_local_map()
+    assert slam.tracker._local_stage is not None
+    slam.loop_closer.on_map_deformed()
+    assert slam.tracker._local_stage is None
+
+
+def test_geotiles_datum_validated_up_front(tmp_path):
+    """A typo'd GeoTiles.Datum must abort BEFORE the survey runs, not
+    crash the export after hours of tracking."""
+    from pislamfusion_tpu.app import run_slam
+    cfg = Svar()
+    cfg.set("GeoTiles.Datum", "baidu")   # not one of wgs84/gcj02/bd09
+    with pytest.raises(SystemExit, match="GeoTiles.Datum"):
+        run_slam(cfg, [str(tmp_path / "nonexistent.npudronemap")])
+
+
 def test_mapper_deform_hook_invalidates_stage(slam_run):
     """gps_fitting's pose-graph bend moves the whole cloud NON-rigidly (no
     SIM3 for on_map_transformed): SLAM wires mapper.on_map_deformed to the
