@@ -239,6 +239,21 @@ def fused_track_packed_feats(feats, prev_desc, prev_valid, aux,
     prev_p3d = aux[:3 * n].reshape(n, 3)
     prev_has = aux[3 * n:4 * n] > 0.5
     T_pred_w2c = aux[4 * n:4 * n + 7]
+    packed, _, _, _ = _track_core(
+        feats, prev_desc, prev_valid, prev_p3d, prev_has, T_pred_w2c,
+        local_pos, local_desc, local_valid, fx, fy, cx, cy, width, height,
+        radius, radius_local, chi2_th)
+    return packed
+
+
+def _track_core(feats, prev_desc, prev_valid, prev_p3d, prev_has,
+                T_pred_w2c, local_pos, local_desc, local_valid,
+                fx, fy, cx, cy, width, height, radius, radius_local,
+                chi2_th):
+    """Traced per-frame track body shared by fused_track_packed_feats and
+    the chained variant: match-vs-last + pose LM + local-map re-match +
+    merged LM, packed into one row. Also returns the merged per-slot
+    (p3d, w) bindings and chi2 — the chain's carry to the next frame."""
     res = _frame_step_core(feats, prev_desc, prev_valid, prev_p3d,
                            prev_has, T_pred_w2c, fx, fy, cx, cy, radius,
                            chi2_th)
@@ -249,11 +264,10 @@ def fused_track_packed_feats(feats, prev_desc, prev_valid, aux,
                                          mode="drop")
     inl = (w_cur > 0) & (res.chi2 < chi2_th / fx ** 2)
     w_cur = jnp.where(inl, w_cur, 0.0)
-    res2 = fused_localmap_step(
+    res2, p3d_m, w_m = _localmap_core(
         feats["desc"], feats["valid"], feats["xy"], res.T_w2c,
         p3d_cur, w_cur, local_pos, local_desc, local_valid,
-        fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
-        radius=radius_local, chi2_th=chi2_th)
+        fx, fy, cx, cy, width, height, radius_local, chi2_th)
     f32 = jnp.float32
     packed = jnp.concatenate([
         res.T_w2c, res.n_inliers[None].astype(f32),
@@ -261,20 +275,77 @@ def fused_track_packed_feats(feats, prev_desc, prev_valid, aux,
         res.idx.astype(f32), res.ok.astype(f32),
         res.chi2, res.weight, res2.chi2, res2.weight,
         res2.idx.astype(f32), res2.ok.astype(f32)])
-    return packed
+    return packed, p3d_m, w_m, res2
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
                                              "width", "height", "radius",
-                                             "chi2_th"))
-def fused_localmap_step(desc, valid, xy, T_w2c, p3d_cur, w_cur,
-                        local_pos, local_desc, local_valid,
-                        fx: float, fy: float, cx: float, cy: float,
-                        width: int, height: int, radius: float = 8.0,
-                        chi2_th: float = 5.991) -> LocalMapStepResult:
-    """desc/valid/xy: current frame's padded features. p3d_cur/w_cur: 3D
-    points already bound to current keypoint slots (from the last-frame
-    step). local_*: padded local-map point cloud + descriptors."""
+                                             "radius_local", "chi2_th"))
+def fused_track_chain(desc_k, valid_k, xy_k, prev_desc, prev_valid, aux,
+                      local_pos, local_desc, local_valid,
+                      fx: float = 260.0, fy: float = 260.0,
+                      cx: float = 160.0, cy: float = 120.0,
+                      width: int = 320, height: int = 240,
+                      radius: float = 20.0, radius_local: float = 8.0,
+                      chi2_th: float = 5.991):
+    """Track K consecutive frames in ONE dispatch with the per-frame carry
+    kept ON DEVICE (lax.scan), so the host pays ONE packed-result round
+    trip per K frames instead of per frame — on the tunneled backend the
+    per-frame fetch is the shipped slam.track() loop's dominant cost.
+
+    The reference has no analogue (its GPU work is per-frame inside a CPU
+    loop, DIYSLAM.cpp:346-363); this is the TPU-native extension of its
+    depth-2 overlap. The local-map stage is FIXED across the chain — the
+    same one-stage staleness the online mapper already imposes on the
+    per-frame path (keyframe growth lands on the next chain).
+
+    desc_k/valid_k/xy_k: K frames' pre-extracted padded features, stacked
+    on the leading axis. aux [4N + 14] f32 =
+      [prev_p3d.ravel (3N), prev_has (N),
+       pose_est_c2w (7), motion (7)]      — the host tracker's camera-frame
+    motion model: pose_pred = pose_est o motion, re-estimated on device
+    after each step exactly as Tracker.track does on host
+    (motion' = inv(pose_est) o pose_new).
+
+    Returns packed [K, 16 + 6N + 2P] — fused_track_packed_feats rows; the
+    host unpacks each row against the previous chain frame. Rows after an
+    in-chain tracking failure are garbage (the carry went bad): the host
+    detects the failure from the row's own inlier fields and discards the
+    tail, exactly like the per-frame path would have.
+    """
+    n = prev_desc.shape[0]
+    prev_p3d = aux[:3 * n].reshape(n, 3)
+    prev_has = aux[3 * n:4 * n] > 0.5
+    pose_est = aux[4 * n:4 * n + 7]      # c2w
+    motion = aux[4 * n + 7:4 * n + 14]   # camera-frame delta
+
+    def step(carry, x):
+        p_desc, p_valid, p_p3d, p_has, pose_est, motion = carry
+        desc, valid, xy = x
+        pose_pred = lie.se3_mul(pose_est, motion)
+        T_pred_w2c = lie.se3_inv(pose_pred)
+        feats = {"desc": desc, "valid": valid, "xy": xy}
+        packed, p3d_m, w_m, res2 = _track_core(
+            feats, p_desc, p_valid, p_p3d, p_has, T_pred_w2c,
+            local_pos, local_desc, local_valid, fx, fy, cx, cy,
+            width, height, radius, radius_local, chi2_th)
+        pose_new = lie.se3_inv(res2.T_w2c)
+        has_m = (w_m > 0) & (res2.chi2 < chi2_th / fx ** 2)
+        motion_new = lie.se3_mul(lie.se3_inv(pose_est), pose_new)
+        return ((desc, valid, p3d_m, has_m, pose_new, motion_new),
+                packed)
+
+    carry0 = (prev_desc, prev_valid, prev_p3d, prev_has, pose_est, motion)
+    _, packed_k = jax.lax.scan(step, carry0, (desc_k, valid_k, xy_k))
+    return packed_k
+
+
+def _localmap_core(desc, valid, xy, T_w2c, p3d_cur, w_cur,
+                   local_pos, local_desc, local_valid,
+                   fx, fy, cx, cy, width, height, radius, chi2_th):
+    """Traced body of fused_localmap_step that ALSO returns the merged
+    per-slot (p3d, w) bindings — the chained tracker carries them to the
+    next frame's step on device."""
     pc = lie.se3_apply(T_w2c, local_pos)
     z = jnp.maximum(pc[..., 2], 1e-6)
     pix = jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1)
@@ -300,4 +371,22 @@ def fused_localmap_step(desc, valid, xy, T_w2c, p3d_cur, w_cur,
         T_w2c, p3d, rays_xy, w, iters=10,
         huber_delta=math.sqrt(chi2_th) / fx)
     inl = jnp.sum((w > 0) & (chi2 < chi2_th / fx ** 2))
-    return LocalMapStepResult(T, inl, idx, ok, chi2, w)
+    return LocalMapStepResult(T, inl, idx, ok, chi2, w), p3d, w
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                             "width", "height", "radius",
+                                             "chi2_th"))
+def fused_localmap_step(desc, valid, xy, T_w2c, p3d_cur, w_cur,
+                        local_pos, local_desc, local_valid,
+                        fx: float, fy: float, cx: float, cy: float,
+                        width: int, height: int, radius: float = 8.0,
+                        chi2_th: float = 5.991) -> LocalMapStepResult:
+    """desc/valid/xy: current frame's padded features. p3d_cur/w_cur: 3D
+    points already bound to current keypoint slots (from the last-frame
+    step). local_*: padded local-map point cloud + descriptors."""
+    res, _, _ = _localmap_core(desc, valid, xy, T_w2c, p3d_cur, w_cur,
+                               local_pos, local_desc, local_valid,
+                               fx, fy, cx, cy, width, height, radius,
+                               chi2_th)
+    return res

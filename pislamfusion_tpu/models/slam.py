@@ -217,8 +217,17 @@ class SLAM:
                                   and cfg.get_bool("SLAM.Fused", True))
         self._online = cfg.get_bool("SLAM.isOnline", False) and \
             not cfg.get_bool("SLAM.forceOffline", False)
+        # K-frame chained tracking (tracker.track_chain): opt-in, and only
+        # for trackers running the stock track() — variants with their own
+        # per-frame logic (planar, testInit, ...) must not be bypassed
+        from .tracker import Tracker as _BaseTracker
+        self._chain = (max(1, cfg.get_int("SLAM.TrackChain", 1))
+                       if type(self.tracker).track is _BaseTracker.track
+                       else 1)
         if self._online:
-            self._queue = queue.Queue(maxsize=2)   # DIYSLAM.cpp:346-353
+            # queue depth covers the chain so the feeder can stay ahead
+            self._queue = queue.Queue(   # DIYSLAM.cpp:346-353 (depth 2)
+                maxsize=max(2, self._chain))
             self._worker = threading.Thread(target=self._tracking_loop,
                                             daemon=True)
             self._worker.start()
@@ -295,6 +304,14 @@ class SLAM:
     def _track_one(self, frame: Frame):
         self.frames_total += 1
         ok = self.tracker.track(frame)
+        return self._after_track(frame, ok)
+
+    def _after_track(self, frame: Frame, ok: bool):
+        """Post-tracking product actions for one frame: mosaic feed, loop
+        closing, post-closure GPS re-anchor. Shared by the per-frame path
+        and the chained path (track_chain does the tracker-internal
+        bookkeeping itself; these app-level actions still run per frame,
+        in order)."""
         if ok:
             self.frames_tracked += 1
             # feed the mosaic queue (TrackerOpt.cpp:374-384)
@@ -318,12 +335,27 @@ class SLAM:
         return ok
 
     def _tracking_loop(self):
-        while True:
+        stop = False
+        while not stop:
             frame = self._queue.get()
             if frame is None:
                 return
+            frames = [frame]
+            # chain mode (SLAM.TrackChain > 1): greedily drain frames the
+            # feeder already queued so K frames ride ONE device dispatch
+            # and ONE packed fetch (tracker.track_chain) — the feeder's
+            # predispatch_extract already put their features on device
+            while len(frames) < self._chain:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True      # finish() sentinel: flush then exit
+                    break
+                frames.append(nxt)
             try:
-                self._track_one(frame)
+                self._track_many(frames)
             except Exception:   # noqa: BLE001 — the loop must outlive bugs
                 # a dead tracking thread deadlocks the feeder on the
                 # bounded queue (track() blocks in put() forever); treat a
@@ -332,7 +364,22 @@ class SLAM:
                 from ..core.glog import logger
                 self.track_errors += 1
                 logger.error("tracking thread: frame %d raised:\n%s"
-                             % (frame.id, traceback.format_exc()))
+                             % (frames[0].id, traceback.format_exc()))
+
+    def _track_many(self, frames):
+        """Track a drained batch: the K-frame fused chain when possible,
+        per-frame for the remainder (chain preconditions unmet, or the
+        frames after an in-chain failure, whose device carry went bad)."""
+        n = 0
+        if len(frames) > 1:
+            n = self.tracker.track_chain(frames)
+            if n is None:
+                n = 0
+            for fr in frames[:n]:
+                self.frames_total += 1
+                self._after_track(fr, True)
+        for fr in frames[n:]:
+            self._track_one(fr)
 
     def finish(self):
         """Flush the online queue (call("Finish") in the reference) and run

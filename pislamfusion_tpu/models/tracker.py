@@ -29,6 +29,7 @@ from ..ops import ba, init2view, lie, matching, ransac
 from ..utils import host_se3 as hse3
 from ..utils.padding import pad_to
 from .frame import Frame, MapPoint
+from . import pipeline
 from .pipeline import fused_extract, fused_track_packed_feats
 from .worldmap import WorldMap
 
@@ -146,6 +147,105 @@ class Tracker:
                    f"{'OK' if ok else 'FAIL'}"
                    f"{',KF' if frame.is_keyframe else ''}")
             return ok
+
+    def track_chain(self, frames) -> Optional[int]:
+        """Track up to K consecutive frames with ONE device dispatch + ONE
+        packed-result fetch (pipeline.fused_track_chain): the per-frame
+        carry (features, point bindings, motion model) stays on device, so
+        the tunneled backend's per-frame round trip is paid once per K
+        frames. The TPU-native extension of the reference's depth-2
+        overlap (DIYSLAM.cpp:346-363); opt-in via SLAM.TrackChain.
+
+        Returns the number of frames CONSUMED — all consumed frames
+        tracked successfully, with full per-frame bookkeeping (motion
+        model, keyframe decision, logging) — or None when the chain
+        preconditions do not hold or a map transform landed mid-flight.
+        Frames past the consumed count (the first in-chain failure and
+        everything after it, whose device carry went bad) must be re-fed
+        through the per-frame `track()`, which runs the fallback cascade.
+        The local-map stage is FIXED across the chain: keyframe growth
+        lands on the next chain — the same one-stage staleness the online
+        mapper already imposes on the per-frame path."""
+        if (not self.use_fused or self.status != Status.TRACKING
+                or self.detector is None or len(frames) < 2
+                or not self._track_last or not self._track_submap):
+            return None
+        last = self.last_frame
+        if last is None or last.n_kp == 0 or last.n_tracked() < 20:
+            return None
+        if self._local_stage is None:
+            self._stage_local_map()
+        cam = frames[0].camera
+        # same locked snapshot protocol as _track_fused (see its comment)
+        with timer.scope("Tracker::chainGather"), self.map.update_lock:
+            map_version = self.map.version
+            stage = self._local_stage
+            if stage is None:
+                return None
+            pos, has = self._gather_frame_points(last)
+        lpos, ldesc, lvalid, ids_p = stage
+        fd = last.feats_dev
+        if fd is not None:
+            last_desc, last_valid = fd["desc"], fd["valid"]
+        else:
+            last_desc = jnp.asarray(last.desc)
+            last_valid = jnp.asarray(last.valid)
+        for fr in frames:
+            if fr.feats_dev is None:
+                self.predispatch_extract(fr)
+            if fr.feats_dev is None:
+                return None
+        desc_k = jnp.stack([fr.feats_dev["desc"] for fr in frames])
+        valid_k = jnp.stack([fr.feats_dev["valid"] for fr in frames])
+        xy_k = jnp.stack([fr.feats_dev["xy"] for fr in frames])
+        radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
+        r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
+        aux = np.concatenate([
+            pos.reshape(-1).astype(np.float32),
+            has.astype(np.float32),
+            np.asarray(last.pose_c2w, np.float32),
+            np.asarray(self.motion, np.float32)])
+        with timer.scope("Tracker::chainDispatch"):
+            packed_k = pipeline.fused_track_chain(
+                desc_k, valid_k, xy_k, last_desc, last_valid,
+                jnp.asarray(aux), lpos, ldesc, lvalid,
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                width=cam.width, height=cam.height,
+                radius=radius, radius_local=r_local,
+                chi2_th=self.chi2_px)
+        with timer.scope("Tracker::chainFetch"):
+            packed_k = np.asarray(packed_k)   # ONE round trip, K frames
+        if self.map.version != map_version:
+            return None   # gauge changed mid-flight: chain is stale
+        P = int(lpos.shape[0])
+        prev, prev_has = last, has
+        consumed = 0
+        for k, frame in enumerate(frames):
+            with glog.ScopedLogger(self.cfg, bit=1) as lg:
+                self._log = lg
+                lg << f"frame {frame.id} [TRACKING chain:{k}]"
+                ok = self._apply_packed(frame, prev, packed_k[k],
+                                        ids_p, P, prev_has)
+                if not ok:
+                    lg << ",FAIL(chain tail re-fed)"
+                    break
+                # per-frame bookkeeping — mirrors track()
+                prev2 = getattr(self, "last_prev", None)
+                if prev2 is not None and prev2 is not self.last_frame \
+                        and not prev2.is_keyframe:
+                    prev2.release_device_features()
+                self.last_prev = self.last_frame
+                self.motion = hse3.se3_mul(
+                    hse3.se3_inv(self.last_frame.pose_c2w),
+                    frame.pose_c2w).astype(np.float32)
+                self.last_frame = frame
+                self.lost_count = 0
+                self._maybe_keyframe(frame)
+                lg << (f",inliers {getattr(self, '_n_inliers', 0)},OK"
+                       f"{',KF' if frame.is_keyframe else ''}")
+                consumed += 1
+                prev, prev_has = frame, frame.kp2mp >= 0
+        return consumed
 
     # ----------------------------------------------------------- bootstrap
     def _initialize(self, frame: Frame) -> bool:
@@ -379,8 +479,19 @@ class Tracker:
             # fallback paths re-read consistent state
             self._log << ",staleGauge"
             return False
+        return self._apply_packed(frame, last, packed, ids_p,
+                                  int(lpos.shape[0]), has)
+
+    def _apply_packed(self, frame: Frame, last: Frame, packed: np.ndarray,
+                      ids_p: np.ndarray, P: int,
+                      prev_has: np.ndarray) -> bool:
+        """Host index bookkeeping for ONE fused packed result row
+        (pipeline.fused_track_packed_feats layout) — shared by the
+        per-frame fused path and the K-frame chain. prev_has: mask of
+        `last`'s keypoint slots that carried map points when the step's
+        inputs were staged."""
+        cam = frame.camera
         n = frame.n_kp
-        P = int(lpos.shape[0])
         a = packed[16:16 + 6 * n].reshape(6, n)
         b = packed[16 + 6 * n:].reshape(2, P)
         idx1 = a[0].astype(np.int64)
@@ -401,7 +512,7 @@ class Tracker:
         # bind current keypoints: last-frame matches first, then local-map
         # growth matches on still-free slots (mirrors the on-chip merge)
         frame.kp2mp[:] = -1
-        okp = ok1 & has & (last.kp2mp >= 0)
+        okp = ok1 & prev_has & (last.kp2mp >= 0)
         src = np.nonzero(okp)[0]
         cur = idx1[src]
         keep = inl[cur]
