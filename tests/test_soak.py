@@ -121,13 +121,18 @@ def test_online_liveness():
     assert slam.frames_tracked > 0.2 * len(poses)
 
 
-def test_online_long_race_hunt():
+@pytest.mark.parametrize("chain", [1, 3])
+def test_online_long_race_hunt(chain):
     """250-frame ONLINE survey with loop closure (BoW), GPS fitting, and
     culling all active — the configuration whose thread interleaving
     crashed round 2's 500-frame stress (unpack of a mapper-invalidated
     _local_stage snapshot, tracker.py). Accuracy is NOT asserted (online
     mode starves on 1 core); the assertion is zero tracking-thread
-    exceptions and liveness to the end."""
+    exceptions and liveness to the end.
+
+    chain=3 runs the same gauntlet through tracker.track_chain — the
+    K-frame chain's locked stage/version snapshot and its chain-tail
+    re-feed must hold up against concurrent whole-map rewrites too."""
     rng = np.random.default_rng(31)
     ground = make_ground(rng)
     cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
@@ -145,7 +150,8 @@ def test_online_long_race_hunt():
                  ("LoopDetector", "BoW"), ("SLAM.isOnline", "1"),
                  ("SLAM.BAFrameCap", "8"), ("SLAM.BAPointCap", "1024"),
                  ("SLAM.BAObsCap", "4096"), ("SLAM.LocalBAIters", "6"),
-                 ("Plane.MinPoints", "400"), ("GPS.MinFrames2Fit", "5")]:
+                 ("Plane.MinPoints", "400"), ("GPS.MinFrames2Fit", "5"),
+                 ("SLAM.TrackChain", str(chain))]:
         cfg.set(k, v)
     slam = create_slam(cfg, cam)
     fusion = FusionSystem(cfg, cam).start()
