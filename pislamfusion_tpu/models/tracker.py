@@ -1279,3 +1279,100 @@ class TrackerLoopTest(Tracker):
                     continue
                 self.loops_found.append((fid, frame.id))
         return True
+
+
+@TRACKERS.register("loadmap")
+class TrackerLoadMap(Tracker):
+    """`Tracker?=loadmap` (zhaoyong/TrackerLoadMap.cpp:18-40): a map
+    VIEWER tracker — the reference loads `MapFile2Load` into the map for
+    the GUI handle and its track() always returns false (no tracking at
+    all). Here SLAM itself performs the MapFile2Load load (slam.py, the
+    DIYSLAM.cpp:256-258 path), so this tracker only preserves the
+    contract: never track, never touch the loaded map."""
+
+    supports_fused = False
+
+    def __init__(self, wmap: WorldMap, cfg, mapper=None):
+        super().__init__(wmap, cfg, mapper)
+        import os
+        # the reference defaults the key to "map.gmap" (:33) and loads
+        # eagerly; mirror that when SLAM's own MapFile2Load didn't run
+        # (standalone TRACKERS.create construction)
+        path = cfg.get_string("MapFile2Load", "map.gmap")
+        if self.map.frame_num() == 0 and os.path.isfile(path):
+            self.map.load(path)
+
+    def track(self, frame: Frame) -> bool:
+        return False   # :25-28
+
+
+@TRACKERS.register("rtsfmInit")
+class TrackerRTSfMInit(TrackerPlanar):
+    """`Tracker?=rtsfmInit` (zhaoyong/TrackerRTSfMInit.cpp): the
+    real-time-SfM initializer tracker. Two states (track :343-363):
+
+    * initializing — pairwise initialize against the last keyframe
+      (initialize :465-558: match4initialize gate, two-view init, GPS
+      SIM3 snap via fitGPS :367-460 + a 2-frame GPS-prior bundle
+      adjustment :579-640, `_map->clear()` without GPS :643-648) — the
+      SAME machinery as TrackerPlanar (same author, shared fitGPS), so
+      this subclass reuses `_pair_initialize` wholesale; success enters
+      tracking.
+    * tracking — trackExistMap (:1133-1173): obtain retrieval candidates
+      for the current frame and pairwise RE-initialize against up to 8 of
+      them until one succeeds (re-entering the map through retrieval
+      rather than an incremental track); failure falls back to
+      initializing (:361-362).
+    """
+
+    def track(self, frame: Frame) -> bool:
+        with timer.scope("Tracker::track"), \
+                glog.ScopedLogger(self.cfg, bit=1) as lg:
+            self._log = lg
+            lg << (f"frame {frame.id} "
+                   f"[{'RTSFM' if self.status == Status.TRACKING else 'INIT'}]")
+            self.ensure_features(frame)
+            if self.status != Status.TRACKING:
+                if self._pair_ref is None:   # initialize :467 (seed)
+                    self._pair_ref = frame
+                    self.last_frame = frame
+                    return False
+                if frame.timestamp - self._pair_ref.timestamp < \
+                        self.min_interval:   # :468 (dt >= 1 s)
+                    lg << ",skip(dt)"
+                    return False
+                ok = self._pair_initialize(frame, lg)
+                if ok:
+                    self.last_frame = frame
+                    self.status = Status.TRACKING   # :352-355
+                return ok
+            ok = self._track_exist_map(frame, lg)
+            if ok:
+                self.last_frame = frame
+            else:
+                self.status = Status.INIT           # :361-362
+                self._pair_ref = frame
+            return ok
+
+    def _track_exist_map(self, frame: Frame, lg) -> bool:
+        """trackExistMap (:1133-1173): candidates -> pairwise re-init."""
+        cands = []
+        if self.loop_detector is not None:
+            cands = list(self.loop_detector.candidates(frame))
+        if not cands:
+            # no detector / no candidates: recent keyframes, newest first
+            # (the reference returns false on no candidates :1136-1140;
+            # recency is this build's stand-in for MapHash's BoW index
+            # when no LoopDetector is wired)
+            cands = [f.id for f in self.map.keyframes()[::-1]]
+        if not cands:
+            lg << ",no candidates"
+            return False
+        for fid in cands[:8]:                       # :1143 (i < 8)
+            ref = self.map.frame(int(fid))
+            if ref is None or ref.n_kp == 0 or ref.desc is None:
+                continue
+            self._pair_ref = ref                    # :1150 (_lastKF = ref)
+            if self._pair_initialize(frame, lg):    # :1151 initialize()
+                return True
+        return False

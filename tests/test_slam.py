@@ -321,6 +321,93 @@ def test_tracker_ransacpnp_path():
     assert slam.map.point_num() > 100
 
 
+def test_tracker_registry_covers_reference_names():
+    """Every REGISTER_TRACKER / REGISTER_MAPPER name in the reference tree
+    constructs (grep REGISTER_TRACKER over GSLAM-DIYSLAM/src: opt, demo,
+    testInit, liu_testInit, planar, ransacPnP, testLoopDetector, loadmap,
+    rtsfmInit; mappers: demo, zhangmi)."""
+    from pislamfusion_tpu.core.registry import TRACKERS, MAPPERS
+    from pislamfusion_tpu.models.worldmap import WorldMap
+    import pislamfusion_tpu.models.tracker  # noqa: F401 — registrations
+    import pislamfusion_tpu.models.mapper   # noqa: F401
+    for name in ("opt", "demo", "testInit", "liu_testInit", "planar",
+                 "ransacPnP", "testLoopDetector", "loadmap", "rtsfmInit"):
+        assert TRACKERS.create(name, WorldMap(), Svar()) is not None, name
+    for name in ("demo", "zhangmi"):
+        assert MAPPERS.create(name, WorldMap(), Svar()) is not None, name
+
+
+def test_tracker_loadmap(slam_run, tmp_path):
+    """Tracker?=loadmap (zhaoyong/TrackerLoadMap.cpp): a map VIEWER —
+    MapFile2Load is loaded, track() never tracks, the loaded map is
+    untouched."""
+    from pislamfusion_tpu.models.tracker import TrackerLoadMap
+    slam, gt = slam_run
+    ckpt = str(tmp_path / "map.gmap")
+    assert slam.map.save(ckpt)
+    n_f, n_p = slam.map.frame_num(), slam.map.point_num()
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "loadmap")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("MapFile2Load", ckpt)
+    slam2 = create_slam(cfg, slam.camera)
+    rng = np.random.default_rng(3)
+    ground = make_ground(rng)
+    for i in range(3):
+        slam2.track(render_view(ground, slam2.camera, gt[5]), float(i))
+    slam2.finish()
+    assert isinstance(slam2.tracker, TrackerLoadMap)
+    assert slam2.frames_tracked == 0            # track() == false (:25-28)
+    assert slam2.map.frame_num() == n_f          # map loaded, untouched
+    assert slam2.map.point_num() == n_p
+
+
+def test_tracker_rtsfm_path():
+    """Tracker?=rtsfmInit (zhaoyong/TrackerRTSfMInit.cpp): pairwise
+    GPS-snapped initialization enters tracking, then every frame
+    re-initializes against a retrieval candidate (trackExistMap) — poses
+    keep landing DIRECTLY in the geo frame, frame after frame."""
+    from pislamfusion_tpu.core.gps import LocalFrame
+    from pislamfusion_tpu.models.tracker import TrackerRTSfMInit, Status
+    rng = np.random.default_rng(5)
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = np.stack([nadir_pose(28.0 + 4.0 * k, 40.0, 25.0)
+                      for k in range(8)])
+    local = LocalFrame(116.35, 39.96, 40.0)
+    sig = 0.1
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("Tracker", "rtsfmInit")
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.LoopClose", "0")
+    slam = create_slam(cfg, cam)
+    anchor = None
+    for i, p in enumerate(poses):
+        img = render_view(ground, cam, p)
+        noisy = p[:3] + rng.normal(0, sig, 3)
+        if anchor is None:
+            anchor = noisy
+        slam.track(img, float(i), gps_lla=local.local_to_lla(noisy),
+                   gps_acc=sig, pyr=(90.0, 0.0, 0.0))
+    slam.finish()
+    assert isinstance(slam.tracker, TrackerRTSfMInit)
+    assert slam.tracker.status == Status.TRACKING   # never fell back
+    # frame 0 seeds, frame 1 initializes, frames 2.. re-init via
+    # trackExistMap candidates — all tracked
+    assert slam.frames_tracked >= 5, (slam.frames_tracked,
+                                      slam.frames_total)
+    assert cfg.get_int("GPS.Fitted", 0) == 1
+    frames = slam.map.frames()
+    assert len(frames) >= 5 and all(f.is_keyframe for f in frames)
+    est = np.stack([f.pose_c2w[:3] for f in frames])
+    gt = poses[np.asarray([f.id for f in frames])][:, :3] - anchor
+    err = np.linalg.norm(est - gt, axis=1)
+    assert err.max() < 1.0 and err.mean() < 0.5, err
+    assert slam.map.point_num() > 200
+
+
 def test_tracker_planar_path():
     """Tracker?=planar (zhaoyong/TrackerPlanar.cpp): GPS-paired
     georegistration — each >=1 s frame pair two-view-initializes, snaps
