@@ -1323,6 +1323,13 @@ class TrackerRTSfMInit(TrackerPlanar):
       them until one succeeds (re-entering the map through retrieval
       rather than an incremental track); failure falls back to
       initializing (:361-362).
+
+    Documented divergence: the reference additionally triangulates points
+    against the OTHER matched candidates (createMapPoints :1166-1170) and
+    runs a localOptimize over the new connections; this build registers
+    the single successful pair (its 2-frame GPS-prior BA plays the
+    localOptimize role). The pair-chain quality assertions in
+    tests/test_slam.py::test_tracker_rtsfm_path hold either way.
     """
 
     def track(self, frame: Frame) -> bool:

@@ -335,6 +335,21 @@ def test_tracker_registry_covers_reference_names():
         assert TRACKERS.create(name, WorldMap(), Svar()) is not None, name
     for name in ("demo", "zhangmi"):
         assert MAPPERS.create(name, WorldMap(), Svar()) is not None, name
+    # the remaining reference registries (REGISTER_FEATUREDETECTOR /
+    # REGISTER_INITIALIZER / REGISTER_LOOPDETECTOR name sets)
+    from pislamfusion_tpu.core.registry import (FEATURE_DETECTORS,
+                                                INITIALIZERS,
+                                                LOOP_DETECTORS)
+    import pislamfusion_tpu.models.initializers  # noqa: F401
+    import pislamfusion_tpu.models.loopclose     # noqa: F401
+    import pislamfusion_tpu.models.slam          # noqa: F401 — detectors
+    for name in ("ORB", "cvORB", "liu_ORB", "liu_cvORB", "Sift"):
+        assert FEATURE_DETECTORS.create(name, Svar()) is not None, name
+    for name in ("svd", "eigen", "svdzm", "opt", "opt_svd"):
+        assert INITIALIZERS.create(name) is not None, name
+    for name in ("BoW", "GPS"):
+        assert LOOP_DETECTORS.create(name, WorldMap(), Svar()) is not None, \
+            name
 
 
 def test_tracker_loadmap(slam_run, tmp_path):
