@@ -136,9 +136,12 @@ def _winners_kernel_call(packed, oy, y0g, lhv, lwv, wpv, plan: _Plan,
             # slab rows j <-> level rows y0 - 8 + j; circle-center rows for
             # score row r (level y0 + r - 1) sit at slab row r + 7, so the
             # rolled center window is slab rows [4, 4 + nsc + 6).
-            win = slabs[slot][4:4 + nsc + 6].astype(compute_dtype)
-            rolls = [win if dx == 0 else pltpu.roll(win, (-dx) % wmax,
-                                                    axis=1)
+            # roll in f32, cast after: Mosaic's tpu.dynamic_rotate only
+            # lowers for 32-bit element types (bf16 rotate fails on hw)
+            win = slabs[slot][4:4 + nsc + 6]
+            rolls = [(win if dx == 0 else
+                      pltpu.roll(win, (-dx) % wmax, axis=1))
+                     .astype(compute_dtype)
                      for dx in range(-3, 4)]
             score = _fast_score(rolls, nsc)
 
@@ -179,11 +182,18 @@ def _winners_kernel_call(packed, oy, y0g, lhv, lwv, wpv, plan: _Plan,
         scratch_shapes=[pltpu.VMEM((2, slab_h, wmax), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
+    # f32 score planes push the kernel's stack past the compiler's
+    # conservative 16 MB scoped-VMEM default (measured 16.9 MB at 1080p);
+    # the physical budget is larger — raise the cap rather than shrink
+    # the band
+    params = (None if interpret else
+              pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((n_tiles, wmax), jnp.float32),
                    jax.ShapeDtypeStruct((n_tiles, wmax), jnp.int32)),
         grid_spec=grid_spec,
+        compiler_params=params,
         interpret=interpret,
     )(oy, y0g, lhv, lwv, wpv, packed)
 
@@ -204,8 +214,14 @@ def fast_cell_winners(levels, cell: int, min_threshold: float,
     if cell % 8 != 0:
         raise ValueError("fast_cell_winners requires cell % 8 == 0")
     if use_bf16 is None:
-        from .. import image as im
-        use_bf16 = im._use_mxu_stencil()
+        # f32 by default: the production path runs the XLA chain under
+        # jit, where --xla_allow_excess_precision (forced on this box)
+        # ELIDES fast_score_map's bf16 casts — jitted XLA scores are full
+        # f32. A bf16 kernel matches the EAGER chain bit-for-bit but
+        # diverges from the jitted one on ~3% of marginal keypoints;
+        # f32 matches the jitted chain exactly (min/max trees are
+        # association-exact). Costs ~0.9 MB more VMEM per band slab.
+        use_bf16 = False
     shapes = tuple((int(x.shape[0]), int(x.shape[1])) for x in levels)
     plan = _make_plan(shapes, cell)
     wmax = plan.wmax

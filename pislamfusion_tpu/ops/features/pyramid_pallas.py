@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 
 _BLK = 128
-_RKL = 256        # row/lane band window (fits scale_factor < ~1.75)
+# band window per output tile: starts are 128-aligned, so the window must
+# hold alignment slack + the tile's source span (128 * scale_factor + taps)
+# — 384 fits scale factors up to ~1.9; 256 failed exactly at the
+# production shape (1080p, sf=1.2: 128 + 156 = 284 > 256)
+_RKL = 384
 _NJMAX = 16
 
 
@@ -67,7 +71,10 @@ def _make_plan(h: int, w: int, n_levels: int, scale_factor: float,
                r: int) -> PyrPlan | None:
     shapes = _level_shapes(h, w, n_levels, scale_factor)
     wpl = _ceil_to(w + 2 * r, _BLK)
-    if wpl < _RKL or h + 2 * r < _RKL or scale_factor > 1.7:
+    # windows are _RKL wide: both the padded lane count and the level-0
+    # block rows must cover one full window
+    if (wpl < _RKL or _ceil_to(h + 2 * r, _BLK) < _RKL
+            or scale_factor > 1.9):
         return None
     bases, blk_rows, row = [], [], 0
     for lh, lw in shapes:
@@ -78,6 +85,10 @@ def _make_plan(h: int, w: int, n_levels: int, scale_factor: float,
     ntiles = tuple(blk_rows[i + 1] // _BLK for i in range(n_levels - 1))
     if max(nj) > _NJMAX:
         return None
+    # tail slack: the deepest source level's row window ([base, base+_RKL))
+    # must stay inside the buffer even when its block is narrower than one
+    # window (its matrix columns there are zero — see _tile_blocks)
+    row = max(row, bases[n_levels - 2] + _RKL)
     return PyrPlan(shapes, r, wpl, tuple(bases), tuple(blk_rows), row,
                    nj, ntiles)
 
@@ -98,9 +109,13 @@ def _pad_clamp_matrix(resize: np.ndarray, out_len: int, r: int,
 
 
 def _tile_blocks(m: np.ndarray, n_blocks: int, src_padded: int):
-    """Per-128-row-tile dense [128, _RKL] band blocks + window starts."""
+    """Per-128-row-tile dense [128, _RKL] band blocks + window starts.
+    When the source block is narrower than one window, the matrix is
+    zero-padded: the slab DMA then reads past the block into the next
+    level's region (kept in-bounds by the plan's tail slack) and the
+    zero weights ignore it."""
     rows = n_blocks * _BLK
-    mp = np.zeros((rows, src_padded), np.float64)
+    mp = np.zeros((rows, max(src_padded, _RKL)), np.float64)
     mp[:m.shape[0], :m.shape[1]] = m
     blocks = np.zeros((n_blocks, _BLK, _RKL), np.float32)
     w0 = np.zeros(n_blocks, np.int64)
@@ -108,7 +123,8 @@ def _tile_blocks(m: np.ndarray, n_blocks: int, src_padded: int):
         rowsi = mp[i * _BLK:(i + 1) * _BLK]
         nz = np.nonzero(rowsi.any(0))[0]
         if nz.size:
-            s = min(max((nz[0] // _BLK) * _BLK, 0), src_padded - _RKL)
+            s = min(max((nz[0] // _BLK) * _BLK, 0),
+                    max(src_padded - _RKL, 0))
             if nz[-1] >= s + _RKL:
                 raise ValueError("band exceeds the tile window")
             w0[i] = s
@@ -178,7 +194,8 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
     wpl = plan.wpl
     njl = min(_NJMAX, wpl // _BLK)      # static lane-tile loop bound
     nj_lanes = njl * _BLK
-    hi = jax.lax.Precision.HIGH
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions (HIGH fails on hw)
+    hi = jax.lax.Precision.HIGHEST
 
     # host pre-fill: level-0 block edge-padded into the aliased buffer
     blk0 = jnp.pad(img.astype(jnp.float32), r, mode="edge")
@@ -188,19 +205,26 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
         [blk0, jnp.zeros((plan.total_rows - plan.blk_rows[0], wpl),
                          jnp.float32)], 0)
 
-    def kernel(ntiles_ref, dstbase_ref, atile_ref, rowlo_ref, lw0_ref,
-               njs_ref, bt_ref, a_ref, io_ref, out_ref, slab, abuf, obuf,
-               sems):
+    # lane windows must be STATIC (Mosaic has no dynamic VMEM slice):
+    # unroll per-level branches, each with its compile-time window starts
+    njs_st = tuple(int(v) for v in njs)
+    lw0_st = tuple(tuple(int(lw0[l * _NJMAX + j]) for j in range(njs_st[l]))
+                   for l in range(n_levels - 1))
+
+    def kernel(ntiles_ref, dstbase_ref, atile_ref, rowlo_ref,
+               bt_ref, a_ref, io_ref, out_ref, slab, abuf, obuf, sems):
         li = pl.program_id(0)
         # zero the lane blocks beyond this level's width once per level:
         # the output DMA copies the full obuf, and uninitialized VMEM
         # scratch could hold NaN bits that later levels' zero-weight
         # matmul windows would propagate (0 * NaN = NaN)
-        for j in range(njl):
-            @pl.when(j >= njs_ref[li])
-            def _():
-                obuf[:, j * _BLK:(j + 1) * _BLK] = jnp.zeros(
-                    (_BLK, _BLK), jnp.float32)
+        for lvl in range(n_levels - 1):
+            if njs_st[lvl] < njl:
+                @pl.when(li == lvl)
+                def _(lvl=lvl):
+                    for j in range(njs_st[lvl], njl):
+                        obuf[:, j * _BLK:(j + 1) * _BLK] = jnp.zeros(
+                            (_BLK, _BLK), jnp.float32)
 
         def body(t, _):
             gi = atile_ref[li] + t
@@ -216,16 +240,16 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
             t1 = jax.lax.dot_general(
                 abuf[:], slab[:], (((1,), (0,)), ((), ())),
                 precision=hi, preferred_element_type=jnp.float32)
-            for j in range(njl):
-                @pl.when(j < njs_ref[li])
-                def _():
-                    w0 = pl.multiple_of(lw0_ref[li * _NJMAX + j], _BLK)
-                    seg = jax.lax.dynamic_slice_in_dim(t1, w0, _RKL,
-                                                       axis=1)
-                    obuf[:, j * _BLK:(j + 1) * _BLK] = jax.lax.dot_general(
-                        seg, bt_ref[0, j],
-                        (((1,), (0,)), ((), ())), precision=hi,
-                        preferred_element_type=jnp.float32)
+            for lvl in range(n_levels - 1):
+                @pl.when(li == lvl)
+                def _(lvl=lvl):
+                    for j in range(njs_st[lvl]):
+                        seg = t1[:, lw0_st[lvl][j]:lw0_st[lvl][j] + _RKL]
+                        obuf[:, j * _BLK:(j + 1) * _BLK] = \
+                            jax.lax.dot_general(
+                                seg, bt_ref[0, j],
+                                (((1,), (0,)), ((), ())), precision=hi,
+                                preferred_element_type=jnp.float32)
             dst = pl.multiple_of(dstbase_ref[li] + t * _BLK, _BLK)
             cpo = pltpu.make_async_copy(
                 obuf, out_ref.at[pl.ds(dst, _BLK), pl.ds(0, nj_lanes)],
@@ -237,7 +261,7 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
         jax.lax.fori_loop(0, ntiles_ref[li], body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=(n_levels - 1,),
         in_specs=[
             pl.BlockSpec((1, _NJMAX, _RKL, _BLK),
@@ -257,11 +281,10 @@ def build_packed_pyramid(img, n_levels: int, scale_factor: float, r: int,
         out_shape=jax.ShapeDtypeStruct((plan.total_rows, wpl),
                                        jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={8: 0},    # io input (6 prefetch + 2) -> out
+        input_output_aliases={6: 0},    # io input (4 prefetch + 2) -> out
         interpret=interpret,
     )(jnp.asarray(ntiles), jnp.asarray(dstbase), jnp.asarray(atile),
-      jnp.asarray(rowlo), jnp.asarray(lw0), jnp.asarray(njs),
-      jnp.asarray(bt), jnp.asarray(a_blocks), init)
+      jnp.asarray(rowlo), jnp.asarray(bt), jnp.asarray(a_blocks), init)
 
 
 def pyramid_plan(h: int, w: int, n_levels: int, scale_factor: float,

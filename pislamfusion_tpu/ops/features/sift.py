@@ -96,7 +96,7 @@ def _octave_stack(img, params: SiftParams):
     over composed chain matrices — the XLA chain re-reads and re-writes
     the full octave once per scale (S+2 sequential banded ops)."""
     h, w = int(img.shape[0]), int(img.shape[1])
-    if im._use_pallas_stencil() and min(h, w) >= 2 * 128:
+    if im._use_pallas_stack() and min(h, w) >= 2 * 128:
         mats = _stack_matrices(h, w, params)
         if mats is not None:
             from .. import stencil_pallas as sp

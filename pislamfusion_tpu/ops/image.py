@@ -217,29 +217,49 @@ def _banded_left_apply(m: np.ndarray, x, axis: int):
     return y[tuple(sl)]
 
 
-_PALLAS_STENCIL: bool | None = None
+_PALLAS_STENCIL: dict | None = None
 
 
-def _use_pallas_stencil() -> bool:
-    """Opt-in gate for the fused banded-sandwich Pallas stencil
-    (PISLAM_PALLAS_STENCIL=1): one HBM pass for both axes instead of two
-    einsums with a materialized intermediate. Off by default until the
-    per-pallas_call dispatch overhead on this box is confirmed smaller
-    than the saved traffic (see ops/stencil_pallas.py)."""
+def _stencil_gates() -> dict:
+    """Per-kernel gates for the stencil-family Pallas kernels, decided on
+    real hardware by scripts/validate_pallas.py and recorded as fields of
+    the `.pallas_stencil_ok` marker: `sandwich` (the fused banded-sandwich
+    in _matmul_sep — one HBM pass for both axes) and `stack` (the
+    whole-SIFT-octave single call in features/sift.py). They are gated
+    SEPARATELY because the chip disagrees about them: the octave stack
+    measured 19.7x faster than the XLA chain, while the per-op sandwich
+    is flat-to-worse vs XLA's own fused einsums at 1080p.
+    PISLAM_PALLAS_STENCIL=0/1 force-overrides both."""
     global _PALLAS_STENCIL
     if _PALLAS_STENCIL is None:
         env = os.environ.get("PISLAM_PALLAS_STENCIL", "")
         if env in ("0", "1"):
-            on = env == "1"
+            gates = {"sandwich": env == "1", "stack": env == "1"}
         else:
-            # hardware-validation marker (see _use_pallas_extract's twin
-            # in ops/features/orb.py): written by the TPU recovery
-            # validator once the kernel beats the XLA path on-chip
-            on = os.path.isfile(os.path.join(
-                os.path.dirname(__file__), "..", "..",
-                ".pallas_stencil_ok"))
-        _PALLAS_STENCIL = on and use_tpu_pallas()
+            gates = {"sandwich": False, "stack": False}
+            marker = os.path.join(os.path.dirname(__file__), "..", "..",
+                                  ".pallas_stencil_ok")
+            if os.path.isfile(marker):
+                try:
+                    import json
+                    with open(marker) as f:
+                        rec = json.load(f)
+                    gates["sandwich"] = bool(rec.get("sandwich", True))
+                    gates["stack"] = bool(rec.get("stack", True))
+                except (OSError, ValueError):
+                    gates = {"sandwich": True, "stack": True}
+        if not use_tpu_pallas():
+            gates = {"sandwich": False, "stack": False}
+        _PALLAS_STENCIL = gates
     return _PALLAS_STENCIL
+
+
+def _use_pallas_stencil() -> bool:
+    return _stencil_gates()["sandwich"]
+
+
+def _use_pallas_stack() -> bool:
+    return _stencil_gates()["stack"]
 
 
 def _matmul_sep(img, mh: np.ndarray, mw: np.ndarray):

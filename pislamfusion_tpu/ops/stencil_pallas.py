@@ -203,24 +203,61 @@ def _row_blocks_fixed(m: np.ndarray, kbl: int):
     return blocks, w0.astype(np.int32)
 
 
-def _lane_blocks_fixed(m: np.ndarray, kbl: int):
-    """Per-out-lane-tile [kbl, 128] transposed blocks, fixed width, C=1."""
+def _lane_blocks_fixed(m: np.ndarray, kbl: int, w0=None):
+    """Per-out-lane-tile [kbl, 128] transposed blocks, fixed width, C=1.
+    `w0` (optional [nj] int array) pins the window starts — used to share
+    ONE static window layout across every pair of a stacked call (Mosaic
+    cannot lower a dynamic VMEM slice, so the kernel's lane offsets must
+    be compile-time constants common to all grid steps)."""
     On, n = m.shape
     nj = -(-On // _BLK)
     nk = -(-n // _BLK)
     blocks = np.zeros((nj, kbl, _BLK), np.float32)
-    w0 = np.zeros(nj, np.int64)
+    if w0 is None:
+        w0 = np.zeros(nj, np.int64)
+        pinned = False
+    else:
+        w0 = np.asarray(w0, np.int64).copy()
+        pinned = True
     mp = np.zeros((nj * _BLK, nk * _BLK), np.float32)
     mp[:On, :n] = m
     for j in range(nj):
         nz = np.nonzero(mp[j * _BLK:(j + 1) * _BLK].any(0))[0]
         if nz.size:
-            s = min(max((nz[0] // _BLK) * _BLK, 0), nk * _BLK - kbl)
-            if nz[-1] >= s + kbl:
+            if not pinned:
+                w0[j] = min(max((nz[0] // _BLK) * _BLK, 0), nk * _BLK - kbl)
+            if nz[0] < w0[j] or nz[-1] >= w0[j] + kbl:
                 raise ValueError("lane band exceeds the fixed window")
-            w0[j] = s
-            blocks[j] = mp[j * _BLK:(j + 1) * _BLK, s:s + kbl].T
+            blocks[j] = mp[j * _BLK:(j + 1) * _BLK, w0[j]:w0[j] + kbl].T
     return blocks, w0.astype(np.int32)
+
+
+def _lane_union_windows(mws, max_kb: int = 6):
+    """Static per-output-lane-tile windows covering EVERY pair's band:
+    returns (w0 [nj], kbl) or None when the union stops being narrow."""
+    On, n = mws[0].shape
+    nj = -(-On // _BLK)
+    nk = -(-n // _BLK)
+    lo = np.full(nj, n, np.int64)
+    hi = np.zeros(nj, np.int64)
+    for m in mws:
+        mp = np.zeros((nj * _BLK, nk * _BLK), np.float32)
+        mp[:On, :n] = m
+        for j in range(nj):
+            nz = np.nonzero(mp[j * _BLK:(j + 1) * _BLK].any(0))[0]
+            if nz.size:
+                lo[j] = min(lo[j], nz[0])
+                hi[j] = max(hi[j], nz[-1])
+    w0 = (np.minimum(lo, nk * _BLK) // _BLK) * _BLK
+    kb = 1
+    for j in range(nj):
+        if hi[j] >= lo[j]:
+            kb = max(kb, -(-int(hi[j] + 1 - w0[j]) // _BLK))
+    if kb > min(max_kb, nk):
+        return None
+    kbl = kb * _BLK
+    w0 = np.minimum(w0, nk * _BLK - kbl)
+    return w0, kbl
 
 
 def _min_kb(m: np.ndarray) -> int:
@@ -239,19 +276,20 @@ def _min_kb(m: np.ndarray) -> int:
 
 
 def stack_fusable(mhs, mws, max_kb: int = 4) -> bool:
-    """True when every pair's bands fit narrow fixed windows (C=1)."""
+    """True when every pair's row band fits a narrow fixed window and the
+    lane bands fit a narrow STATIC union window shared by all pairs."""
     try:
         kbr = max(_min_kb(m) for m in mhs)
-        kbl = max(_min_kb(m) for m in mws)
     except ValueError:
         return False
     nkr = -(-mhs[0].shape[1] // _BLK)
-    nkl = -(-mws[0].shape[1] // _BLK)
-    return kbr <= min(max_kb, nkr) and kbl <= min(max_kb, nkl)
+    return (kbr <= min(max_kb, nkr)
+            and _lane_union_windows(mws, max_kb) is not None)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _stack_call(x, rowlo, lanelo, a_blocks, bt_blocks, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("lane_w0", "interpret"))
+def _stack_call(x, rowlo, a_blocks, bt_blocks, lane_w0: tuple,
+                interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -260,8 +298,7 @@ def _stack_call(x, rowlo, lanelo, a_blocks, bt_blocks, interpret: bool):
     wpl = x.shape[1]
     hi = jax.lax.Precision.HIGHEST
 
-    def kernel(rowlo_ref, lanelo_ref, a_ref, bt_ref, x_ref, out_ref,
-               slab, sem):
+    def kernel(rowlo_ref, a_ref, bt_ref, x_ref, out_ref, slab, sem):
         p = pl.program_id(0)
         i = pl.program_id(1)
         cp = pltpu.make_async_copy(
@@ -273,15 +310,17 @@ def _stack_call(x, rowlo, lanelo, a_blocks, bt_blocks, interpret: bool):
         t1 = jax.lax.dot_general(
             a_ref[0, 0], slab[:], (((1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=jnp.float32)
+        # lane windows are STATIC (shared union across pairs): Mosaic has
+        # no dynamic VMEM slice, so per-pair offsets can't come from the
+        # scalar-prefetch operand
         for j in range(nj):
-            w0 = pl.multiple_of(lanelo_ref[p * nj + j], _BLK)
-            seg = jax.lax.dynamic_slice_in_dim(t1, w0, kbl, axis=1)
+            seg = t1[:, lane_w0[j]:lane_w0[j] + kbl]
             out_ref[0, :, j * _BLK:(j + 1) * _BLK] = jax.lax.dot_general(
                 seg, bt_ref[0, j], (((1,), (0,)), ((), ())),
                 precision=hi, preferred_element_type=jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(P, ni),
         in_specs=[
             pl.BlockSpec((1, 1, _BLK, rhl), lambda p, i, *_: (p, i, 0, 0),
@@ -302,7 +341,7 @@ def _stack_call(x, rowlo, lanelo, a_blocks, bt_blocks, interpret: bool):
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rowlo, lanelo, a_blocks, bt_blocks, x)
+    )(rowlo, a_blocks, bt_blocks, x)
 
 
 _STACK_CACHE: dict = {}
@@ -326,24 +365,23 @@ def banded_stack_pallas(x, mhs, mws, cache_key=None,
     tabs = _STACK_CACHE.get(key)
     if tabs is None:
         kbr = max(_min_kb(m) for m in mhs) * _BLK
-        kblw = max(_min_kb(m) for m in mws) * _BLK
-        ab, rl, bb, ll = [], [], [], []
+        lw0, kblw = _lane_union_windows(mws)
+        ab, rl, bb = [], [], []
         for mh, mw in zip(mhs, mws):
             a, r = _row_blocks_fixed(mh, kbr)
-            b, l = _lane_blocks_fixed(mw, kblw)
+            b, _ = _lane_blocks_fixed(mw, kblw, w0=lw0)
             ab.append(a)
             rl.append(r)
             bb.append(b)
-            ll.append(l)
         tabs = (jnp.asarray(np.stack(ab)), np.concatenate(rl),
-                jnp.asarray(np.stack(bb)), np.concatenate(ll))
+                jnp.asarray(np.stack(bb)), tuple(int(v) for v in lw0))
         _STACK_CACHE[key] = tabs
-    a_blocks, rowlo, bt_blocks, lanelo = tabs
+    a_blocks, rowlo, bt_blocks, lane_w0 = tabs
     wpl = _ceil_to(w, _BLK)
     hp = _ceil_to(h, _BLK)
     xp = jnp.pad(x.astype(jnp.float32), ((0, hp - h), (0, wpl - w)))
-    out = _stack_call(xp, jnp.asarray(rowlo), jnp.asarray(lanelo),
-                      a_blocks, bt_blocks, interpret)
+    out = _stack_call(xp, jnp.asarray(rowlo), a_blocks, bt_blocks,
+                      lane_w0, interpret)
     return out[:, :ho, :wo]
 
 
