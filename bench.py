@@ -147,7 +147,9 @@ def main():
     # skip the SIFT pass when the ORB section already ate the wall budget
     # (cold compile on the tunnel can take minutes; a missing field beats
     # a dead bench — the persistent cache makes warm runs cheap)
-    sift_budget = float(os.environ.get("BENCH_SIFT_BUDGET", "420"))
+    # generous: the supervisor's BENCH_CHILD_TIMEOUT bounds the whole run,
+    # and a cold-cache ORB section alone can eat 400 s on the tunnel
+    sift_budget = float(os.environ.get("BENCH_SIFT_BUDGET", "1200"))
     if (os.environ.get("BENCH_SIFT", "1") == "1"
             and time.perf_counter() - t_setup < sift_budget):
         try:

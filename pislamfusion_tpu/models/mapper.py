@@ -39,6 +39,8 @@ from .worldmap import WorldMap
 # block) so the larger window costs little.
 BA_F, BA_P, BA_O = 40, 4096, 16384
 PLANE_MIN_POINTS = 2000   # src/RANSAC.cpp:103
+# _fuse neighbor-point matching capacity: ONE static shape (see _fuse)
+FUSE_POINT_CAP = 4096
 
 
 @MAPPERS.register("demo")
@@ -62,7 +64,8 @@ class Mapper:
         # capacity-saturation observability: counts of drops at the BA
         # caps; first saturation of each kind logs a warning (then counts
         # silently — per-KF spam helps nobody)
-        self.ba_truncated = {"frames": 0, "points": 0, "obs": 0}
+        self.ba_truncated = {"frames": 0, "points": 0, "obs": 0,
+                             "fuse": 0}
         # online mode: keyframe handling on a 1-worker pool so the tracker
         # never blocks on BA (MapperDemo.cpp:77-106 ThreadPool(1) +
         # _abordBundle backpressure)
@@ -118,12 +121,14 @@ class Mapper:
             # the tracker leaves features on device; keyframe handling is
             # host-heavy (descriptor gathers per map point), so pull the
             # one host copy here — on the mapper thread, off the track loop
-            frame.ensure_host_features()
+            with timer.scope("Mapper::hostFetch"):
+                frame.ensure_host_features()
             frame.feats_dev = None
             self._kf_count += 1
-            self._register_observations(frame)
-            self._make_connections(frame)
-            self._cull_map_points(frame)
+            with timer.scope("Mapper::bookkeeping"):
+                self._register_observations(frame)
+                self._make_connections(frame)
+                self._cull_map_points(frame)
             with timer.scope("Mapper::createNewMapPoints"):
                 self._create_new_points(frame)
             with timer.scope("Mapper::dataAssociation"):
@@ -131,10 +136,11 @@ class Mapper:
             if gen == 0 or gen >= self._kf_gen:
                 with timer.scope("Mapper::localOptimization"):
                     self._local_ba(frame)
-            self._update_normals_descriptors(frame)
-            self._cull_keyframes(frame)
-            self._maybe_fit_gps()
-            self._feed_plane()
+            with timer.scope("Mapper::postKF"):
+                self._update_normals_descriptors(frame)
+                self._cull_keyframes(frame)
+                self._maybe_fit_gps()
+                self._feed_plane()
 
     # ------------------------------------------------------------ pipeline
     def _register_observations(self, frame: Frame):
@@ -192,20 +198,23 @@ class Mapper:
             if kf is None:
                 continue
             # baseline check (:518-525): baseline / median depth > 0.01
-            base = np.linalg.norm(frame.pose_c2w[:3] - kf.pose_c2w[:3])
-            ids, pos, _ = self.map.point_arrays(
-                [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
-            med = kf.median_depth(pos) if len(ids) else 1.0
+            with timer.scope("Mapper::newPts.prep"):
+                base = np.linalg.norm(frame.pose_c2w[:3] - kf.pose_c2w[:3])
+                ids, pos, _ = self.map.point_arrays(
+                    [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
+                med = kf.median_depth(pos) if len(ids) else 1.0
             if base / max(med, 1e-9) < 0.01:
                 continue
             free_a = frame.valid & (frame.kp2mp < 0)
             free_b = kf.valid & (kf.kp2mp < 0)
-            idx, ok = matching.match_descriptors(
-                jnp.asarray(frame.desc), jnp.asarray(free_a),
-                jnp.asarray(kf.desc), jnp.asarray(free_b),
-                frame.desc_kind, ratio=0.8)
-            # one batched fetch (each bare np.asarray is a tunnel roundtrip)
-            idxn, okn = jax.device_get((idx, ok))
+            with timer.scope("Mapper::newPts.match"):
+                idx, ok = matching.match_descriptors(
+                    jnp.asarray(frame.desc), jnp.asarray(free_a),
+                    jnp.asarray(kf.desc), jnp.asarray(free_b),
+                    frame.desc_kind, ratio=0.8)
+                # one batched fetch (a bare np.asarray per array would be
+                # a tunnel roundtrip each)
+                idxn, okn = jax.device_get((idx, ok))
             if okn.sum() < 5:
                 continue
             # FIXED-SHAPE triangulation over all N keypoint slots (matched
@@ -232,10 +241,11 @@ class Mapper:
             den = np.hypot(lines[:, 0], lines[:, 1])
             epi_err = num / np.maximum(den, 1e-12)
             okn = okn & (epi_err < 2.0 * sigma * np.sqrt(5.991))
-            Ta = jnp.asarray(frame.pose_c2w)
-            Tb = jnp.asarray(kf.pose_c2w)
-            X, da = jax.device_get(ransac.triangulate(
-                Ta, Tb, jnp.asarray(ra), jnp.asarray(rb)))
+            with timer.scope("Mapper::newPts.tri"):
+                Ta = jnp.asarray(frame.pose_c2w)
+                Tb = jnp.asarray(kf.pose_c2w)
+                X, da = jax.device_get(ransac.triangulate(
+                    Ta, Tb, jnp.asarray(ra), jnp.asarray(rb)))
             pb = hse3.se3_apply(hse3.se3_inv(kf.pose_c2w), X)
             db = pb[:, 2]
             # parallax angle host-side (tiny numpy; saves a device dispatch)
@@ -255,33 +265,35 @@ class Mapper:
                     & (ea < th) & (eb < th) & np.isfinite(X).all(1))
             good = self._filter_new_points(frame, good, ea + eb)
             color_img = frame.color if frame.color is not None else frame.image
-            for j in np.nonzero(good)[0]:
-                ka = int(j)
-                kb = int(idxn[j])
-                if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
-                    continue
-                pid = self.map.get_pid()
-                color = np.full(3, 128, np.uint8)
-                if color_img is not None:
-                    x, y = frame.xy[ka].astype(int)
-                    if 0 <= y < color_img.shape[0] and \
-                            0 <= x < color_img.shape[1]:
-                        c = color_img[y, x]
-                        color = (np.full(3, int(c), np.uint8)
-                                 if np.ndim(c) == 0 else c.astype(np.uint8))
-                mp = MapPoint(id=pid, position=X[j].astype(np.float32),
-                              descriptor=np.asarray(frame.desc[ka]),
-                              color=color, ref_frame=frame.id,
-                              created_at_kf=self._kf_count)
-                view = X[j] - frame.pose_c2w[:3]
-                mp.normal = (view / max(np.linalg.norm(view), 1e-9)).astype(
-                    np.float32)
-                self.map.insert_point(mp)
-                self.map.add_observation(pid, frame.id, ka)
-                self.map.add_observation(pid, kf.id, kb)
-                self._recent_points.append(pid)
-                self._plane_buffer.append(pid)
-                created += 1
+            with timer.scope("Mapper::newPts.insert"):
+                for j in np.nonzero(good)[0]:
+                    ka = int(j)
+                    kb = int(idxn[j])
+                    if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
+                        continue
+                    pid = self.map.get_pid()
+                    color = np.full(3, 128, np.uint8)
+                    if color_img is not None:
+                        x, y = frame.xy[ka].astype(int)
+                        if 0 <= y < color_img.shape[0] and \
+                                0 <= x < color_img.shape[1]:
+                            c = color_img[y, x]
+                            color = (np.full(3, int(c), np.uint8)
+                                     if np.ndim(c) == 0
+                                     else c.astype(np.uint8))
+                    mp = MapPoint(id=pid, position=X[j].astype(np.float32),
+                                  descriptor=np.asarray(frame.desc[ka]),
+                                  color=color, ref_frame=frame.id,
+                                  created_at_kf=self._kf_count)
+                    view = X[j] - frame.pose_c2w[:3]
+                    mp.normal = (view / max(np.linalg.norm(view),
+                                            1e-9)).astype(np.float32)
+                    self.map.insert_point(mp)
+                    self.map.add_observation(pid, frame.id, ka)
+                    self.map.add_observation(pid, kf.id, kb)
+                    self._recent_points.append(pid)
+                    self._plane_buffer.append(pid)
+                    created += 1
         return created
 
     def _filter_new_points(self, frame: Frame, good, err=None):
@@ -294,20 +306,30 @@ class Mapper:
     def _fuse(self, frame: Frame):
         """Project neighbors' points into this KF; bind to free keypoints,
         merge duplicates (dataAssociation:809-1011)."""
-        pids = set()
-        for fid in frame.connections:
-            kf = self.map.frame(fid)
-            if kf is None:
-                continue
-            pids.update(int(p) for p in kf.kp2mp[kf.kp2mp >= 0])
-        own = set(int(p) for p in frame.kp2mp[frame.kp2mp >= 0])
-        pids -= own
-        if not pids:
-            return
-        ids, pos, desc = self.map.point_arrays(sorted(pids))
+        with timer.scope("Mapper::fuse.gather"):
+            pids = set()
+            for fid in frame.connections:
+                kf = self.map.frame(fid)
+                if kf is None:
+                    continue
+                pids.update(int(p) for p in kf.kp2mp[kf.kp2mp >= 0])
+            own = set(int(p) for p in frame.kp2mp[frame.kp2mp >= 0])
+            pids -= own
+            if not pids:
+                return
+            ids, pos, desc = self.map.point_arrays(sorted(pids))
         if not ids:
             return
-        cap = max(256, 1 << int(np.ceil(np.log2(len(ids)))))
+        # ONE fixed capacity (not a pow2-of-live-count ladder): the live
+        # neighbor-point count is online-thread-timing dependent, so a
+        # count-keyed bucket makes the program SET nondeterministic across
+        # runs — each novel shape costs a full compile (or a multi-second
+        # cache-hit executable load on a tunneled backend) mid-run. Masked
+        # rows are near-free on the MXU; truncation past the cap is noted.
+        cap = FUSE_POINT_CAP
+        if len(ids) > cap:
+            self._note_truncation("fuse", len(ids) - cap)
+            ids = ids[:cap]
         pos_p, maskp = pad_to(pos, cap)
         desc_p, _ = pad_to(np.asarray(desc), cap)
         pc = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), pos_p)
@@ -318,37 +340,39 @@ class Mapper:
                            -1)).astype(np.float32)
         inview = frame.camera.in_view(pix)
         pvalid = maskp & infront & inview
-        wmask = matching.window_mask(jnp.asarray(pix), jnp.asarray(frame.xy),
-                                     4.0)
-        idx, ok = matching.match_descriptors(
-            jnp.asarray(desc_p), jnp.asarray(pvalid),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            frame.desc_kind, window=wmask)
-        idxn, okn = jax.device_get((idx, ok))
-        for pi in np.nonzero(okn)[0]:
-            ci = int(idxn[pi])
-            pid = ids[pi]
-            existing = int(frame.kp2mp[ci])
-            if existing < 0:
-                self.map.add_observation(pid, frame.id, ci)
-            elif existing != pid:
-                # merge: keep the point with more observations
-                a = self.map.point(existing)
-                b = self.map.point(pid)
-                if a is None or b is None:
-                    continue
-                keep, drop = (a, b) if a.n_obs() >= b.n_obs() else (b, a)
-                for fid, kp in list(drop.observations.items()):
-                    fr = self.map.frame(fid)
-                    if fr is None:
+        with timer.scope("Mapper::fuse.match"):
+            wmask = matching.window_mask(jnp.asarray(pix),
+                                         jnp.asarray(frame.xy), 4.0)
+            idx, ok = matching.match_descriptors(
+                jnp.asarray(desc_p), jnp.asarray(pvalid),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                frame.desc_kind, window=wmask)
+            idxn, okn = jax.device_get((idx, ok))
+        with timer.scope("Mapper::fuse.merge"):
+            for pi in np.nonzero(okn)[0]:
+                ci = int(idxn[pi])
+                pid = ids[pi]
+                existing = int(frame.kp2mp[ci])
+                if existing < 0:
+                    self.map.add_observation(pid, frame.id, ci)
+                elif existing != pid:
+                    # merge: keep the point with more observations
+                    a = self.map.point(existing)
+                    b = self.map.point(pid)
+                    if a is None or b is None:
                         continue
-                    if fid not in keep.observations:
-                        self.map.add_observation(keep.id, fid, kp)
-                    else:
-                        fr.kp2mp[kp] = (keep.id
-                                        if keep.observations[fid] == kp
-                                        else -1)
-                self.map.erase_point(drop.id)
+                    keep, drop = (a, b) if a.n_obs() >= b.n_obs() else (b, a)
+                    for fid, kp in list(drop.observations.items()):
+                        fr = self.map.frame(fid)
+                        if fr is None:
+                            continue
+                        if fid not in keep.observations:
+                            self.map.add_observation(keep.id, fid, kp)
+                        else:
+                            fr.kp2mp[kp] = (keep.id
+                                            if keep.observations[fid] == kp
+                                            else -1)
+                    self.map.erase_point(drop.id)
 
     def _note_truncation(self, kind: str, dropped: int):
         """Record (and log on first occurrence) a drop at a BA capacity cap
@@ -357,13 +381,14 @@ class Mapper:
         self.ba_truncated[kind] += int(dropped)
         if first:
             cap = {"frames": self.ba_f, "points": self.ba_p,
-                   "obs": self.ba_o}[kind]
+                   "obs": self.ba_o, "fuse": FUSE_POINT_CAP}[kind]
             glog.logger.warning(
                 "local BA %s window saturated (cap %d, %d dropped this KF);"
                 " raise SLAM.BA%sCap to widen — further drops counted in"
                 " Mapper.ba_truncated" %
                 (kind, cap, dropped,
-                 {"frames": "Frame", "points": "Point", "obs": "Obs"}[kind]))
+                 {"frames": "Frame", "points": "Point", "obs": "Obs",
+                  "fuse": "Fuse"}[kind]))
 
     # --------------------------------------------------------------- BA
     def _local_ba(self, frame: Frame):
@@ -684,7 +709,10 @@ class Mapper:
         S = np.asarray(ransac.sim3_horn(jnp.asarray(est_p),
                                         jnp.asarray(enu_p),
                                         jnp.asarray(wmask, jnp.float32)))
-        fit = np.asarray(lie.sim3_apply(jnp.asarray(S), jnp.asarray(est)))
+        # evaluate the fit on the PADDED array (the unpadded est would give
+        # sim3_apply a fresh shape — and a fresh compile — every keyframe)
+        fit = np.asarray(lie.sim3_apply(jnp.asarray(S),
+                                        jnp.asarray(est_p)))[:len(est)]
         rms = float(np.sqrt(np.mean(np.sum((fit - enu) ** 2, -1))))
         self.last_gps_fit_rms = rms
         sigma = np.mean([f.gps_acc for f in kfs])

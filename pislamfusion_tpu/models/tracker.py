@@ -198,6 +198,23 @@ class Tracker:
         desc_k = jnp.stack([fr.feats_dev["desc"] for fr in frames])
         valid_k = jnp.stack([fr.feats_dev["valid"] for fr in frames])
         xy_k = jnp.stack([fr.feats_dev["xy"] for fr in frames])
+        # pad the chain to the CONFIGURED length: the greedy queue drain
+        # yields variable batch sizes (2..TrackChain), and each distinct K
+        # would be a separate compile of this large program — a
+        # timing-dependent program set that stalls mid-run on a tunneled
+        # backend. Pad steps run after every real frame in the scan, so
+        # their garbage rows are simply not unpacked.
+        cap = max(len(frames), self.cfg.get_int("SLAM.TrackChain", 1))
+        if len(frames) < cap:
+            padk = cap - len(frames)
+            desc_k = jnp.concatenate(
+                [desc_k, jnp.zeros((padk,) + desc_k.shape[1:],
+                                   desc_k.dtype)])
+            valid_k = jnp.concatenate(
+                [valid_k, jnp.zeros((padk,) + valid_k.shape[1:],
+                                    valid_k.dtype)])
+            xy_k = jnp.concatenate(
+                [xy_k, jnp.zeros((padk,) + xy_k.shape[1:], xy_k.dtype)])
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         aux = np.concatenate([
