@@ -35,6 +35,24 @@ _FEAT_DTYPES = {"xy": np.float32, "angle": np.float32, "octave": np.int32,
                 "response": np.float32, "valid": bool}
 
 
+def _pack_feats(fd: dict):
+    """Concatenate every feature array into ONE f32 [N, C] device buffer
+    (jitted lazily below). device_get on the raw feature dict pays a
+    ~30-60 ms tunnel round trip PER LEAF on a remote backend — 6 leaves
+    ≈ 120+ ms per keyframe materialization, measured; the packed buffer
+    is one fetch. All values survive the f32 round trip exactly: ORB
+    descriptor bytes (0-255), octave indices, and the bool mask are
+    integers well under 2^24; xy/angle/response/SIFT descriptors are
+    f32 already."""
+    import jax.numpy as jnp
+    n = fd["xy"].shape[0]
+    return jnp.concatenate([fd[k].astype(jnp.float32).reshape(n, -1)
+                            for k in _FEAT_KEYS if k in fd], axis=1)
+
+
+_pack_feats_jit = None  # jax imported lazily (host-only users skip it)
+
+
 @dataclasses.dataclass
 class Frame:
     id: int
@@ -81,14 +99,30 @@ class Frame:
         self.kp2mp = np.full(int(feats_dev["xy"].shape[0]), -1, np.int64)
 
     def _materialize(self):
-        """One batched device->host fetch of every feature array."""
+        """ONE device->host fetch of every feature array (see _pack_feats:
+        a per-leaf device_get costs a tunnel round trip per array)."""
         fd = self.feats_dev   # snapshot: another thread may null this field
         if fd is None:
             return
-        import jax
-        host = jax.device_get(fd)
-        self._feats = {k: np.asarray(v, _FEAT_DTYPES.get(k))
-                       for k, v in host.items()}
+        global _pack_feats_jit
+        if _pack_feats_jit is None:
+            import jax
+            _pack_feats_jit = jax.jit(_pack_feats)
+        buf = np.asarray(_pack_feats_jit(fd))      # [N, C], single fetch
+        feats, c = {}, 0
+        for k in _FEAT_KEYS:
+            if k not in fd:
+                continue
+            w = int(np.prod(fd[k].shape[1:], dtype=np.int64)) \
+                if fd[k].ndim > 1 else 1
+            col = buf[:, c:c + w] if fd[k].ndim > 1 else buf[:, c]
+            c += w
+            if k == "desc":
+                feats[k] = col.astype(np.uint8) \
+                    if str(fd[k].dtype) == "uint8" else col
+            else:
+                feats[k] = col.astype(_FEAT_DTYPES.get(k, np.float32))
+        self._feats = feats
 
     def ensure_host_features(self):
         if self._feats is None and self.feats_dev is not None:

@@ -15,6 +15,7 @@ queue.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -41,6 +42,68 @@ BA_F, BA_P, BA_O = 40, 4096, 16384
 PLANE_MIN_POINTS = 2000   # src/RANSAC.cpp:103
 # _fuse neighbor-point matching capacity: ONE static shape (see _fuse)
 FUSE_POINT_CAP = 4096
+# createNewMapPoints neighbor sweep width (top-K connected keyframes,
+# MapperDemo.cpp:500) — FIXED so the batched sweep program compiles once
+NEW_POINT_NEIGHBORS = 4
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _associate_triangulate_batch(desc_a, free_a, rays_a, Ta,
+                                 desc_k, free_k, rays_k, Tb_k,
+                                 sigma, kind: str):
+    """The whole createNewMapPoints neighbor sweep as ONE device program
+    (MapperDemo.cpp:492-650): for each (padded) top-K connected keyframe —
+    ratio-matched free keypoints, epipolar gate from the known relative
+    pose, DLT triangulation, depth/parallax/reprojection acceptance —
+    vmapped over neighbors. One dispatch + one fetch; the serial
+    per-neighbor version paid ~2 blocking tunnel round trips per neighbor
+    (~480 ms per keyframe on the remote backend, measured).
+
+    desc_a/free_a/rays_a/Ta: the new keyframe's descriptors [N,D], free
+    mask [N], unit-plane rays [N,3], pose c2w [7]. desc_k/free_k/rays_k/
+    Tb_k: the same, stacked [K,...] (absent neighbors: free_k all False).
+    sigma: 1/fx (traced — camera changes don't recompile). Returns
+    (idx [K,N], good [K,N], X [K,N,3] world points, err [K,N] summed
+    two-view reprojection error)."""
+    max_dist = 80.0 if kind == "orb" else 0.2
+    th = 2.0 * sigma * jnp.sqrt(5.991)
+    Ta_inv = lie.se3_inv(Ta)
+
+    def one(desc_b, free_b, rays_b, Tb):
+        dist = matching.distance_matrix(desc_a, desc_b, kind)
+        idx, ok = matching.match(dist, free_a, free_b, max_dist, ratio=0.8)
+        rb = rays_b[jnp.where(ok, idx, 0)]
+        # EPIPOLAR GATE: on repetitive texture the unconstrained match
+        # pairs different instances of the same motif; such pairs
+        # triangulate to self-consistent GHOST layers. The known relative
+        # pose kills them (the reference's matchers search along epipolar
+        # lines instead of globally).
+        T_ba = lie.se3_mul(lie.se3_inv(Tb), Ta)
+        E = lie.so3_hat(T_ba[:3]) @ lie.quat_to_matrix(T_ba[3:7])
+        lines = rays_a @ E.T                  # epipolar lines in view b
+        epi = jnp.abs(jnp.sum(rb * lines, -1)) / jnp.maximum(
+            jnp.hypot(lines[:, 0], lines[:, 1]), 1e-12)
+        ok = ok & (epi < th)
+        X, da = ransac.triangulate(Ta, Tb, rays_a, rb)
+        pb = lie.se3_apply(lie.se3_inv(Tb), X)
+        db = pb[:, 2]
+        # parallax angle between the two viewing rays (:545-560)
+        va = X - Ta[None, :3]
+        vb = X - Tb[None, :3]
+        cosp = jnp.sum(va * vb, -1) / jnp.maximum(
+            jnp.linalg.norm(va, axis=-1) * jnp.linalg.norm(vb, axis=-1),
+            1e-12)
+        # reprojection checks in both views (:577-616)
+        pa = lie.se3_apply(Ta_inv, X)
+        ea = jnp.linalg.norm(pa[:, :2] / jnp.maximum(pa[:, 2:], 1e-9)
+                             - rays_a[:, :2], axis=1)
+        eb = jnp.linalg.norm(pb[:, :2] / jnp.maximum(pb[:, 2:], 1e-9)
+                             - rb[:, :2], axis=1)
+        good = (ok & (da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
+                & (ea < th) & (eb < th) & jnp.isfinite(X).all(1))
+        return idx, good, X, ea + eb
+
+    return jax.vmap(one)(desc_k, free_k, rays_k, Tb_k)
 
 
 @MAPPERS.register("demo")
@@ -188,84 +251,63 @@ class Mapper:
 
     def _create_new_points(self, frame: Frame):
         """Triangulate unmatched keypoints against top connected keyframes
-        (createNewMapPointsBow:492-650)."""
-        top = sorted(frame.connections.items(), key=lambda kv: -kv[1])[:4]
+        (createNewMapPointsBow:492-650). The whole neighbor sweep — match,
+        epipolar gate, triangulation, acceptance gates — is ONE vmapped
+        device program + ONE fetch (_associate_triangulate_batch); only
+        neighbor selection and map insertion run host-side. All neighbors
+        are matched against the frame's INITIAL free mask (the serial
+        version re-matched after each neighbor's insertions); the
+        insertion loop's kp2mp guards enforce the same no-double-bind
+        invariant at commit time."""
+        top = sorted(frame.connections.items(),
+                     key=lambda kv: -kv[1])[:NEW_POINT_NEIGHBORS]
         cam = frame.camera
         sigma = 1.0 / cam.fx
         created = 0
-        for fid, _ in top:
-            kf = self.map.frame(fid)
-            if kf is None:
-                continue
-            # baseline check (:518-525): baseline / median depth > 0.01
-            with timer.scope("Mapper::newPts.prep"):
+        neighbors = []
+        with timer.scope("Mapper::newPts.prep"):
+            for fid, _ in top:
+                kf = self.map.frame(fid)
+                if kf is None or kf.desc is None:
+                    continue
+                # baseline check (:518-525): baseline / median depth > 0.01
                 base = np.linalg.norm(frame.pose_c2w[:3] - kf.pose_c2w[:3])
                 ids, pos, _ = self.map.point_arrays(
                     [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
                 med = kf.median_depth(pos) if len(ids) else 1.0
-            if base / max(med, 1e-9) < 0.01:
-                continue
+                if base / max(med, 1e-9) < 0.01:
+                    continue
+                neighbors.append(kf)
+            if not neighbors:
+                return 0
+            K = NEW_POINT_NEIGHBORS
+            N, D = frame.desc.shape
             free_a = frame.valid & (frame.kp2mp < 0)
-            free_b = kf.valid & (kf.kp2mp < 0)
-            with timer.scope("Mapper::newPts.match"):
-                idx, ok = matching.match_descriptors(
+            desc_k = np.zeros((K, N, D), frame.desc.dtype)
+            free_k = np.zeros((K, N), bool)
+            rays_k = np.zeros((K, N, 3), np.float32)
+            Tb_k = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                           (K, 1))
+            for i, kf in enumerate(neighbors):
+                n = min(N, len(kf.desc))
+                desc_k[i, :n] = kf.desc[:n]
+                free_k[i, :n] = (kf.valid & (kf.kp2mp < 0))[:n]
+                rays_k[i, :n] = kf.rays[:n]
+                Tb_k[i] = kf.pose_c2w
+        with timer.scope("Mapper::newPts.match"):
+            idx_k, good_k, X_k, err_k = jax.device_get(
+                _associate_triangulate_batch(
                     jnp.asarray(frame.desc), jnp.asarray(free_a),
-                    jnp.asarray(kf.desc), jnp.asarray(free_b),
-                    frame.desc_kind, ratio=0.8)
-                # one batched fetch (a bare np.asarray per array would be
-                # a tunnel roundtrip each)
-                idxn, okn = jax.device_get((idx, ok))
-            if okn.sum() < 5:
-                continue
-            # FIXED-SHAPE triangulation over all N keypoint slots (matched
-            # or not) — a `sel`-sized call would recompile per match count;
-            # masking afterwards costs nothing on device
-            ra = frame.rays
-            rb = kf.rays[np.where(okn, idxn, 0)]
-            # EPIPOLAR GATE: on repetitive texture the unconstrained
-            # descriptor match pairs different instances of the same motif;
-            # such pairs triangulate to self-consistent GHOST layers (they
-            # reproject perfectly in their two creating views by
-            # construction). The known relative pose kills them: require
-            # rb on ra's epipolar line (the reference's matchers search
-            # along epipolar lines / windows instead of globally).
-            T_ba = hse3.se3_mul(hse3.se3_inv(kf.pose_c2w), frame.pose_c2w)
-            R_ba = hse3.quat_to_matrix(T_ba[3:7])
-            t_ba = T_ba[:3]
-            tx = np.array([[0, -t_ba[2], t_ba[1]],
-                           [t_ba[2], 0, -t_ba[0]],
-                           [-t_ba[1], t_ba[0], 0]])
-            E = tx @ R_ba
-            lines = ra @ E.T                       # epipolar lines in view b
-            num = np.abs(np.sum(rb * lines, -1))
-            den = np.hypot(lines[:, 0], lines[:, 1])
-            epi_err = num / np.maximum(den, 1e-12)
-            okn = okn & (epi_err < 2.0 * sigma * np.sqrt(5.991))
-            with timer.scope("Mapper::newPts.tri"):
-                Ta = jnp.asarray(frame.pose_c2w)
-                Tb = jnp.asarray(kf.pose_c2w)
-                X, da = jax.device_get(ransac.triangulate(
-                    Ta, Tb, jnp.asarray(ra), jnp.asarray(rb)))
-            pb = hse3.se3_apply(hse3.se3_inv(kf.pose_c2w), X)
-            db = pb[:, 2]
-            # parallax angle host-side (tiny numpy; saves a device dispatch)
-            va = X - frame.pose_c2w[None, :3]
-            vb = X - kf.pose_c2w[None, :3]
-            cosp = np.sum(va * vb, -1) / np.maximum(
-                np.linalg.norm(va, axis=-1) * np.linalg.norm(vb, axis=-1),
-                1e-12)
-            # reprojection checks in both views (:577-616)
-            pa_c = hse3.se3_apply(hse3.se3_inv(frame.pose_c2w), X)
-            ea = np.linalg.norm(pa_c[:, :2] / np.maximum(pa_c[:, 2:], 1e-9)
-                                - ra[:, :2], axis=1)
-            eb = np.linalg.norm(pb[:, :2] / np.maximum(pb[:, 2:], 1e-9)
-                                - rb[:, :2], axis=1)
-            th = 2.0 * sigma * np.sqrt(5.991)
-            good = (okn & (da > 0) & (db > 0) & (cosp > 0) & (cosp < 0.9998)
-                    & (ea < th) & (eb < th) & np.isfinite(X).all(1))
-            good = self._filter_new_points(frame, good, ea + eb)
-            color_img = frame.color if frame.color is not None else frame.image
-            with timer.scope("Mapper::newPts.insert"):
+                    jnp.asarray(frame.rays),
+                    jnp.asarray(frame.pose_c2w, jnp.float32),
+                    jnp.asarray(desc_k), jnp.asarray(free_k),
+                    jnp.asarray(rays_k), jnp.asarray(Tb_k),
+                    float(sigma), frame.desc_kind))
+        color_img = frame.color if frame.color is not None else frame.image
+        with timer.scope("Mapper::newPts.insert"):
+            for i, kf in enumerate(neighbors):
+                idxn, X = idx_k[i], X_k[i]
+                good = self._filter_new_points(frame, good_k[i], err_k[i])
                 for j in np.nonzero(good)[0]:
                     ka = int(j)
                     kb = int(idxn[j])
@@ -341,12 +383,11 @@ class Mapper:
         inview = frame.camera.in_view(pix)
         pvalid = maskp & infront & inview
         with timer.scope("Mapper::fuse.match"):
-            wmask = matching.window_mask(jnp.asarray(pix),
-                                         jnp.asarray(frame.xy), 4.0)
-            idx, ok = matching.match_descriptors(
-                jnp.asarray(desc_p), jnp.asarray(pvalid),
+            # window construction + distance + matching: ONE device program
+            idx, ok = matching.match_descriptors_windowed(
+                jnp.asarray(desc_p), jnp.asarray(pvalid), jnp.asarray(pix),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                frame.desc_kind, window=wmask)
+                jnp.asarray(frame.xy), 4.0, frame.desc_kind)
             idxn, okn = jax.device_get((idx, ok))
         with timer.scope("Mapper::fuse.merge"):
             for pi in np.nonzero(okn)[0]:
@@ -507,8 +548,9 @@ class Mapper:
         new_poses, new_points, cost = ba.optimize(
             prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
             huber_delta=float(np.sqrt(5.991)) * sigma)
-        new_poses = np.asarray(new_poses)
-        new_points = np.asarray(new_points)
+        # one fetch for both results (a bare np.asarray each is a
+        # blocking tunnel round trip per array)
+        new_poses, new_points = jax.device_get((new_poses, new_points))
         new_c2w = hse3.se3_inv(new_poses).astype(np.float32)
         with self.map.update_lock:
             for fid in free_ids:

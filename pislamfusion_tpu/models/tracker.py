@@ -558,12 +558,12 @@ class Tracker:
             np.concatenate([uv, np.ones_like(uv[:, :1])],
                            -1)).astype(np.float32)
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
-        wmask = matching.window_mask(jnp.asarray(pix),
-                                     jnp.asarray(frame.xy), radius)
-        idx, ok = matching.match_descriptors(
+        # window + distance + matching in ONE device program
+        idx, ok = matching.match_descriptors_windowed(
             jnp.asarray(last.desc), jnp.asarray(has & infront & last.valid),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            last.desc_kind, window=wmask)
+            jnp.asarray(pix), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid), jnp.asarray(frame.xy), radius,
+            last.desc_kind)
         idxn, okn = jax.device_get((idx, ok))
         if okn.sum() < 20:
             return False
@@ -586,12 +586,14 @@ class Tracker:
             jnp.asarray(p3d), jnp.asarray(p2n), jnp.asarray(w),
             iters=12, huber_delta=float(np.sqrt(self.chi2_px))
             / frame.camera.fx)
-        chi2 = np.asarray(chi2)
+        # one fetch for pose + residuals; invert host-side (an eager
+        # se3_inv + np.asarray would be a second round trip)
+        T, chi2 = jax.device_get((T, chi2))
         th = self.chi2_px / frame.camera.fx ** 2
         inl = (w > 0) & (chi2 < th)
         if inl.sum() < self.min_inliers:
             return False
-        frame.pose_c2w = np.asarray(lie.se3_inv(T)).astype(np.float32)
+        frame.pose_c2w = hse3.se3_inv(np.asarray(T)).astype(np.float32)
         frame.kp2mp[:] = -1
         for ci in np.nonzero(inl)[0]:
             frame.kp2mp[ci] = src_frame.kp2mp[src_of_cur[ci]]

@@ -141,6 +141,31 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, kind: str,
                                   cross_check)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "max_dist", "ratio",
+                                             "cross_check"))
+def _match_windowed_jit(desc_a, valid_a, xy_pred, desc_b, valid_b, xy_b,
+                        radius, kind, max_dist, ratio, cross_check):
+    w = window_mask(xy_pred, xy_b, radius)
+    dist = distance_matrix(desc_a, desc_b, kind)
+    return match(dist, valid_a, valid_b, max_dist, ratio, w, cross_check)
+
+
+def match_descriptors_windowed(desc_a, valid_a, xy_pred, desc_b, valid_b,
+                               xy_b, radius, kind: str,
+                               max_dist: float | None = None,
+                               ratio: float = 1.0,
+                               cross_check: bool = True):
+    """Windowed matcher with the window mask built IN-PROGRAM: callers that
+    computed predicted pixel locations host-side (mapper dataAssociation,
+    LOST-state re-match) get one dispatch instead of ~7 eager window ops +
+    a jitted match. radius is traced (per-call radii don't recompile)."""
+    if max_dist is None:
+        max_dist = 80.0 if kind == "orb" else 0.2
+    return _match_windowed_jit(desc_a, valid_a, xy_pred, desc_b, valid_b,
+                               xy_b, radius, kind, float(max_dist),
+                               float(ratio), cross_check)
+
+
 def match_descriptors_bucketed(desc_a, valid_a, nid_a, desc_b, valid_b,
                                nid_b, kind: str,
                                max_dist: float | None = None,
