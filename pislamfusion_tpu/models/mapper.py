@@ -547,7 +547,10 @@ class Mapper:
         sigma = 1.0 / frame.camera.fx
         new_poses, new_points, cost = ba.optimize(
             prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
-            huber_delta=float(np.sqrt(5.991)) * sigma)
+            huber_delta=float(np.sqrt(5.991)) * sigma,
+            # warm-started incremental BA usually converges well under the
+            # cap; stop on <0.1% relative improvement (g2o terminate gate)
+            tol=self.cfg.get_double("SLAM.LocalBATol", 1e-3))
         # one fetch for both results (a bare np.asarray each is a
         # blocking tunnel round trip per array)
         new_poses, new_points = jax.device_get((new_poses, new_points))

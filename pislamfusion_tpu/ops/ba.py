@@ -327,15 +327,25 @@ def _total_cost(problem: BAProblem, huber_delta: float):
     return _reproj_cost(problem, huber_delta) + _graph_cost(problem)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta",
+                                             "tol"))
 def optimize(problem: BAProblem, iters: int = 20,
-             huber_delta: float = 0.0061):
+             huber_delta: float = 0.0061, tol: float = 0.0):
     """Full BA (OptimizerG2O::optimize equivalent). Returns (poses, points,
     final_cost). huber_delta default = sqrt(5.991)/400 — the reference's
-    chi2 kernel at a nominal 400 px focal length, in normalized coords."""
+    chi2 kernel at a nominal 400 px focal length, in normalized coords.
 
-    def step(state, _):
-        poses, points, lam, cost = state
+    tol > 0 enables early termination (lax.while_loop): stop once an
+    ACCEPTED step improves the cost by less than `tol` relative — the
+    online mapper's warm-started local BA typically converges in a
+    fraction of the iteration cap, and each LM iteration costs ~10 ms of
+    device time at the default capacities (g2o's own terminate action
+    gates on the same relative chi2 delta). tol == 0 keeps the
+    fixed-length scan whose schedule the sharded solver
+    (parallel/dist_ba.optimize_sharded) replicates exactly — the
+    dist-BA == single-chip equivalence test depends on it."""
+
+    def lm_step(poses, points, lam, cost):
         p = problem._replace(poses=poses, points=points)
         dc, dp = _assemble_and_solve(p, lam, huber_delta)
         new_poses = lie.se3_mul(lie.se3_exp(dc), poses)
@@ -348,13 +358,33 @@ def optimize(problem: BAProblem, iters: int = 20,
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e6)
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-12)
         cost = jnp.where(accept, new_cost, cost)
-        return (poses, points, lam, cost), cost
+        return poses, points, lam, cost, accept, rel
 
     init_cost = _total_cost(problem, huber_delta)
-    (poses, points, _, cost), _ = jax.lax.scan(
-        step, (problem.poses, problem.points, jnp.float32(1e-4), init_cost),
-        None, length=iters)
+    init = (problem.poses, problem.points, jnp.float32(1e-4), init_cost)
+    if tol == 0.0:
+        def step(state, _):
+            out = lm_step(*state)
+            return out[:4], out[3]
+        (poses, points, _, cost), _ = jax.lax.scan(step, init, None,
+                                                   length=iters)
+        return poses, points, cost
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (it < iters) & ~done
+
+    def body(state):
+        poses, points, lam, cost, it, _ = state
+        poses, points, lam, cost, accept, rel = lm_step(poses, points,
+                                                        lam, cost)
+        done = accept & (rel < tol)
+        return poses, points, lam, cost, it + 1, done
+
+    poses, points, _, cost, _, _ = jax.lax.while_loop(
+        cond, body, init + (jnp.int32(0), jnp.bool_(False)))
     return poses, points, cost
 
 

@@ -95,6 +95,12 @@ def test_full_ba_recovers(rng):
     pt_err = np.sqrt(np.mean(np.sum((np.asarray(new_points)
                                      - points_true) ** 2, -1)))
     assert pt_err < 0.02
+    # the early-terminating variant (tol > 0, lax.while_loop) must reach
+    # the same quality — it stops once an accepted step improves the cost
+    # by < tol relative (the online mapper's default path)
+    tp, tx, tc = ba.optimize(prob, iters=25, tol=1e-4)
+    assert ate(np.asarray(tp), T_w2c_true) < 0.01
+    assert float(tc) <= float(cost) * 1.5
 
 
 def test_se3_graph_closes_loop(rng):
