@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import jaxcache
 from ..core.registry import LOOP_DETECTORS, LOOP_CLOSERS
 from ..ops import ba, lie, matching, ransac
 from .frame import Frame
@@ -270,16 +271,21 @@ class LoopCloserSE3Graph:
         iters = self.cfg.get_int("SLAM.LoopGraphIters", 30)
         # whole-map graphs beyond ~96 KFs use the matrix-free CG solver
         # (O(E) memory); small graphs use the exact dense Schur path
-        if F > self.cfg.get_int("SLAM.LoopGraphDenseMax", 96):
-            new_poses, cost = ba.optimize_se3_graph_cg(
-                jnp.asarray(poses_p), jnp.asarray(fixed_p),
-                jnp.asarray(ei_p), jnp.asarray(ej_p),
-                jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
-        else:
-            new_poses, cost = ba.optimize_se3_graph(
-                jnp.asarray(poses_p), jnp.asarray(fixed_p),
-                jnp.asarray(ei_p), jnp.asarray(ej_p),
-                jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
+        # compiled outside the persistent cache on CPU: writing big pose-
+        # graph executables trips a jaxlib-0.9.0 CPU serializer segfault
+        # (see jaxcache.no_compile_cache; observed on the mapper's sibling
+        # gps_fitting program 4/4 soak runs)
+        with jaxcache.no_compile_cache():
+            if F > self.cfg.get_int("SLAM.LoopGraphDenseMax", 96):
+                new_poses, cost = ba.optimize_se3_graph_cg(
+                    jnp.asarray(poses_p), jnp.asarray(fixed_p),
+                    jnp.asarray(ei_p), jnp.asarray(ej_p),
+                    jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
+            else:
+                new_poses, cost = ba.optimize_se3_graph(
+                    jnp.asarray(poses_p), jnp.asarray(fixed_p),
+                    jnp.asarray(ei_p), jnp.asarray(ej_p),
+                    jnp.asarray(meas_p), jnp.asarray(wgt_p), iters=iters)
         new_poses = np.asarray(new_poses)[:len(kfs)]
         # rigid update of points via their reference keyframe's correction,
         # BATCHED (one device call for all corrections, one for all points

@@ -16,13 +16,14 @@ queue.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import glog
+from ..core import glog, jaxcache
 from ..core.messenger import messenger as _messenger
 from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
@@ -124,6 +125,15 @@ class Mapper:
         self.plane_queue = _default_trans_plane
         self.gps_fitted = False
         self.last_gps_fit_rms = None   # diagnostics for tests/logs
+        # one GPS fit in flight at a time: the track thread's post-loop-
+        # closure re-anchor (slam._after_track) can land while the mapper
+        # worker's cadence fit is mid-flight. The duplicate fit is pure
+        # waste (same KF set), and racing two compiles of the SAME pose-
+        # graph program segfaults this jaxlib's CPU backend_compile_and_load
+        # (observed in the soak tier: two threads both inside the
+        # gps_fitting pjit compile at the crash). Non-blocking: the losing
+        # trigger skips — the winner's fit covers it.
+        self._fit_lock = threading.Lock()
         # capacity-saturation observability: counts of drops at the BA
         # caps; first saturation of each kind logs a warning (then counts
         # silently — per-KF spam helps nobody)
@@ -192,10 +202,31 @@ class Mapper:
                 self._register_observations(frame)
                 self._make_connections(frame)
                 self._cull_map_points(frame)
+            # triangulation + data association: BOTH device programs are
+            # dispatched back-to-back and fetched in ONE device_get — each
+            # blocking fetch pays queue-wait behind the tracker's in-flight
+            # chain/extraction programs (~100-150 ms on the remote backend),
+            # so merging the two fetches saves a full cycle per keyframe.
+            # Safe because fuse's candidate set (neighbor points minus the
+            # frame's own bindings) provably excludes points created THIS
+            # keyframe — they are bound in both the frame and the neighbor —
+            # and both commit loops guard slot collisions at commit time
+            # (same invariant the serial order enforced).
             with timer.scope("Mapper::createNewMapPoints"):
-                self._create_new_points(frame)
+                new_ctx = self._new_points_dispatch(frame)
             with timer.scope("Mapper::dataAssociation"):
-                self._fuse(frame)
+                fuse_ctx = self._fuse_dispatch(frame)
+            pending = [c[0] for c in (new_ctx, fuse_ctx) if c is not None]
+            if pending:
+                with timer.scope("Mapper::kfFetch"):
+                    fetched = iter(jax.device_get(pending))
+                if new_ctx is not None:
+                    with timer.scope("Mapper::newPts.insert"):
+                        self._new_points_commit(frame, new_ctx[1],
+                                                next(fetched))
+                if fuse_ctx is not None:
+                    with timer.scope("Mapper::fuse.merge"):
+                        self._fuse_commit(frame, fuse_ctx[1], next(fetched))
             if gen == 0 or gen >= self._kf_gen:
                 with timer.scope("Mapper::localOptimization"):
                     self._local_ba(frame)
@@ -249,21 +280,21 @@ class Mapper:
                 self.map.erase_point(pid)
         self._recent_points = keep
 
-    def _create_new_points(self, frame: Frame):
+    def _new_points_dispatch(self, frame: Frame):
         """Triangulate unmatched keypoints against top connected keyframes
         (createNewMapPointsBow:492-650). The whole neighbor sweep — match,
         epipolar gate, triangulation, acceptance gates — is ONE vmapped
-        device program + ONE fetch (_associate_triangulate_batch); only
-        neighbor selection and map insertion run host-side. All neighbors
-        are matched against the frame's INITIAL free mask (the serial
-        version re-matched after each neighbor's insertions); the
-        insertion loop's kp2mp guards enforce the same no-double-bind
-        invariant at commit time."""
+        device program (_associate_triangulate_batch); only neighbor
+        selection and map insertion run host-side. All neighbors are
+        matched against the frame's INITIAL free mask (the serial version
+        re-matched after each neighbor's insertions); the commit loop's
+        kp2mp guards enforce the same no-double-bind invariant.
+
+        Returns (device_arrays, neighbors) — the caller fetches the
+        arrays (typically merged with the fuse fetch) and passes both to
+        _new_points_commit — or None when no usable neighbor exists."""
         top = sorted(frame.connections.items(),
                      key=lambda kv: -kv[1])[:NEW_POINT_NEIGHBORS]
-        cam = frame.camera
-        sigma = 1.0 / cam.fx
-        created = 0
         neighbors = []
         with timer.scope("Mapper::newPts.prep"):
             for fid, _ in top:
@@ -279,7 +310,7 @@ class Mapper:
                     continue
                 neighbors.append(kf)
             if not neighbors:
-                return 0
+                return None
             K = NEW_POINT_NEIGHBORS
             N, D = frame.desc.shape
             free_a = frame.valid & (frame.kp2mp < 0)
@@ -295,47 +326,52 @@ class Mapper:
                 rays_k[i, :n] = kf.rays[:n]
                 Tb_k[i] = kf.pose_c2w
         with timer.scope("Mapper::newPts.match"):
-            idx_k, good_k, X_k, err_k = jax.device_get(
-                _associate_triangulate_batch(
-                    jnp.asarray(frame.desc), jnp.asarray(free_a),
-                    jnp.asarray(frame.rays),
-                    jnp.asarray(frame.pose_c2w, jnp.float32),
-                    jnp.asarray(desc_k), jnp.asarray(free_k),
-                    jnp.asarray(rays_k), jnp.asarray(Tb_k),
-                    float(sigma), frame.desc_kind))
+            arrays = _associate_triangulate_batch(
+                jnp.asarray(frame.desc), jnp.asarray(free_a),
+                jnp.asarray(frame.rays),
+                jnp.asarray(frame.pose_c2w, jnp.float32),
+                jnp.asarray(desc_k), jnp.asarray(free_k),
+                jnp.asarray(rays_k), jnp.asarray(Tb_k),
+                float(1.0 / frame.camera.fx), frame.desc_kind)
+        return arrays, neighbors
+
+    def _new_points_commit(self, frame: Frame, neighbors, fetched) -> int:
+        """Insert the accepted candidates from the fetched neighbor-sweep
+        results (the host half of createNewMapPointsBow:617-650)."""
+        idx_k, good_k, X_k, err_k = fetched
+        created = 0
         color_img = frame.color if frame.color is not None else frame.image
-        with timer.scope("Mapper::newPts.insert"):
-            for i, kf in enumerate(neighbors):
-                idxn, X = idx_k[i], X_k[i]
-                good = self._filter_new_points(frame, good_k[i], err_k[i])
-                for j in np.nonzero(good)[0]:
-                    ka = int(j)
-                    kb = int(idxn[j])
-                    if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
-                        continue
-                    pid = self.map.get_pid()
-                    color = np.full(3, 128, np.uint8)
-                    if color_img is not None:
-                        x, y = frame.xy[ka].astype(int)
-                        if 0 <= y < color_img.shape[0] and \
-                                0 <= x < color_img.shape[1]:
-                            c = color_img[y, x]
-                            color = (np.full(3, int(c), np.uint8)
-                                     if np.ndim(c) == 0
-                                     else c.astype(np.uint8))
-                    mp = MapPoint(id=pid, position=X[j].astype(np.float32),
-                                  descriptor=np.asarray(frame.desc[ka]),
-                                  color=color, ref_frame=frame.id,
-                                  created_at_kf=self._kf_count)
-                    view = X[j] - frame.pose_c2w[:3]
-                    mp.normal = (view / max(np.linalg.norm(view),
-                                            1e-9)).astype(np.float32)
-                    self.map.insert_point(mp)
-                    self.map.add_observation(pid, frame.id, ka)
-                    self.map.add_observation(pid, kf.id, kb)
-                    self._recent_points.append(pid)
-                    self._plane_buffer.append(pid)
-                    created += 1
+        for i, kf in enumerate(neighbors):
+            idxn, X = idx_k[i], X_k[i]
+            good = self._filter_new_points(frame, good_k[i], err_k[i])
+            for j in np.nonzero(good)[0]:
+                ka = int(j)
+                kb = int(idxn[j])
+                if frame.kp2mp[ka] >= 0 or kf.kp2mp[kb] >= 0:
+                    continue
+                pid = self.map.get_pid()
+                color = np.full(3, 128, np.uint8)
+                if color_img is not None:
+                    x, y = frame.xy[ka].astype(int)
+                    if 0 <= y < color_img.shape[0] and \
+                            0 <= x < color_img.shape[1]:
+                        c = color_img[y, x]
+                        color = (np.full(3, int(c), np.uint8)
+                                 if np.ndim(c) == 0
+                                 else c.astype(np.uint8))
+                mp = MapPoint(id=pid, position=X[j].astype(np.float32),
+                              descriptor=np.asarray(frame.desc[ka]),
+                              color=color, ref_frame=frame.id,
+                              created_at_kf=self._kf_count)
+                view = X[j] - frame.pose_c2w[:3]
+                mp.normal = (view / max(np.linalg.norm(view),
+                                        1e-9)).astype(np.float32)
+                self.map.insert_point(mp)
+                self.map.add_observation(pid, frame.id, ka)
+                self.map.add_observation(pid, kf.id, kb)
+                self._recent_points.append(pid)
+                self._plane_buffer.append(pid)
+                created += 1
         return created
 
     def _filter_new_points(self, frame: Frame, good, err=None):
@@ -345,9 +381,15 @@ class Mapper:
         two-view reprojection error per candidate (quota tie-breaking)."""
         return good
 
-    def _fuse(self, frame: Frame):
-        """Project neighbors' points into this KF; bind to free keypoints,
-        merge duplicates (dataAssociation:809-1011)."""
+    def _fuse_dispatch(self, frame: Frame):
+        """Project neighbors' points into this KF and dispatch the windowed
+        binding match (dataAssociation:809-1011). The candidate set is
+        gathered from the PRE-commit map state — points created by this
+        keyframe's own triangulation are bound in both the frame and the
+        neighbor, so the serial order's `pids -= own` excluded them too —
+        which lets this dispatch ride the same fetch as the neighbor
+        sweep. Returns ((idx, ok) device arrays, ids) for _fuse_commit,
+        or None with nothing to do."""
         with timer.scope("Mapper::fuse.gather"):
             pids = set()
             for fid in frame.connections:
@@ -358,10 +400,10 @@ class Mapper:
             own = set(int(p) for p in frame.kp2mp[frame.kp2mp >= 0])
             pids -= own
             if not pids:
-                return
+                return None
             ids, pos, desc = self.map.point_arrays(sorted(pids))
         if not ids:
-            return
+            return None
         # ONE fixed capacity (not a pow2-of-live-count ladder): the live
         # neighbor-point count is online-thread-timing dependent, so a
         # count-keyed bucket makes the program SET nondeterministic across
@@ -388,32 +430,38 @@ class Mapper:
                 jnp.asarray(desc_p), jnp.asarray(pvalid), jnp.asarray(pix),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
                 jnp.asarray(frame.xy), 4.0, frame.desc_kind)
-            idxn, okn = jax.device_get((idx, ok))
-        with timer.scope("Mapper::fuse.merge"):
-            for pi in np.nonzero(okn)[0]:
-                ci = int(idxn[pi])
-                pid = ids[pi]
-                existing = int(frame.kp2mp[ci])
-                if existing < 0:
-                    self.map.add_observation(pid, frame.id, ci)
-                elif existing != pid:
-                    # merge: keep the point with more observations
-                    a = self.map.point(existing)
-                    b = self.map.point(pid)
-                    if a is None or b is None:
+        return (idx, ok), ids
+
+    def _fuse_commit(self, frame: Frame, ids, fetched):
+        """Bind matched points to free keypoints / merge duplicates given
+        the fetched match (the host half of dataAssociation:876-1011).
+        A slot this keyframe's triangulation just bound is handled by the
+        existing-binding branch exactly as the serial order did."""
+        idxn, okn = fetched
+        for pi in np.nonzero(okn)[0]:
+            ci = int(idxn[pi])
+            pid = ids[pi]
+            existing = int(frame.kp2mp[ci])
+            if existing < 0:
+                self.map.add_observation(pid, frame.id, ci)
+            elif existing != pid:
+                # merge: keep the point with more observations
+                a = self.map.point(existing)
+                b = self.map.point(pid)
+                if a is None or b is None:
+                    continue
+                keep, drop = (a, b) if a.n_obs() >= b.n_obs() else (b, a)
+                for fid, kp in list(drop.observations.items()):
+                    fr = self.map.frame(fid)
+                    if fr is None:
                         continue
-                    keep, drop = (a, b) if a.n_obs() >= b.n_obs() else (b, a)
-                    for fid, kp in list(drop.observations.items()):
-                        fr = self.map.frame(fid)
-                        if fr is None:
-                            continue
-                        if fid not in keep.observations:
-                            self.map.add_observation(keep.id, fid, kp)
-                        else:
-                            fr.kp2mp[kp] = (keep.id
-                                            if keep.observations[fid] == kp
-                                            else -1)
-                    self.map.erase_point(drop.id)
+                    if fid not in keep.observations:
+                        self.map.add_observation(keep.id, fid, kp)
+                    else:
+                        fr.kp2mp[kp] = (keep.id
+                                        if keep.observations[fid] == kp
+                                        else -1)
+                self.map.erase_point(drop.id)
 
     def _note_truncation(self, kind: str, dropped: int):
         """Record (and log on first occurrence) a drop at a BA capacity cap
@@ -736,7 +784,19 @@ class Mapper:
     def fit_gps_all(self, min_frames: int = 3, check_spread: bool = False):
         """SIM3 Horn fit of all GPS-tagged keyframe centers to their ENU
         fixes, then rigid+scale transform of the whole map (tryFitGPS /
-        Mapper::fitGps, MapperDemo.cpp:1557-1625). Returns True on fit."""
+        Mapper::fitGps, MapperDemo.cpp:1557-1625). Returns True on fit.
+
+        At most one fit runs at a time (see _fit_lock); a trigger landing
+        while another thread's fit is in flight returns False — the
+        in-flight fit covers the same keyframe set."""
+        if not self._fit_lock.acquire(blocking=False):
+            return False
+        try:
+            return self._fit_gps_all_locked(min_frames, check_spread)
+        finally:
+            self._fit_lock.release()
+
+    def _fit_gps_all_locked(self, min_frames: int, check_spread: bool):
         kfs = [f for f in self.map.keyframes() if f.gps_enu is not None]
         if len(kfs) < max(min_frames, 3):
             return False
@@ -834,7 +894,12 @@ class Mapper:
             prior_frame=np.asarray(gps_f, np.int32),
             prior_pose=np.stack(gps_pose),
             prior_info=np.stack(gps_info))
-        new_w2c, _, _cost = ba.optimize(prob, iters=iters)
+        # compile OUTSIDE the persistent cache: writing this pose-graph
+        # program's cache entry segfaults jaxlib 0.9.0's CPU serializer
+        # (3/3 soak runs; see jaxcache.no_compile_cache). Shapes here vary
+        # with the live KF count, so the skipped cache hit is cheap.
+        with jaxcache.no_compile_cache():
+            new_w2c, _, _cost = ba.optimize(prob, iters=iters)
         new_c2w = np.stack([hse3.se3_inv(p)
                             for p in np.asarray(new_w2c)]).astype(
                                 np.float32)

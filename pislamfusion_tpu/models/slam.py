@@ -120,6 +120,11 @@ class SLAM:
     """DIYSLAM equivalent. Use `track(image, timestamp, gps_lla=None)`."""
 
     def __init__(self, cfg: Optional[Svar] = None, camera=None):
+        # the system compiles from several threads (track thread, mapper
+        # worker, a second embedded system under Map2DWithSLAM); jaxlib's
+        # CPU client needs its compiles serialized (jaxcache docstring)
+        from ..core.jaxcache import install_serial_compiles
+        install_serial_compiles()
         self.cfg = cfg if cfg is not None else Svar()
         self.camera = camera
         self.map: Optional[WorldMap] = None
