@@ -101,14 +101,35 @@ class Frame:
     def _materialize(self):
         """ONE device->host fetch of every feature array (see _pack_feats:
         a per-leaf device_get costs a tunnel round trip per array)."""
+        ctx = self.dispatch_pack()
+        if ctx is None:
+            return
+        fd, buf = ctx
+        self.install_packed(fd, np.asarray(buf))    # [N, C], single fetch
+
+    def dispatch_pack(self):
+        """Dispatch (but do not fetch) the packed host-copy program.
+
+        Returns (feats_dev snapshot, device buffer) — the caller fetches
+        the buffer, ideally merged into a device_get with other programs'
+        outputs (the mapper's keyframe path batches it with the
+        triangulation sweep and fuse bind), then calls install_packed.
+        None when there is nothing on device."""
         fd = self.feats_dev   # snapshot: another thread may null this field
         if fd is None:
-            return
+            return None
         global _pack_feats_jit
         if _pack_feats_jit is None:
             import jax
             _pack_feats_jit = jax.jit(_pack_feats)
-        buf = np.asarray(_pack_feats_jit(fd))      # [N, C], single fetch
+        return fd, _pack_feats_jit(fd)
+
+    def install_packed(self, fd, buf):
+        """Unpack a fetched _pack_feats buffer into the host-side feature
+        dict. No-op if another thread's materialize already won (both
+        produce identical contents)."""
+        if self._feats is not None:
+            return
         feats, c = {}, 0
         for k in _FEAT_KEYS:
             if k not in fd:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import glog, jaxcache
+from ..core.camera import Camera
 from ..core.messenger import messenger as _messenger
 from ..core.messenger import trans_plane as _default_trans_plane
 from ..core.registry import MAPPERS
@@ -46,6 +47,11 @@ FUSE_POINT_CAP = 4096
 # createNewMapPoints neighbor sweep width (top-K connected keyframes,
 # MapperDemo.cpp:500) — FIXED so the batched sweep program compiles once
 NEW_POINT_NEIGHBORS = 4
+
+# keyframes whose tracker-staged feature buffers stay device-resident so
+# the triangulation sweep can read neighbors without re-uploading them
+# (~0.3 MB HBM each; see Mapper._cache_dev_kf)
+DEV_KF_CACHE = 12
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))
@@ -107,6 +113,92 @@ def _associate_triangulate_batch(desc_a, free_a, rays_a, Ta,
     return jax.vmap(one)(desc_k, free_k, rays_k, Tb_k)
 
 
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _tri_batch_packed(desc_a, free_a, rays_a, Ta, desc_k, free_k, rays_k,
+                      Tb_k, sigma, kind: str):
+    """_associate_triangulate_batch with its four outputs packed into ONE
+    [K, N, 6] f32 array (idx, good, X[3], err): device_get pays a tunnel
+    round trip PER PYTREE LEAF on the remote backend, so the keyframe
+    path's merged fetch wants one leaf per program, not four."""
+    idx, good, X, err = _associate_triangulate_batch(
+        desc_a, free_a, rays_a, Ta, desc_k, free_k, rays_k, Tb_k,
+        sigma, kind)
+    return jnp.concatenate([idx.astype(jnp.float32)[..., None],
+                            good.astype(jnp.float32)[..., None],
+                            X.astype(jnp.float32),
+                            err.astype(jnp.float32)[..., None]], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _tri_batch_packed_dev(desc_a, valid_a, kp2mp_a, xy_a, pin, Ta,
+                          desc_k, free_k, rays_k, Tb_k, sigma, kind: str):
+    """Device-resident-frame variant of _tri_batch_packed: the new
+    keyframe's descriptors/keypoints stay in the tracker's staged device
+    buffers (Frame.feats_dev) and the free mask + pinhole rays are
+    computed IN-PROGRAM (pin = [fx, fy, cx, cy], traced — camera changes
+    don't recompile), so keyframe handling needs no blocking host copy
+    before the dispatch."""
+    rays_a = jnp.stack([(xy_a[:, 0] - pin[2]) / pin[0],
+                        (xy_a[:, 1] - pin[3]) / pin[1],
+                        jnp.ones_like(xy_a[:, 0])], -1)
+    free_a = valid_a & (kp2mp_a < 0)
+    idx, good, X, err = _associate_triangulate_batch(
+        desc_a, free_a, rays_a, Ta, desc_k, free_k, rays_k, Tb_k,
+        sigma, kind)
+    return jnp.concatenate([idx.astype(jnp.float32)[..., None],
+                            good.astype(jnp.float32)[..., None],
+                            X.astype(jnp.float32),
+                            err.astype(jnp.float32)[..., None]], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _tri_batch_packed_dev2(desc_a, valid_a, kp2mp_a, xy_a, pin, Ta,
+                           desc_k, valid_k, kp2mp_k, xy_k, nmask, Tb_k,
+                           sigma, kind: str):
+    """All-device variant: the NEIGHBOR keyframes' feature buffers are
+    also still device-resident (the mapper keeps the last few KFs' staged
+    buffers alive — see _dev_kf_cache), so the per-keyframe ~0.4 MB
+    desc/rays re-upload disappears; only the [K, N] binding tables ride
+    the tunnel. nmask [K] masks padding rows (stacks are padded to a
+    fixed K by repetition so the program shape is stable)."""
+    rays_a = jnp.stack([(xy_a[:, 0] - pin[2]) / pin[0],
+                        (xy_a[:, 1] - pin[3]) / pin[1],
+                        jnp.ones_like(xy_a[:, 0])], -1)
+    free_a = valid_a & (kp2mp_a < 0)
+    rays_k = jnp.stack([(xy_k[..., 0] - pin[2]) / pin[0],
+                        (xy_k[..., 1] - pin[3]) / pin[1],
+                        jnp.ones_like(xy_k[..., 0])], -1)
+    free_k = valid_k & (kp2mp_k < 0) & nmask[:, None]
+    idx, good, X, err = _associate_triangulate_batch(
+        desc_a, free_a, rays_a, Ta, desc_k, free_k, rays_k, Tb_k,
+        sigma, kind)
+    return jnp.concatenate([idx.astype(jnp.float32)[..., None],
+                            good.astype(jnp.float32)[..., None],
+                            X.astype(jnp.float32),
+                            err.astype(jnp.float32)[..., None]], -1)
+
+
+@jax.jit
+def _concat_flat(parts):
+    """Flatten-and-concat N program outputs into ONE f32 buffer: the
+    keyframe path's merged device_get then pays a single tunnel round
+    trip instead of one per leaf (~30 ms each on the remote backend).
+    All packed payloads here (uint8 descriptors, int32 indices, 0/1
+    flags, f32 geometry) are exactly representable in f32."""
+    return jnp.concatenate([p.ravel().astype(jnp.float32) for p in parts])
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _fuse_bind_packed(desc_p, pvalid, pix, desc_b, valid_b, xy_b,
+                      radius, kind: str):
+    """matching.match_descriptors_windowed with (idx, ok) packed into ONE
+    [P, 2] i32 array — same one-leaf-per-program rationale as
+    _tri_batch_packed."""
+    idx, ok = matching.match_descriptors_windowed(
+        desc_p, pvalid, pix, desc_b, valid_b, xy_b, radius, kind)
+    return jnp.stack([idx.astype(jnp.int32), ok.astype(jnp.int32)], -1)
+
+
 @MAPPERS.register("demo")
 class Mapper:
     def __init__(self, wmap: WorldMap, cfg):
@@ -123,6 +215,13 @@ class Mapper:
         self.ba_o = cfg.get_int("SLAM.BAObsCap", BA_O)
         self.plane_min = cfg.get_int("Plane.MinPoints", PLANE_MIN_POINTS)
         self.plane_queue = _default_trans_plane
+        # recent keyframes whose staged device feature buffers stay alive
+        # (insertion-ordered fid -> Frame; see _cache_dev_kf)
+        self._dev_kf_cache = {}
+        # optional tracker callback run after each keyframe commits
+        # (Tracker.restage_after_kf: local-map restaging off the track
+        # thread, and fresher — it sees this keyframe's new points)
+        self.restage_hook = None
         self.gps_fitted = False
         self.last_gps_fit_rms = None   # diagnostics for tests/logs
         # one GPS fit in flight at a time: the track thread's post-loop-
@@ -191,50 +290,90 @@ class Mapper:
         newer keyframe is already queued the expensive local BA is skipped
         for this one (the reference's _abordBundle, :83-85,250-251)."""
         with timer.scope("Mapper::insertKeyFrame"):
-            # the tracker leaves features on device; keyframe handling is
-            # host-heavy (descriptor gathers per map point), so pull the
-            # one host copy here — on the mapper thread, off the track loop
-            with timer.scope("Mapper::hostFetch"):
-                frame.ensure_host_features()
-            frame.feats_dev = None
+            # The tracker leaves features on device. For pinhole cameras
+            # they are USED in place: the packed host copy, the neighbor
+            # triangulation sweep, and the fuse bind are dispatched
+            # back-to-back and fetched in ONE 3-leaf device_get — each
+            # separate blocking fetch pays queue-wait behind the tracker's
+            # in-flight chain/extraction programs plus a tunnel round trip
+            # PER LEAF (~30 ms each on the remote backend), which made the
+            # serial fetch order cost ~330 ms/KF (measured). Distorted
+            # camera models (host-side unproject) take the host path.
+            # Dispatch-before-fetch is safe: fuse's candidate set (neighbor
+            # points minus the frame's own bindings) provably excludes
+            # points created THIS keyframe — they are bound in both the
+            # frame and the neighbor — and both commit loops guard slot
+            # collisions at commit time (the serial order's invariant).
+            fd = frame.feats_dev
+            pack_ctx = None
+            if fd is not None and type(frame.camera) is Camera:
+                with timer.scope("Mapper::hostDispatch"):
+                    pack_ctx = frame.dispatch_pack()
+            if pack_ctx is None:
+                with timer.scope("Mapper::hostFetch"):
+                    frame.ensure_host_features()
+                frame.feats_dev = None
+                fd = None
+            else:
+                fd = pack_ctx[0]
             self._kf_count += 1
             with timer.scope("Mapper::bookkeeping"):
                 self._register_observations(frame)
                 self._make_connections(frame)
                 self._cull_map_points(frame)
-            # triangulation + data association: BOTH device programs are
-            # dispatched back-to-back and fetched in ONE device_get — each
-            # blocking fetch pays queue-wait behind the tracker's in-flight
-            # chain/extraction programs (~100-150 ms on the remote backend),
-            # so merging the two fetches saves a full cycle per keyframe.
-            # Safe because fuse's candidate set (neighbor points minus the
-            # frame's own bindings) provably excludes points created THIS
-            # keyframe — they are bound in both the frame and the neighbor —
-            # and both commit loops guard slot collisions at commit time
-            # (same invariant the serial order enforced).
             with timer.scope("Mapper::createNewMapPoints"):
-                new_ctx = self._new_points_dispatch(frame)
+                new_ctx = self._new_points_dispatch(frame, fd)
             with timer.scope("Mapper::dataAssociation"):
-                fuse_ctx = self._fuse_dispatch(frame)
-            pending = [c[0] for c in (new_ctx, fuse_ctx) if c is not None]
+                fuse_ctx = self._fuse_dispatch(frame, fd)
+            pending = []
+            if pack_ctx is not None:
+                pending.append(pack_ctx[1])
+            if new_ctx is not None:
+                pending.append(new_ctx[0])
+            if fuse_ctx is not None:
+                pending.append(fuse_ctx[0])
             if pending:
                 with timer.scope("Mapper::kfFetch"):
-                    fetched = iter(jax.device_get(pending))
+                    # ONE flat leaf = one tunnel round trip for the whole
+                    # keyframe batch (vs one per program output)
+                    flat = np.asarray(_concat_flat(tuple(pending)))
+                off = 0
+
+                def _take(shape):
+                    nonlocal off
+                    n = int(np.prod(shape, dtype=np.int64))
+                    part = flat[off:off + n].reshape(shape)
+                    off += n
+                    return part
+
+                if pack_ctx is not None:
+                    frame.install_packed(pack_ctx[0],
+                                         _take(pack_ctx[1].shape))
+                    self._cache_dev_kf(frame)
                 if new_ctx is not None:
                     with timer.scope("Mapper::newPts.insert"):
                         self._new_points_commit(frame, new_ctx[1],
-                                                next(fetched))
+                                                _take(new_ctx[0].shape))
                 if fuse_ctx is not None:
                     with timer.scope("Mapper::fuse.merge"):
-                        self._fuse_commit(frame, fuse_ctx[1], next(fetched))
+                        self._fuse_commit(frame, fuse_ctx[1],
+                                          _take(fuse_ctx[0].shape))
             if gen == 0 or gen >= self._kf_gen:
                 with timer.scope("Mapper::localOptimization"):
                     self._local_ba(frame)
             with timer.scope("Mapper::postKF"):
-                self._update_normals_descriptors(frame)
-                self._cull_keyframes(frame)
-                self._maybe_fit_gps()
-                self._feed_plane()
+                with timer.scope("Mapper::postKF.normals"):
+                    self._update_normals_descriptors(frame)
+                with timer.scope("Mapper::postKF.cullKF"):
+                    self._cull_keyframes(frame)
+                with timer.scope("Mapper::postKF.fitGps"):
+                    self._maybe_fit_gps()
+                with timer.scope("Mapper::postKF.plane"):
+                    self._feed_plane()
+            hook = self.restage_hook
+            if hook is not None:
+                with timer.scope("Mapper::restage"):
+                    hook()
 
     # ------------------------------------------------------------ pipeline
     def _register_observations(self, frame: Frame):
@@ -280,7 +419,7 @@ class Mapper:
                 self.map.erase_point(pid)
         self._recent_points = keep
 
-    def _new_points_dispatch(self, frame: Frame):
+    def _new_points_dispatch(self, frame: Frame, fd=None):
         """Triangulate unmatched keypoints against top connected keyframes
         (createNewMapPointsBow:492-650). The whole neighbor sweep — match,
         epipolar gate, triangulation, acceptance gates — is ONE vmapped
@@ -290,9 +429,11 @@ class Mapper:
         re-matched after each neighbor's insertions); the commit loop's
         kp2mp guards enforce the same no-double-bind invariant.
 
-        Returns (device_arrays, neighbors) — the caller fetches the
-        arrays (typically merged with the fuse fetch) and passes both to
-        _new_points_commit — or None when no usable neighbor exists."""
+        Returns (packed device array [K, N, 6], neighbors) — the caller
+        fetches the array (merged with the host-copy and fuse fetches)
+        and passes both to _new_points_commit — or None when no usable
+        neighbor exists. With fd (the frame's device-resident feature
+        buffers), the frame's inputs never touch the host."""
         top = sorted(frame.connections.items(),
                      key=lambda kv: -kv[1])[:NEW_POINT_NEIGHBORS]
         neighbors = []
@@ -303,42 +444,83 @@ class Mapper:
                     continue
                 # baseline check (:518-525): baseline / median depth > 0.01
                 base = np.linalg.norm(frame.pose_c2w[:3] - kf.pose_c2w[:3])
-                ids, pos, _ = self.map.point_arrays(
-                    [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
-                med = kf.median_depth(pos) if len(ids) else 1.0
-                if base / max(med, 1e-9) < 0.01:
+                if base / max(self._kf_median_depth(kf), 1e-9) < 0.01:
                     continue
                 neighbors.append(kf)
             if not neighbors:
                 return None
             K = NEW_POINT_NEIGHBORS
-            N, D = frame.desc.shape
-            free_a = frame.valid & (frame.kp2mp < 0)
-            desc_k = np.zeros((K, N, D), frame.desc.dtype)
-            free_k = np.zeros((K, N), bool)
-            rays_k = np.zeros((K, N, 3), np.float32)
-            Tb_k = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
-                           (K, 1))
-            for i, kf in enumerate(neighbors):
-                n = min(N, len(kf.desc))
-                desc_k[i, :n] = kf.desc[:n]
-                free_k[i, :n] = (kf.valid & (kf.kp2mp < 0))[:n]
-                rays_k[i, :n] = kf.rays[:n]
-                Tb_k[i] = kf.pose_c2w
+            use_dev2 = (fd is not None and all(
+                kf.feats_dev is not None
+                and kf.feats_dev["desc"].shape == fd["desc"].shape
+                for kf in neighbors))
+            if not use_dev2:
+                if fd is not None:
+                    N, D = fd["desc"].shape
+                    desc_dtype = np.uint8 \
+                        if str(fd["desc"].dtype) == "uint8" else np.float32
+                else:
+                    N, D = frame.desc.shape
+                    desc_dtype = frame.desc.dtype
+                    free_a = frame.valid & (frame.kp2mp < 0)
+                desc_k = np.zeros((K, N, D), desc_dtype)
+                free_k = np.zeros((K, N), bool)
+                rays_k = np.zeros((K, N, 3), np.float32)
+                Tb_k = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                               (K, 1))
+                for i, kf in enumerate(neighbors):
+                    n = min(N, len(kf.desc))
+                    desc_k[i, :n] = kf.desc[:n]
+                    free_k[i, :n] = (kf.valid & (kf.kp2mp < 0))[:n]
+                    rays_k[i, :n] = kf.rays[:n]
+                    Tb_k[i] = kf.pose_c2w
         with timer.scope("Mapper::newPts.match"):
-            arrays = _associate_triangulate_batch(
-                jnp.asarray(frame.desc), jnp.asarray(free_a),
-                jnp.asarray(frame.rays),
-                jnp.asarray(frame.pose_c2w, jnp.float32),
-                jnp.asarray(desc_k), jnp.asarray(free_k),
-                jnp.asarray(rays_k), jnp.asarray(Tb_k),
-                float(1.0 / frame.camera.fx), frame.desc_kind)
-        return arrays, neighbors
+            cam = frame.camera
+            pin = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+            if use_dev2:
+                # pad the neighbor stack to the fixed K by repetition
+                # (nmask hides the copies) so the program shape is stable
+                reps = neighbors + [neighbors[-1]] * (K - len(neighbors))
+                packed = _tri_batch_packed_dev2(
+                    fd["desc"], fd["valid"],
+                    jnp.asarray(frame.kp2mp, jnp.int32), fd["xy"], pin,
+                    jnp.asarray(frame.pose_c2w, jnp.float32),
+                    jnp.stack([kf.feats_dev["desc"] for kf in reps]),
+                    jnp.stack([kf.feats_dev["valid"] for kf in reps]),
+                    jnp.asarray(np.stack([kf.kp2mp for kf in reps]),
+                                jnp.int32),
+                    jnp.stack([kf.feats_dev["xy"] for kf in reps]),
+                    jnp.asarray(np.arange(K) < len(neighbors)),
+                    jnp.asarray(np.stack([kf.pose_c2w for kf in reps]),
+                                jnp.float32),
+                    float(1.0 / cam.fx), frame.desc_kind)
+            elif fd is not None:
+                packed = _tri_batch_packed_dev(
+                    fd["desc"], fd["valid"],
+                    jnp.asarray(frame.kp2mp, jnp.int32), fd["xy"], pin,
+                    jnp.asarray(frame.pose_c2w, jnp.float32),
+                    jnp.asarray(desc_k), jnp.asarray(free_k),
+                    jnp.asarray(rays_k), jnp.asarray(Tb_k),
+                    float(1.0 / cam.fx), frame.desc_kind)
+            else:
+                packed = _tri_batch_packed(
+                    jnp.asarray(frame.desc), jnp.asarray(free_a),
+                    jnp.asarray(frame.rays),
+                    jnp.asarray(frame.pose_c2w, jnp.float32),
+                    jnp.asarray(desc_k), jnp.asarray(free_k),
+                    jnp.asarray(rays_k), jnp.asarray(Tb_k),
+                    float(1.0 / cam.fx), frame.desc_kind)
+        return packed, neighbors
 
     def _new_points_commit(self, frame: Frame, neighbors, fetched) -> int:
         """Insert the accepted candidates from the fetched neighbor-sweep
-        results (the host half of createNewMapPointsBow:617-650)."""
-        idx_k, good_k, X_k, err_k = fetched
+        results (the host half of createNewMapPointsBow:617-650). fetched:
+        the packed [K, N, 6] buffer from _tri_batch_packed[_dev]."""
+        buf = np.asarray(fetched)
+        idx_k = buf[..., 0].astype(np.int64)
+        good_k = buf[..., 1] > 0.5
+        X_k = buf[..., 2:5]
+        err_k = buf[..., 5]
         created = 0
         color_img = frame.color if frame.color is not None else frame.image
         for i, kf in enumerate(neighbors):
@@ -381,15 +563,16 @@ class Mapper:
         two-view reprojection error per candidate (quota tie-breaking)."""
         return good
 
-    def _fuse_dispatch(self, frame: Frame):
+    def _fuse_dispatch(self, frame: Frame, fd=None):
         """Project neighbors' points into this KF and dispatch the windowed
         binding match (dataAssociation:809-1011). The candidate set is
         gathered from the PRE-commit map state — points created by this
         keyframe's own triangulation are bound in both the frame and the
         neighbor, so the serial order's `pids -= own` excluded them too —
         which lets this dispatch ride the same fetch as the neighbor
-        sweep. Returns ((idx, ok) device arrays, ids) for _fuse_commit,
-        or None with nothing to do."""
+        sweep. Returns (packed [P, 2] device array, ids) for _fuse_commit,
+        or None with nothing to do. With fd, the frame's inputs come from
+        the tracker's staged device buffers."""
         with timer.scope("Mapper::fuse.gather"):
             pids = set()
             for fid in frame.connections:
@@ -426,18 +609,26 @@ class Mapper:
         pvalid = maskp & infront & inview
         with timer.scope("Mapper::fuse.match"):
             # window construction + distance + matching: ONE device program
-            idx, ok = matching.match_descriptors_windowed(
+            if fd is not None:
+                desc_b, valid_b, xy_b = fd["desc"], fd["valid"], fd["xy"]
+            else:
+                desc_b = jnp.asarray(frame.desc)
+                valid_b = jnp.asarray(frame.valid)
+                xy_b = jnp.asarray(frame.xy)
+            packed = _fuse_bind_packed(
                 jnp.asarray(desc_p), jnp.asarray(pvalid), jnp.asarray(pix),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                jnp.asarray(frame.xy), 4.0, frame.desc_kind)
-        return (idx, ok), ids
+                desc_b, valid_b, xy_b,
+                jnp.float32(4.0), frame.desc_kind)
+        return packed, ids
 
     def _fuse_commit(self, frame: Frame, ids, fetched):
         """Bind matched points to free keypoints / merge duplicates given
         the fetched match (the host half of dataAssociation:876-1011).
         A slot this keyframe's triangulation just bound is handled by the
-        existing-binding branch exactly as the serial order did."""
-        idxn, okn = fetched
+        existing-binding branch exactly as the serial order did. fetched:
+        the packed [P, 2] buffer from _fuse_bind_packed."""
+        buf = np.asarray(fetched)
+        idxn, okn = buf[:, 0], buf[:, 1] > 0
         for pi in np.nonzero(okn)[0]:
             ci = int(idxn[pi])
             pid = ids[pi]
@@ -462,6 +653,33 @@ class Mapper:
                                         if keep.observations[fid] == kp
                                         else -1)
                 self.map.erase_point(drop.id)
+
+    def _kf_median_depth(self, kf: Frame) -> float:
+        """Median depth of a keyframe's bound points, cached per map
+        gauge version: the neighbor-selection baseline gate re-derived it
+        from a ~1k-point dict sweep for every sweep of every keyframe
+        (~10 ms each); the value only moves materially when the map is
+        re-gauged (GPS fit / loop closure bump map.version)."""
+        ver = self.map.version
+        cached = getattr(kf, "_med_depth_cache", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        ids, pos, _ = self.map.point_arrays(
+            [int(p) for p in kf.kp2mp[kf.kp2mp >= 0]])
+        med = kf.median_depth(pos) if len(ids) else 1.0
+        kf._med_depth_cache = (ver, med)
+        return med
+
+    def _cache_dev_kf(self, frame: Frame):
+        """Keep this keyframe's staged device buffers alive: it will be
+        among the top connected neighbors of the next few keyframes, whose
+        triangulation sweeps can then read it without re-uploading ~0.4 MB
+        of descriptors/keypoints over the tunnel. Oldest entries past
+        DEV_KF_CACHE are released (the host copy was installed first)."""
+        self._dev_kf_cache[frame.id] = frame
+        while len(self._dev_kf_cache) > DEV_KF_CACHE:
+            fid = next(iter(self._dev_kf_cache))
+            self._dev_kf_cache.pop(fid).feats_dev = None
 
     def _note_truncation(self, kind: str, dropped: int):
         """Record (and log on first occurrence) a drop at a BA capacity cap
@@ -672,24 +890,48 @@ class Mapper:
     def _update_normals_descriptors(self, frame: Frame):
         """Mean viewing normal (updateNormAndDes:1883-1910). The descriptor
         stays the creating frame's — for binary descriptors the reference's
-        Vocabulary::meanValue medoid adds little; revisit with BoW."""
+        Vocabulary::meanValue medoid adds little; revisit with BoW.
+
+        One vectorized pass: per-observation tiny-vector numpy (norm of a
+        [3] array, one at a time) cost ~90 ms/KF of pure interpreter
+        overhead at ~3k observations — the loops below only COLLECT
+        (point, observing-center) rows; all arithmetic is batched."""
+        mps, positions = [], []
+        seg, centers_r = [], []
+        centers = {}
         for ci in np.nonzero(frame.kp2mp >= 0)[0]:
             mp = self.map.point(int(frame.kp2mp[ci]))
             if mp is None:
                 continue
-            normals = []
+            row = len(mps)
+            used = False
             for fid in mp.observations:
-                fr = self.map.frame(fid)
-                if fr is None:
-                    continue
-                v = mp.position - fr.pose_c2w[:3]
-                n = np.linalg.norm(v)
-                if n > 1e-9:
-                    normals.append(v / n)
-            if normals:
-                m = np.mean(normals, 0)
-                mp.normal = (m / max(np.linalg.norm(m), 1e-9)).astype(
-                    np.float32)
+                c = centers.get(fid)
+                if c is None:
+                    fr = self.map.frame(fid)
+                    if fr is None:
+                        continue
+                    c = centers[fid] = fr.pose_c2w[:3]
+                seg.append(row)
+                centers_r.append(c)
+                used = True
+            if used:
+                mps.append(mp)
+                positions.append(mp.position)
+        if not mps:
+            return
+        V = np.asarray(positions, np.float32)[seg] - np.asarray(
+            centers_r, np.float32)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        V = np.where(n > 1e-9, V / np.maximum(n, 1e-9), 0.0)
+        sums = np.zeros((len(mps), 3), np.float32)
+        np.add.at(sums, np.asarray(seg), V)
+        sums /= np.maximum(np.linalg.norm(sums, axis=1, keepdims=True),
+                           1e-9)
+        nonzero = np.abs(sums).sum(1) > 0
+        for i, mp in enumerate(mps):
+            if nonzero[i]:
+                mp.normal = sums[i]
 
     def _cull_keyframes(self, frame: Frame):
         """Erase redundant connected keyframes: >= 90% of their map points
@@ -993,18 +1235,26 @@ class Mapper:
                 break
         if len(live) < min_points:
             return
-        pts = np.stack(live)
+        # failed attempts back off (every 4th keyframe): each try costs a
+        # device dispatch + blocking fetch on the worker, and geometry that
+        # just rejected a plane rarely accepts one a single KF later
+        self._plane_tries = getattr(self, "_plane_tries", 0) + 1
+        if (self._plane_tries - 1) % 4 != 0:
+            return
+        # pad to the FIXED buffer capacity: a fresh pts length per keyframe
+        # would recompile the RANSAC program every try on the way up
+        pts, mask = pad_to(np.stack(live), self.plane_min * 2)
         # SCALE-AWARE sigma: the reference's 0.15 (src/RANSAC.cpp:52) lives
         # in a map normalized to median depth ~1; after GPS fitting our map
         # is metric, so the threshold must scale with the scene depth or
         # the RANSAC prefers thin aliased ghost layers over the (noisier,
         # thicker) true ground
         kfs = self.map.keyframes()
-        med = kfs[-1].median_depth(pts) if kfs else 1.0
+        med = kfs[-1].median_depth(pts[mask]) if kfs else 1.0
         sigma = self.cfg.get_double("Plane.Sigma", 0.15) * max(med, 1e-6)
         res = ransac.find_plane(self._next_key(),
                                 jnp.asarray(pts, jnp.float32),
-                                jnp.ones(len(pts), bool),
+                                jnp.asarray(mask),
                                 sigma=float(sigma))
         if bool(res.ok):
             self.plane_se3 = np.asarray(res.model)

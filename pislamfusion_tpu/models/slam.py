@@ -167,6 +167,8 @@ class SLAM:
                                        self.map, cfg, self.mapper)
         self.mapper.on_map_transformed = self.tracker.on_map_transformed
         self.mapper.on_map_deformed = self.tracker.invalidate_local_stage
+        if hasattr(self.tracker, "restage_after_kf"):
+            self.mapper.restage_hook = self.tracker.restage_after_kf
         # vocabulary (for BoW loop detection / relocalization); loaded from
         # a .gbow file (Vocabulary.h:98-107) when configured
         import os

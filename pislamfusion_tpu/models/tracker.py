@@ -395,13 +395,15 @@ class Tracker:
             if ref is not None:
                 top = sorted(ref.connections.items(), key=lambda kv: -kv[1])
                 local_ids.update(k for k, _ in top[:10])
-            pids = set()
+            bound = []
             for fid in local_ids:
                 fr = self.map.frame(fid)
                 if fr is None or fr.kp2mp is None:
                     continue
-                pids.update(int(p) for p in fr.kp2mp[fr.kp2mp >= 0])
-            ids, lpos, ldesc = self.map.point_arrays(sorted(pids))
+                bound.append(fr.kp2mp[fr.kp2mp >= 0])
+            pids = (np.unique(np.concatenate(bound)) if bound
+                    else np.zeros(0, np.int64))
+            ids, lpos, ldesc = self.map.point_arrays([int(p) for p in pids])
         if len(ids) < 30:
             self._local_stage = None
             return
@@ -877,12 +879,26 @@ class Tracker:
         if change > (1.0 - self.max_overlap):
             frame.is_keyframe = True
             self.map.insert_frame(frame)
+            self.ref_kf_id = frame.id
             # observations are registered by the mapper
             if self.mapper is not None:
                 self.mapper.insert_keyframe(frame)
-            self.ref_kf_id = frame.id
-            if self.use_fused:
-                self._stage_local_map()   # refresh the fused path's stage
+            if self.use_fused and not (
+                    self.mapper is not None
+                    and getattr(self.mapper, "restage_hook", None)):
+                # no mapper hook wired: refresh the fused path's stage here.
+                # With the hook, the MAPPER restages at the end of keyframe
+                # handling instead — the ~40 ms point-cloud gather runs off
+                # the track thread (overlapping its network waits on a
+                # 1-core host) and the stage includes the keyframe's newly
+                # triangulated points (strictly fresher than staging now).
+                self._stage_local_map()
+
+    def restage_after_kf(self):
+        """Mapper hook: refresh the fused path's staged local map once a
+        keyframe's triangulation/fuse/BA have committed."""
+        if self.use_fused:
+            self._stage_local_map()
 
 
 @TRACKERS.register("demo")
