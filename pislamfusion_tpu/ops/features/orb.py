@@ -416,16 +416,22 @@ def orb_detect(img, params: OrbParams = OrbParams()):
             jax.lax.slice(pyr_packed, (b + r, r), (b + r + lh, r + lw))
             for b, (lh, lw) in zip(pyr_plan.bases, pyr_plan.shapes)]
     else:
-        level_imgs = []
-        level_img = img
-        for lvl in range(params.n_levels):
+        # on TPU the resize chain runs in bf16 (one MXU pass per banded
+        # contraction instead of fp32's three): ~0.5 gray of accumulated
+        # quantization over 8 levels, under the FAST min-threshold of 7
+        # and the same near-tie descriptor-bit noise the binned-BRIEF
+        # path already accepts. Levels cast back to f32 for the packed
+        # patch buffer (the Pallas gather kernel is f32).
+        chain_dt = jnp.bfloat16 if im._use_mxu_stencil() else jnp.float32
+        level_imgs = [img]                 # level 0 stays exact f32
+        level_img = img.astype(chain_dt)
+        for lvl in range(1, params.n_levels):
             scale = params.scale_factor ** lvl
-            if lvl > 0:
-                lh = max(1, int(round(H / scale)))
-                lw = max(1, int(round(W / scale)))
-                level_img = im.resize_bilinear(level_img[..., None],
-                                               (lh, lw))[..., 0]
-            level_imgs.append(level_img)
+            lh = max(1, int(round(H / scale)))
+            lw = max(1, int(round(W / scale)))
+            level_img = im.resize_bilinear(level_img[..., None],
+                                           (lh, lw))[..., 0]
+            level_imgs.append(level_img.astype(jnp.float32))
     # fused FAST+NMS+select needs every level on the top-1-per-cell path
     # (true at production sizes; tiny test images fall back to XLA)
     fused_ok = (im.use_tpu_pallas() and _extract_kernels_on()

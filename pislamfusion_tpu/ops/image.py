@@ -184,8 +184,12 @@ def _banded_left_apply(m: np.ndarray, x, axis: int):
     contract with one batched einsum."""
     On, n = m.shape
     blocks = _banded_blocks(m)
+    # bf16 inputs run the contraction natively (one MXU pass; the f32
+    # matrices cast losslessly for stencil taps' ~8 significant bits) —
+    # callers opt in by passing bf16 data (e.g. the ORB pyramid chain)
+    mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if blocks is None:
-        mm = jnp.asarray(m)
+        mm = jnp.asarray(m, mdt)
         x_moved = jnp.moveaxis(x, axis, -1)
         y = jnp.einsum("on,...n->...o", mm, x_moved,
                        precision=_STENCIL_PRECISION)
@@ -209,7 +213,7 @@ def _banded_left_apply(m: np.ndarray, x, axis: int):
     lead = "".join(chr(ord("m") + i) for i in range(nlead))
     trail = "".join(chr(ord("t") + i) for i in range(ntrail))
     eq = f"iak,{lead}ik{trail}->{lead}ia{trail}"
-    y = jnp.einsum(eq, jnp.asarray(dblk), b,
+    y = jnp.einsum(eq, jnp.asarray(dblk, mdt), b,
                    precision=_STENCIL_PRECISION)
     y = y.reshape(xp.shape[:ax] + (ni * _BLK,) + xp.shape[ax + 1:])
     sl = [slice(None)] * x.ndim
@@ -274,10 +278,11 @@ def _matmul_sep(img, mh: np.ndarray, mw: np.ndarray):
     def one_axis(m, x, axis):
         if m.shape[1] >= 512:
             return _banded_left_apply(m, x, axis)
+        mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
         if axis == -3:
-            return jnp.einsum("rh,...hwc->...rwc", jnp.asarray(m), x,
+            return jnp.einsum("rh,...hwc->...rwc", jnp.asarray(m, mdt), x,
                               precision=_STENCIL_PRECISION)
-        return jnp.einsum("sw,...rwc->...rsc", jnp.asarray(m), x,
+        return jnp.einsum("sw,...rwc->...rsc", jnp.asarray(m, mdt), x,
                           precision=_STENCIL_PRECISION)
 
     y = one_axis(mh, img, -3)

@@ -255,12 +255,28 @@ def patch_pyramids(img, h_patch2img, patch_hw, bands: int,
         # the blur-decimate rolloff attenuates weights near frame borders
         # exactly where the content pyramid is contaminated by
         # outside-frame padding — per-level analytic evaluation keeps
-        # border weights high there and costs ~25 dB on the composite
-        p_w = analytic_weight_pyramid(h_patch2img,
-                                      (img.shape[0], img.shape[1]),
-                                      patch_hw, 0, weight_type, live)
-        if w0_mask is not None:
-            p_w[0] = p_w[0] * w0_mask
+        # border weights high there and costs ~25 dB on the composite.
+        # On the half-res path the analytic eval runs at HALF resolution
+        # and band 0 is its pyr_up: band-0 content is exactly zero there,
+        # so band-0 weight only arbitrates ownership — the interpolated
+        # weight moves seam boundaries by <= 1 px and quarters the cost
+        # of the projective grid eval (the single most expensive piece of
+        # the weight path at 1536^2). Every frame computes weights the
+        # same way, so max-weight comparisons stay consistent.
+        if half_ok and w0_mask is None:
+            h_half = h_patch2img @ jnp.asarray(
+                np.diag([2.0, 2.0, 1.0]), h_patch2img.dtype)
+            w_half = analytic_weight_pyramid(
+                h_half, (img.shape[0], img.shape[1]),
+                (patch_hw[0] // 2, patch_hw[1] // 2),
+                0, weight_type, live)[0]
+            p_w = [im.pyr_up(w_half, patch_hw)]
+        else:
+            p_w = analytic_weight_pyramid(h_patch2img,
+                                          (img.shape[0], img.shape[1]),
+                                          patch_hw, 0, weight_type, live)
+            if w0_mask is not None:
+                p_w[0] = p_w[0] * w0_mask
         for _ in range(bands):
             p_w.append(im.pyr_down(p_w[-1]))
         return p_lap, p_w

@@ -313,10 +313,11 @@ def _roll_steps(mod: int):
     return max(1, int(np.ceil(np.log2(mod))))
 
 
-def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int):
+def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int,
+                      precision):
     """Kernel factory. Grid (nt,); scalar prefetch: window origins [nt, 2]
     i32, affines [nt, 6] f32 (window-local), live [nt] i32. src stays in
-    HBM ([C, Hs, Ws]); each tile DMAs its [WH, WW] window per channel."""
+    HBM ([C, Hs, Ws]); each tile DMAs its [C, WH, WW] window in ONE copy."""
     from jax.experimental import pallas as pl            # deferred: TPU only
     from jax.experimental.pallas import tpu as pltpu
 
@@ -357,11 +358,27 @@ def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int):
                                   WW - 3)).astype(jnp.float32)
             gf2 = f2.reshape(T, 1) + g2.reshape(1, T)         # [T, T]
 
-            def dot(a, b):
+            def _dot1(a, b, p):
                 return jax.lax.dot_general(
                     a, b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    preferred_element_type=jnp.float32, precision=p)
+
+            def dot(a, b, content: str = "r"):
+                """a @ b. `content` marks which operand carries image data
+                ("l"/"r") — the other is an exact-in-bf16 one-hot matrix.
+                precision="split": one bf16 hi/lo split of the content
+                operand, two DEFAULT (single-pass) dots — bit-accurate to
+                ~16 mantissa bits at 1/3 the MXU cost of HIGHEST."""
+                if precision != "split":
+                    return _dot1(a, b, precision)
+                x = a if content == "l" else b
+                hi = x.astype(jnp.bfloat16)
+                lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                if content == "l":
+                    bb = b.astype(jnp.bfloat16)
+                    return (_dot1(hi, bb, None) + _dot1(lo, bb, None))
+                aa = a.astype(jnp.bfloat16)
+                return (_dot1(aa, hi, None) + _dot1(aa, lo, None))
 
             def tap_w(gf, i):
                 if i == 0:
@@ -372,29 +389,30 @@ def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int):
 
             wy = pl.multiple_of(org_ref[t, 0], 8)
             wx = pl.multiple_of(org_ref[t, 1], 128)
+            # ONE [C, WH, WW] DMA instead of C serial copies (each wait
+            # stalls the compute pipeline for the full HBM latency)
+            cp = pltpu.make_async_copy(
+                src_ref.at[:, pl.ds(wy, WH), pl.ds(wx, WW)], win_ref, sem)
+            cp.start()
+            cp.wait()
             for c in range(C):
-                cp = pltpu.make_async_copy(
-                    src_ref.at[c, pl.ds(wy, WH), pl.ds(wx, WW)],
-                    win_ref, sem)
-                cp.start()
-                cp.wait()
                 # integer column shear: roll rows up by n1(x), IN-PLACE
                 # through the scratch ref (an SSA chain would keep every
                 # step's buffer live and blow the VMEM budget)
                 for b in range(bits1):
                     bit = (n1 >> b) & 1                       # [1, WW]
                     # roll UP by 2^b == roll by WH - 2^b (non-neg required)
-                    win_ref[:] = jnp.where(
-                        bit == 1, pltpu.roll(win_ref[:], WH - (1 << b), 0),
-                        win_ref[:])
+                    win_ref[c] = jnp.where(
+                        bit == 1, pltpu.roll(win_ref[c], WH - (1 << b), 0),
+                        win_ref[c])
                 # 3 taps via rolling the sheared window up by one row
                 # between single-one-hot matmuls (keeps ONE [T, WW] matmul
                 # result live instead of a [3T, WW] stack)
-                inter_ref[:] = tap_w(gf1, 0) * dot(m0, win_ref[:])
+                inter_ref[:] = tap_w(gf1, 0) * dot(m0, win_ref[c], "r")
                 for i in (1, 2):
-                    win_ref[:] = pltpu.roll(win_ref[:], WH - 1, 0)
+                    win_ref[c] = pltpu.roll(win_ref[c], WH - 1, 0)
                     inter_ref[:] = inter_ref[:] + tap_w(gf1, i) * dot(
-                        m0, win_ref[:])
+                        m0, win_ref[c], "r")
                 # integer row shear: roll cols left by n2(v), in-place
                 for b in range(bits2):
                     bit = (n2 >> b) & 1                       # [T, 1]
@@ -402,10 +420,10 @@ def _make_warp_kernel(T: int, WH: int, WW: int, C: int, ntx: int):
                         bit == 1,
                         pltpu.roll(inter_ref[:], WW - (1 << b), 1),
                         inter_ref[:])
-                acc = tap_w(gf2, 0) * dot(inter_ref[:], m2m)
+                acc = tap_w(gf2, 0) * dot(inter_ref[:], m2m, "l")
                 for i in (1, 2):
                     inter_ref[:] = pltpu.roll(inter_ref[:], WW - 1, 1)
-                    acc = acc + tap_w(gf2, i) * dot(inter_ref[:], m2m)
+                    acc = acc + tap_w(gf2, i) * dot(inter_ref[:], m2m, "l")
                 out_ref[c] = acc
 
     return kernel
@@ -425,10 +443,10 @@ def _pallas_window_hw(max_scale: float, tile: int) -> Tuple[int, int]:
 
 @functools.partial(jax.jit,
                    static_argnames=("patch_hw", "tile", "max_scale",
-                                    "interpret"))
+                                    "interpret", "precision"))
 def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
                       tile: int = 128, max_scale: float = 2.2,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "high"):
     """Fused tiled shear warp on TPU.
 
     img: [H, W, C] float32; h_patch2img: [3, 3] patch px -> image px.
@@ -436,9 +454,23 @@ def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
     Content outside the provisioned per-tile window clamps — composite
     with a weight map that is zero outside the source image (the mosaic's
     radial weight) and zero dead tiles via `live`.
+
+    precision: MXU passes for the one-hot selection matmuls. The one-hot
+    matrices are exactly representable in bf16, so "high" (bf16x3) loses
+    only the fp32 content bits past ~16 mantissa bits — < 1/256 gray
+    level on 0..255 imagery, invisible next to the interpolation itself —
+    at HALF the MXU cost of "highest" (bf16x6, the bit-exact option).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic's dot lowering only knows DEFAULT and HIGHEST; "high" is
+    # emulated in the kernel by a bf16 hi/lo split of the CONTENT operand
+    # (two DEFAULT dots) — exact to ~16 mantissa bits since the one-hot
+    # operand is bf16-exact.
+    prec = {"high": "split",
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
 
     ph, pw = patch_hw
     assert ph % tile == 0 and pw % tile == 0
@@ -455,7 +487,7 @@ def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
         hs, ws = src.shape[1], src.shape[2]
         src = jnp.pad(src, ((0, 0), (0, max(wh - hs, 0)),
                             (0, max(ww - ws, 0))), mode="edge")
-        kernel = _make_warp_kernel(tile, wh, ww, C, ntx)
+        kernel = _make_warp_kernel(tile, wh, ww, C, ntx, prec)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nt,),
@@ -466,7 +498,7 @@ def warp_patch_pallas(img, h_patch2img, patch_hw: Tuple[int, int],
             out_specs=pl.BlockSpec(
                 (C, tile, tile),
                 lambda t, org, aff, live: (0, t // ntx, t % ntx)),
-            scratch_shapes=[pltpu.VMEM((wh, ww), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((C, wh, ww), jnp.float32),
                             pltpu.VMEM((tile, ww), jnp.float32),
                             pltpu.SemaphoreType.DMA(())],
         )

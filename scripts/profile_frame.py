@@ -135,6 +135,15 @@ def feed_scan(mode: str):
             tot = sum(jnp.sum(w) for w in p_w)
             c_lap = [c_lap[0] + tot] + c_lap[1:]
             return (c_lap, c_w), 0.0
+        elif mode == "nocomp":
+            # full feed compute, composite replaced by a sum-reduce: the
+            # feed-vs-nocomp delta is the composite's true in-scan cost
+            p_lap, p_w = M.patch_pyramids(rgbf, Hc2i, patch_hw, BANDS,
+                                          half_res=True, warp="shear")
+            tot = (sum(jnp.sum(x) for x in p_lap)
+                   + sum(jnp.sum(x) for x in p_w))
+            c_lap = [c_lap[0] + tot] + c_lap[1:]
+            return (c_lap, c_w), 0.0
         elif mode == "nochain":
             # QUALITY-WRONG variant (per-level analytic) for perf compare
             src_half = im.pyr_down(rgbf)
@@ -155,6 +164,44 @@ def feed_scan(mode: str):
         # XLA will delete it from the measurement
         return (sum(jnp.sum(jnp.abs(x)) for x in c_lap)
                 + sum(jnp.sum(jnp.abs(x)) for x in c_w))
+    return run
+
+
+def extract_scan(mode: str):
+    """Scan running only EXTRACTION stages per frame (no carry deps)."""
+    from pislamfusion_tpu.ops.features import orb as _orb
+
+    def step(carry, rgb):
+        gray = im.rgb_to_gray(rgb)
+        if mode == "ext":
+            f = _orb.orb_detect(gray, vo.params)
+            # reduce desc too — otherwise XLA dead-codes gather+BRIEF
+            return carry + (f["response"][0]
+                            + jnp.sum(f["desc"]).astype(jnp.float32)
+                            * 1e-6) * 1e-9, 0.0
+        # ext_sel: pyramid + FAST + per-cell select only
+        quotas = vo.params.features_per_level()
+        import jax.numpy as jnp2
+        chain_dt = jnp.bfloat16 if im._use_mxu_stencil() else jnp.float32
+        s = 0.0
+        level = gray.astype(chain_dt)
+        for lvl in range(vo.params.n_levels):
+            if lvl > 0:
+                sc = vo.params.scale_factor ** lvl
+                lh = max(1, int(round(H / sc)))
+                lw = max(1, int(round(W / sc)))
+                level = im.resize_bilinear(level[..., None], (lh, lw))[..., 0]
+            score = _orb.fast_score_map(level.astype(jnp.float32))
+            xy, resp, valid = _orb.select_keypoints(
+                score, max(quotas[lvl], 1), vo.params.cell,
+                vo.params.min_threshold)
+            s = s + resp[0]
+        return carry + s * 1e-9, 0.0
+
+    @jax.jit
+    def run(frames):
+        c, _ = jax.lax.scan(step, jnp.float32(0.0), frames)
+        return c
     return run
 
 
@@ -214,6 +261,9 @@ for st in stages:
             _, out = jax.lax.scan(tstep, carry, frames)
             return out
         dt = timed(track_only, frames, poses_j[0])
+    elif st in ("ext", "ext_sel"):
+        run = extract_scan(st)
+        dt = timed(run, frames)
     else:
         run = feed_scan(st)
         lap0, w0 = M.alloc_canvas(vo.canvas_tiles, vo.canvas_tiles, BANDS)
