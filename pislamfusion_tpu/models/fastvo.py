@@ -8,7 +8,8 @@ track+fuse loop (ORB extract -> windowed Hamming match against the previous
 frame's ground-plane points -> pose-only LM -> homography warp -> Laplacian
 pyramid -> max-weight composite) runs as ONE compiled lax.scan program —
 zero host round trips inside the batch. bench.py measures exactly this
-program: 11-15k frames/sec @1080p on one v5e chip.
+program (timed against a forced device->host fetch; ~130-160 FPS @1080p
+on one v5e chip — see README "Measured").
 
 Scope: nadir-ish surveys over a dominant ground plane (the Map2DFusion
 regime). Tracking is frame-to-frame VO with plane re-unprojection — no

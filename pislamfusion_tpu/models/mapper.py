@@ -815,8 +815,11 @@ class Mapper:
             prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
             huber_delta=float(np.sqrt(5.991)) * sigma,
             # warm-started incremental BA usually converges well under the
-            # cap; stop on <0.1% relative improvement (g2o terminate gate)
-            tol=self.cfg.get_double("SLAM.LocalBATol", 1e-3))
+            # cap; stop on <0.01% relative improvement after >= 2 accepted
+            # steps (g2o's terminate gate; 1e-3 with no minimum froze BA
+            # at ~1 iteration/KF and the loop-closure circuit stopped
+            # closing — see ba.optimize docstring)
+            tol=self.cfg.get_double("SLAM.LocalBATol", 1e-4))
         # one fetch for both results (a bare np.asarray each is a
         # blocking tunnel round trip per array)
         new_poses, new_points = jax.device_get((new_poses, new_points))

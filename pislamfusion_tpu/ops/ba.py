@@ -340,10 +340,16 @@ def optimize(problem: BAProblem, iters: int = 20,
     online mapper's warm-started local BA typically converges in a
     fraction of the iteration cap, and each LM iteration costs ~10 ms of
     device time at the default capacities (g2o's own terminate action
-    gates on the same relative chi2 delta). tol == 0 keeps the
-    fixed-length scan whose schedule the sharded solver
-    (parallel/dist_ba.optimize_sharded) replicates exactly — the
-    dist-BA == single-chip equivalence test depends on it."""
+    gates on the same relative chi2 delta). Termination requires at
+    least TWO accepted steps: a warm-started problem's FIRST step is
+    often low-gain because lambda starts high relative to the basin
+    (the initial 1e-4 damping needs an acceptance or two to anneal),
+    and gating on it alone froze local BA at ~1 iteration per keyframe —
+    enough accumulated drift that the loop-closure e2e's circuit never
+    closed. tol == 0 keeps the fixed-length scan whose schedule the
+    sharded solver (parallel/dist_ba.optimize_sharded) replicates
+    exactly — the dist-BA == single-chip equivalence test depends on
+    it."""
 
     def lm_step(poses, points, lam, cost):
         p = problem._replace(poses=poses, points=points)
@@ -373,18 +379,19 @@ def optimize(problem: BAProblem, iters: int = 20,
         return poses, points, cost
 
     def cond(state):
-        _, _, _, _, it, done = state
+        _, _, _, _, it, _, done = state
         return (it < iters) & ~done
 
     def body(state):
-        poses, points, lam, cost, it, _ = state
+        poses, points, lam, cost, it, na, _ = state
         poses, points, lam, cost, accept, rel = lm_step(poses, points,
                                                         lam, cost)
-        done = accept & (rel < tol)
-        return poses, points, lam, cost, it + 1, done
+        na = na + accept.astype(jnp.int32)
+        done = accept & (rel < tol) & (na >= 2)
+        return poses, points, lam, cost, it + 1, na, done
 
-    poses, points, _, cost, _, _ = jax.lax.while_loop(
-        cond, body, init + (jnp.int32(0), jnp.bool_(False)))
+    poses, points, _, cost, _, _, _ = jax.lax.while_loop(
+        cond, body, init + (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
     return poses, points, cost
 
 

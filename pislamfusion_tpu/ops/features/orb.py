@@ -180,8 +180,18 @@ def fast_score_map(img):
 
 
 def _nms3(score):
-    m = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
-                              "SAME")
+    """3x3 non-max suppression as 8 shifted maxes (elementwise, fuses into
+    the surrounding score chain) — an overlapping 3x3 reduce_window costs a
+    separate windowed pass on TPU. `roll` wraps, so opposite borders can
+    suppress each other; border pixels are killed by the circle-edge /
+    EDGE_THRESHOLD masks both callers apply."""
+    m = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            t = jnp.roll(score, (dy, dx), (0, 1))
+            m = t if m is None else jnp.maximum(m, t)
     return jnp.where(score >= m, score, 0.0)
 
 
@@ -205,11 +215,13 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
     if per_cell == 1:
         # top-1 per cell WITHOUT the cell reshape-transpose (a full
         # relayout of the score map) and WITHOUT per-row lax.top_k (a
-        # per-row sort, ~0.5 ms of the 1080p frame): cell max via
-        # reduce_window, the winner's index via a second min-reduce over
-        # position-encoded ties (first-in-row-major, same tie order)
-        cv2d = jax.lax.reduce_window(sp, -jnp.inf, jax.lax.max,
-                                     (cell, cell), (cell, cell), "VALID")
+        # per-row sort, ~0.5 ms of the 1080p frame): cell max via a free
+        # row-major [ncy, cell, ncx, cell] reshape + axis reductions
+        # (cheaper than a strided reduce_window's windowed lowering), the
+        # winner's index via a second min-reduce over position-encoded
+        # ties (first-in-row-major, same tie order)
+        cells4 = sp.reshape(ncy, cell, ncx, cell)
+        cv2d = jnp.max(cells4, axis=(1, 3))
         up = jnp.broadcast_to(cv2d[:, None, :, None],
                               (ncy, cell, ncx, cell)).reshape(sp.shape)
         Wp = sp.shape[1]
@@ -217,8 +229,7 @@ def select_keypoints(score, k: int, cell: int, min_threshold: float,
                + jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1))
         big = jnp.int32(ncy * cell * Wp)
         idx2d = jnp.where(sp == up, lin, big)
-        ci2d = jax.lax.reduce_window(idx2d, big, jax.lax.min,
-                                     (cell, cell), (cell, cell), "VALID")
+        ci2d = jnp.min(idx2d.reshape(ncy, cell, ncx, cell), axis=(1, 3))
         flat_v = cv2d.reshape(-1)
         flat_y = (ci2d // Wp).reshape(-1)
         flat_x = (ci2d % Wp).reshape(-1)
@@ -284,7 +295,11 @@ def _blur_patches(patches):
     in-patch equivalent of the reference's pre-BRIEF level blur
     (FeatureDetectorORB.cpp:733-740). Valid wherever taps stay >=_BLUR_R
     from the patch border, which _GATHER_R guarantees for every BRIEF
-    offset. patches: [N, G, G]."""
+    offset. patches: [N, G, G]. Runs in bf16 on TPU: the only consumer
+    is BRIEF, which casts to bf16 anyway — blurring in bf16 halves the
+    shift-and-add traffic without adding any new quantization stage."""
+    if im._use_mxu_stencil():
+        patches = patches.astype(jnp.bfloat16)
     taps = [float(v) for v in im.gaussian_kernel1d(2.0, _BLUR_R)]
     g = patches.shape[-1]
     xp = jnp.pad(patches, ((0, 0), (_BLUR_R, _BLUR_R), (0, 0)),
@@ -357,11 +372,15 @@ def _brief_binned(patches, angles, bins: int):
     bi = jnp.round(angles * (bins / (2.0 * jnp.pi))).astype(jnp.int32) % bins
     taps_idx = _binned_tap_indices(bins)                 # static [bins, 512]
     cols = jax.lax.broadcasted_iota(jnp.int32, (g2, 512), 0)
-    acc = jnp.zeros((n, 512), jnp.float32)
+    # accumulate in bf16: tap values are raw image intensities that the
+    # comparison below already treats as bf16-grade (the per-bin select
+    # chain over 30 bins otherwise moves as much f32 traffic as the
+    # matmuls themselves cost)
+    acc = jnp.zeros((n, 512), jnp.bfloat16)
     for b in range(bins):
         onehot = (cols == jnp.asarray(taps_idx[b])[None, :]).astype(
             jnp.bfloat16)
-        taps = jnp.dot(flat, onehot, preferred_element_type=jnp.float32)
+        taps = jnp.dot(flat, onehot, preferred_element_type=jnp.bfloat16)
         acc = jnp.where((bi == b)[:, None], taps, acc)
     return (acc[:, :256] < acc[:, 256:]).astype(jnp.uint8)
 

@@ -179,9 +179,8 @@ def extract_scan(mode: str):
             return carry + (f["response"][0]
                             + jnp.sum(f["desc"]).astype(jnp.float32)
                             * 1e-6) * 1e-9, 0.0
-        # ext_sel: pyramid + FAST + per-cell select only
+        # ext_pyr / ext_fast / ext_sel: cumulative extraction stages
         quotas = vo.params.features_per_level()
-        import jax.numpy as jnp2
         chain_dt = jnp.bfloat16 if im._use_mxu_stencil() else jnp.float32
         s = 0.0
         level = gray.astype(chain_dt)
@@ -191,7 +190,15 @@ def extract_scan(mode: str):
                 lh = max(1, int(round(H / sc)))
                 lw = max(1, int(round(W / sc)))
                 level = im.resize_bilinear(level[..., None], (lh, lw))[..., 0]
+            if mode == "ext_pyr":
+                # global sum: a corner read would let XLA slice-propagate
+                # and skip computing most of the level
+                s = s + jnp.sum(level.astype(jnp.float32)) * 1e-9
+                continue
             score = _orb.fast_score_map(level.astype(jnp.float32))
+            if mode == "ext_fast":
+                s = s + jnp.sum(score) * 1e-9
+                continue
             xy, resp, valid = _orb.select_keypoints(
                 score, max(quotas[lvl], 1), vo.params.cell,
                 vo.params.min_threshold)
@@ -261,7 +268,7 @@ for st in stages:
             _, out = jax.lax.scan(tstep, carry, frames)
             return out
         dt = timed(track_only, frames, poses_j[0])
-    elif st in ("ext", "ext_sel"):
+    elif st in ("ext", "ext_sel", "ext_pyr", "ext_fast"):
         run = extract_scan(st)
         dt = timed(run, frames)
     else:

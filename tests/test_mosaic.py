@@ -323,3 +323,34 @@ def test_gpu_rule_mosaic(world):
     # favors the stored frame, UtilGPU.cu:367-371)
     assert line[int(cb[0])] > line[int(ca[0])] + 40
     assert line[int(cb[0])] > 100
+
+
+def test_half_res_weight_matches_full_analytic():
+    """The shear path's band-0 weight (analytic at HALF patch resolution,
+    pyr_up'd to full — ops/mosaic.patch_pyramids) must agree with the
+    full-resolution analytic weight away from the validity border: the
+    interpolation only moves seam decisions near ties, it must not bias
+    interior ownership."""
+    Hs, Ws = 480, 640
+    patch = (512, 512)
+    hm = jnp.asarray(np.array([[0.9, 0.08, 30.0],
+                               [-0.05, 0.85, 40.0],
+                               [1e-5, -2e-5, 1.0]], np.float32))
+    w_full = np.asarray(M.analytic_weight_pyramid(
+        hm, (Hs, Ws), patch, 0, 0, None)[0])[..., 0]
+    s2 = jnp.asarray(np.diag([2.0, 2.0, 1.0]), jnp.float32)
+    w_half = M.analytic_weight_pyramid(
+        hm @ s2, (Hs, Ws), (patch[0] // 2, patch[1] // 2), 0, 0, None)[0]
+    w_up = np.asarray(im.pyr_up(w_half, patch))[..., 0]
+    # interior = full-res weight clearly valid AND away from the border
+    # rolloff (the pyr_up spreads the hard validity edge by <= 4 px)
+    interior = w_full > 0.05 * w_full.max()
+    # erode by 6 px via numpy shifts (no scipy dependency)
+    er = interior.copy()
+    for dy in range(-6, 7, 3):
+        for dx in range(-6, 7, 3):
+            er &= np.roll(np.roll(interior, dy, 0), dx, 1)
+    assert er.sum() > 1000
+    d = np.abs(w_up - w_full)[er]
+    rel = d.max() / w_full.max()
+    assert rel < 0.02, f"half-res weight deviates {rel:.3%} in the interior"
