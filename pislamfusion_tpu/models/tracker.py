@@ -198,13 +198,21 @@ class Tracker:
         desc_k = jnp.stack([fr.feats_dev["desc"] for fr in frames])
         valid_k = jnp.stack([fr.feats_dev["valid"] for fr in frames])
         xy_k = jnp.stack([fr.feats_dev["xy"] for fr in frames])
-        # pad the chain to the CONFIGURED length: the greedy queue drain
-        # yields variable batch sizes (2..TrackChain), and each distinct K
-        # would be a separate compile of this large program — a
-        # timing-dependent program set that stalls mid-run on a tunneled
-        # backend. Pad steps run after every real frame in the scan, so
-        # their garbage rows are simply not unpacked.
-        cap = max(len(frames), self.cfg.get_int("SLAM.TrackChain", 1))
+        # pad the chain to the next POWER OF TWO (capped at TrackChain):
+        # the greedy queue drain yields variable batch sizes
+        # (2..TrackChain) and each distinct K would be a separate compile
+        # of this large program — a timing-dependent program set that
+        # stalls mid-run on a tunneled backend. Padding to the full cap
+        # instead was measured 2x SLOWER than per-frame tracking: when
+        # the feeder is upload-bound the drain often holds only 2-3
+        # frames, and a pad-to-8 dispatch burns 8 frames of device time
+        # per 2 useful frames. Powers of two bound the compile set to
+        # log2(TrackChain) programs and the pad waste to < 2x. Pad steps
+        # run after every real frame in the scan; their garbage rows are
+        # simply not unpacked.
+        cap = min(self.cfg.get_int("SLAM.TrackChain", 1),
+                  1 << max(1, (len(frames) - 1)).bit_length())
+        cap = max(cap, len(frames))
         if len(frames) < cap:
             padk = cap - len(frames)
             desc_k = jnp.concatenate(
