@@ -1,7 +1,7 @@
 """Segment-parallel survey processing: FastVO scaled over a device mesh.
 
 The per-frame VO chain is inherently sequential (pose t needs pose t-1),
-so single-chip throughput is bounded by the serial step (~106 FPS @1080p
+so single-chip throughput is bounded by the serial step (~130 FPS @1080p
 on one v5e after round 2's kernels). Surveys, however, split naturally into SEGMENTS anchored by GPS
 or a coarse first pass — and segments are independent: each device runs
 the full FastVO scan (extract -> match -> pose LM -> warp -> pyramid ->
