@@ -346,6 +346,12 @@ def brief_descriptors(patches, angles, angle_bins: int = 0):
     return (t1 < t2).astype(jnp.uint8)
 
 
+# max rotated BRIEF tap offset: |pattern| <= 13*sqrt(2) rounds to <= 18
+# (the _GATHER_R note above); taps of EVERY bin live in this extent
+_TAP_R = 18
+_TAP_E = 2 * _TAP_R + 1
+
+
 @functools.lru_cache(maxsize=8)
 def _binned_tap_indices(bins: int) -> np.ndarray:
     """[bins, 512] flat patch indices: the reference's rounded rotated
@@ -364,18 +370,72 @@ def _binned_tap_indices(bins: int) -> np.ndarray:
     return out
 
 
-def _brief_binned(patches, angles, bins: int):
+@functools.lru_cache(maxsize=8)
+def _binned_diff_matrix(bins: int) -> np.ndarray:
+    """[_TAP_E^2, bins*256] +-1 tap-DIFFERENCE matrix: column (b*256 + j)
+    holds +1 at pair j's first tap and -1 at its second, both rotated by
+    bin b's center angle (the reference's exact round-rotated-offset
+    formula, computeOrbDescriptor FeatureDetectorORB.cpp:186-226). One MXU
+    dot of the patch against this matrix yields t1 - t2 for every
+    (bin, pair) at once; the descriptor bit is its sign."""
+    out = np.zeros((_TAP_E * _TAP_E, bins * 256), np.float32)
+    cols = np.arange(256)
+    for bi in range(bins):
+        th = 2.0 * np.pi * bi / bins
+        a, b = np.cos(th), np.sin(th)
+        px = np.concatenate([_PATTERN[:, 0], _PATTERN[:, 2]]).astype(
+            np.float64)
+        py = np.concatenate([_PATTERN[:, 1], _PATTERN[:, 3]]).astype(
+            np.float64)
+        x = np.round(px * a - py * b).astype(np.int32) + _TAP_R
+        y = np.round(px * b + py * a).astype(np.int32) + _TAP_R
+        assert (x >= 0).all() and (x < _TAP_E).all() \
+            and (y >= 0).all() and (y < _TAP_E).all()
+        flat = y * _TAP_E + x
+        np.add.at(out, (flat[:256], bi * 256 + cols), 1.0)
+        np.add.at(out, (flat[256:], bi * 256 + cols), -1.0)
+    return out
+
+
+def _brief_binned_dot(patches, angles, bins: int):
+    """One-dispatch binned BRIEF: slice the blurred patch to the +-_TAP_R
+    tap extent, dot it against the static +-1 difference matrix covering
+    every bin's 256 pairs, then keep each keypoint's own bin row.
+
+    With f32 accumulation the sign of the dot equals the strict
+    (t1 < t2) compare of the bf16 taps EXACTLY (each column has one +1
+    and one -1, so the sum is the exact f32 difference of two bf16
+    values; coincident rotated taps cancel to 0 -> bit 0, same as the
+    strict compare). Replaces the per-bin [N, G^2]x[G^2, 512] matmul +
+    select chain: ~2.7x fewer MXU flops (contraction 1849->1369, outputs
+    512->256) in ONE matmul dispatch. Bit-equal to _brief_binned_select
+    by tests/test_features.py; which one ships is decided by measuring
+    both ON THE CHIP (PISLAM_BRIEF_DOT=0/1 overrides)."""
+    n = patches.shape[0]
+    d = _GATHER_R - _TAP_R
+    p = patches[:, d:d + _TAP_E, d:d + _TAP_E]
+    flat = p.reshape(n, _TAP_E * _TAP_E).astype(jnp.bfloat16)
+    D = jnp.asarray(_binned_diff_matrix(bins), jnp.bfloat16)
+    diff = jnp.dot(flat, D, preferred_element_type=jnp.float32)
+    bits = (diff.reshape(n, bins, 256) < 0).astype(jnp.uint8)
+    # bin by nearest center (angles already in [-pi, pi] from arctan2)
+    bi = jnp.round(angles * (bins / (2.0 * jnp.pi))).astype(jnp.int32) % bins
+    onehot = (bi[:, None] == jnp.arange(bins)[None, :]).astype(jnp.uint8)
+    return jnp.sum(bits * onehot[:, :, None], axis=1, dtype=jnp.uint8)
+
+
+def _brief_binned_select(patches, angles, bins: int):
+    """Per-bin one-hot matmuls + select chain (the round-2 formulation —
+    kept as the shipping default until the dot variant above proves out
+    on hardware; the tunnel was down when it was written)."""
     n = patches.shape[0]
     g2 = _GATHER * _GATHER
     flat = patches.reshape(n, g2).astype(jnp.bfloat16)
-    # bin by nearest center (angles already in [-pi, pi] from arctan2)
     bi = jnp.round(angles * (bins / (2.0 * jnp.pi))).astype(jnp.int32) % bins
     taps_idx = _binned_tap_indices(bins)                 # static [bins, 512]
     cols = jax.lax.broadcasted_iota(jnp.int32, (g2, 512), 0)
     # accumulate in bf16: tap values are raw image intensities that the
-    # comparison below already treats as bf16-grade (the per-bin select
-    # chain over 30 bins otherwise moves as much f32 traffic as the
-    # matmuls themselves cost)
+    # comparison below already treats as bf16-grade
     acc = jnp.zeros((n, 512), jnp.bfloat16)
     for b in range(bins):
         onehot = (cols == jnp.asarray(taps_idx[b])[None, :]).astype(
@@ -383,6 +443,12 @@ def _brief_binned(patches, angles, bins: int):
         taps = jnp.dot(flat, onehot, preferred_element_type=jnp.bfloat16)
         acc = jnp.where((bi == b)[:, None], taps, acc)
     return (acc[:, :256] < acc[:, 256:]).astype(jnp.uint8)
+
+
+def _brief_binned(patches, angles, bins: int):
+    if os.environ.get("PISLAM_BRIEF_DOT", "0") == "1":
+        return _brief_binned_dot(patches, angles, bins)
+    return _brief_binned_select(patches, angles, bins)
 
 
 def pack_bits(desc_bits):

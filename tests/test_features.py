@@ -141,3 +141,29 @@ def test_rotation_consistency():
     kn = np.asarray(keep)
     assert kn[10:].all()          # inliers kept
     assert kn[:10].sum() <= 4     # most outliers dropped
+
+
+def test_brief_binned_matches_per_bin_tap_compare():
+    """The one-dispatch +-1-difference formulation of binned BRIEF must be
+    BIT-EXACT vs the definition: quantize the angle to its bin, gather the
+    reference's rounded rotated taps from the bf16 patch, strict compare
+    (f32 accumulation makes the matmul's sign the exact bf16 difference)."""
+    rng = np.random.default_rng(7)
+    n, bins = 64, 30
+    G = orb._GATHER
+    patches = jnp.asarray(rng.uniform(0, 255, (n, G, G)).astype(np.float32))
+    angles = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, n).astype(np.float32))
+    got = np.asarray(orb._brief_binned_dot(patches, angles, bins))
+    got_sel = np.asarray(orb._brief_binned_select(patches, angles, bins))
+    bf = np.asarray(patches.astype(jnp.bfloat16).astype(jnp.float32))
+    bi = np.asarray(
+        jnp.round(angles * (bins / (2 * np.pi))).astype(jnp.int32) % bins)
+    taps_idx = orb._binned_tap_indices(bins)
+    flat = bf.reshape(n, -1)
+    exp = np.zeros((n, 256), np.uint8)
+    for i in range(n):
+        t = flat[i, taps_idx[bi[i]]]
+        exp[i] = (t[:256] < t[256:]).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    np.testing.assert_array_equal(got_sel, exp)
