@@ -29,7 +29,54 @@ from pislamfusion_tpu.ops.features import orb
 from pislamfusion_tpu.ops.vocabulary import Vocabulary
 
 
+def real_views(rng, n, size=(480, 640)):
+    """Augmented views of the real aerial photograph
+    (tests/data/aerial_npu.png — see tests/test_real_texture.py for its
+    provenance): random crop window, rotation, scale, brightness/contrast
+    jitter, blur. Gives the vocabulary the descriptor statistics of real
+    nadir imagery (building edges, road lattice, canopy) instead of
+    procedural speckle."""
+    from PIL import Image
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "data", "aerial_npu.png")
+    img = Image.open(p).convert("L")
+    a = np.asarray(img, np.float32)
+    a = np.concatenate([a, a[:, ::-1]], 1)
+    a = np.concatenate([a, a[::-1]], 0)            # seamless mirror tile
+    big = np.asarray(Image.fromarray(a.astype(np.uint8)).resize(
+        (1280, 1280), Image.LANCZOS), np.float32)
+    h, w = size
+    for _ in range(n):
+        ang = float(rng.uniform(0, 360))
+        view = Image.fromarray(big.astype(np.uint8)).rotate(
+            ang, Image.BILINEAR)
+        s = float(rng.uniform(0.7, 1.3))
+        vw, vh = int(w / s), int(h / s)
+        x0 = rng.integers(160, 1280 - vw - 160)
+        y0 = rng.integers(160, 1280 - vh - 160)
+        crop = view.crop((x0, y0, x0 + vw, y0 + vh)).resize(
+            (w, h), Image.BILINEAR)
+        v = np.asarray(crop, np.float32)
+        v = (v - 127.5) * float(rng.uniform(0.8, 1.2)) + 127.5 \
+            + float(rng.uniform(-20, 20))
+        sigma = float(rng.uniform(0.4, 1.2))
+        v = np.asarray(im.gaussian_blur(
+            jnp.asarray(np.clip(v, 0, 255))[..., None], sigma))[..., 0]
+        yield v
+
+
 def textures(rng, n):
+    """Training views: mostly augmented REAL aerial photography (see
+    real_views) with a synthetic minority for texture-family diversity
+    (fields/stripes/gradients the one photo lacks)."""
+    n_real = (2 * n) // 3
+    for v in real_views(rng, n_real):
+        yield v
+    for v in _synth_textures(rng, n - n_real):
+        yield v
+
+
+def _synth_textures(rng, n):
     """Aerial-ish texture family: blobs, stripes, gradients, speckle."""
     for i in range(n):
         base = np.full((480, 640), 120.0, np.float32)
