@@ -38,12 +38,13 @@ class LoopDetectorDistance:
 
     def _median_depth(self, frame: Frame) -> float:
         """Scene depth proxy: |camera - median map point| along z (cheap
-        stand-in for MapFrame::getMedianDepth over observed points)."""
-        pts = self.map.points()
-        if len(pts) < 8:
+        stand-in for MapFrame::getMedianDepth over observed points).
+        Samples <=256 point positions via the map's strided accessor —
+        no full object-list materialization on the per-KF path."""
+        sample = self.map.point_position_sample(256)
+        if len(sample) < 8:
             return 0.0
-        sample = pts[:: max(1, len(pts) // 256)]
-        med_z = float(np.median([p.position[2] for p in sample]))
+        med_z = float(np.median(sample[:, 2]))
         return abs(float(frame.pose_c2w[2]) - med_z)
 
     def insert(self, frame: Frame):
@@ -64,15 +65,18 @@ class LoopDetectorDistance:
                     (0 - frame.camera.cx) / frame.camera.fx,
                     (0 - frame.camera.cy) / frame.camera.fy, 1.0])
                 max_d = ray * 2.0 * depth * (1.0 - self.min_overlap)
-        dists = []
-        for kf in self.map.keyframes():
-            if kf.id in excluded or frame.id - kf.id < self.min_gap:
-                continue
-            d = np.linalg.norm(kf.pose_c2w[:3] - frame.pose_c2w[:3])
-            if d < max_d:
-                dists.append((d, kf.id))
-        dists.sort()
-        return [kid for _, kid in dists]
+        # one vectorized sweep over the cached center array — no
+        # per-candidate Python loop (LoopDetectorGPS.cpp:28-56 semantics)
+        ids, ctr = self.map.keyframe_center_arrays()
+        if len(ids) == 0:
+            return []
+        d = np.linalg.norm(ctr - np.asarray(frame.pose_c2w[:3],
+                                            np.float32)[None], axis=1)
+        ok = (d < max_d) & (frame.id - ids >= self.min_gap)
+        if excluded:
+            ok &= ~np.isin(ids, np.fromiter(excluded, np.int64))
+        sel = np.flatnonzero(ok)
+        return [int(i) for i in ids[sel[np.argsort(d[sel])]]]
 
 
 @LOOP_DETECTORS.register("BoW")

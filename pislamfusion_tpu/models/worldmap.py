@@ -40,6 +40,14 @@ class WorldMap:
         self.update_lock = threading.RLock()
         self.version = 0
         self._keyframe_ids: List[int] = []
+        # lazily-built packed keyframe-center array for the loop
+        # detector's distance sweep (LoopDetectorGPS.cpp:28-56 rescans
+        # all keyframes per query; here the scan is one vectorized numpy
+        # norm over this cache). Invalidated on keyframe insert/erase and
+        # on whole-map gauge rewrites (version bump); local-BA pose
+        # nudges (meters) are accepted as staleness against the
+        # hundreds-of-meters loop radius.
+        self._kf_center_cache = None   # (version, ids [K] i64, ctr [K,3])
 
     # ---------------------------------------------------------------- ids
     def get_fid(self) -> int:
@@ -60,6 +68,7 @@ class WorldMap:
             self._frames[frame.id] = frame
             if frame.is_keyframe:
                 self._keyframe_ids.append(frame.id)
+                self._kf_center_cache = None
 
     def erase_frame(self, fid: int):
         with self._lock:
@@ -68,6 +77,7 @@ class WorldMap:
                 return
             if fid in self._keyframe_ids:
                 self._keyframe_ids.remove(fid)
+                self._kf_center_cache = None
             # drop its observations
             if fr.kp2mp is not None:
                 for pid in fr.kp2mp[fr.kp2mp >= 0]:
@@ -140,6 +150,39 @@ class WorldMap:
                 fr.kp2mp[kp] = -1
 
     # ---------------------------------------------------------- array views
+    def keyframe_center_arrays(self):
+        """(ids [K] int64, centers [K,3] f32) of all keyframes' camera
+        centers, cached across calls (see _kf_center_cache note). One
+        numpy build per keyframe-set change or gauge rewrite instead of
+        a per-candidate Python loop on every loop-detector query."""
+        with self._lock:
+            c = self._kf_center_cache
+            if c is not None and c[0] == self.version:
+                return c[1], c[2]
+            kfs = [self._frames[i] for i in self._keyframe_ids
+                   if i in self._frames]
+            ids = np.asarray([f.id for f in kfs], np.int64)
+            if kfs:
+                ctr = np.stack([np.asarray(f.pose_c2w[:3], np.float32)
+                                for f in kfs])
+            else:
+                ctr = np.zeros((0, 3), np.float32)
+            self._kf_center_cache = (self.version, ids, ctr)
+            return ids, ctr
+
+    def point_position_sample(self, cap: int = 256) -> np.ndarray:
+        """[<=cap, 3] strided sample of good point positions without
+        materializing the full object list (loop-detector depth proxy)."""
+        with self._lock:
+            n = len(self._points)
+            if n == 0:
+                return np.zeros((0, 3), np.float32)
+            step = max(1, n // cap)
+            out = [p.position for i, p in enumerate(self._points.values())
+                   if i % step == 0 and not p.bad]
+            return (np.asarray(out, np.float32) if out
+                    else np.zeros((0, 3), np.float32))
+
     def point_arrays(self, ids: Optional[List[int]] = None):
         """(ids, positions [P,3], descs [P,D]) snapshot for device kernels."""
         with self._lock:
