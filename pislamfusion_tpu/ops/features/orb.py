@@ -104,6 +104,14 @@ class OrbParams:
     # 0 = continuous angles via the gather path (bit-parity with the
     # reference's round-rotated-offset formula).
     angle_bins: int = 30
+    # binned-BRIEF formulation: False = per-bin one-hot matmul + select
+    # chain, True = single big-dot variant. Part of the (static, hashed)
+    # params so each setting gets its own jit trace — reading the
+    # PISLAM_BRIEF_DOT env var happens once per OrbParams construction,
+    # never inside a trace.
+    brief_dot: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("PISLAM_BRIEF_DOT",
+                                               "0") == "1")
 
     def level_scales(self):
         return [self.scale_factor ** i for i in range(self.n_levels)]
@@ -311,7 +319,8 @@ def _blur_patches(patches):
                for i, w in enumerate(taps))
 
 
-def brief_descriptors(patches, angles, angle_bins: int = 0):
+def brief_descriptors(patches, angles, angle_bins: int = 0,
+                      dot: bool = False):
     """Rotated 256-bit BRIEF (computeOrbDescriptor, :186-226).
 
     patches: [N, G, G] blurred-image patches (G = 2*_GATHER_R+1);
@@ -328,7 +337,7 @@ def brief_descriptors(patches, angles, angle_bins: int = 0):
     are descriptor noise either way (fp ordering flips them too).
     """
     if angle_bins:
-        return _brief_binned(patches, angles, angle_bins)
+        return _brief_binned(patches, angles, angle_bins, dot=dot)
     a = jnp.cos(angles)[:, None]
     b = jnp.sin(angles)[:, None]
     px1 = jnp.asarray(_PATTERN[:, 0], jnp.float32)[None]
@@ -410,7 +419,8 @@ def _brief_binned_dot(patches, angles, bins: int):
     select chain: ~2.7x fewer MXU flops (contraction 1849->1369, outputs
     512->256) in ONE matmul dispatch. Bit-equal to _brief_binned_select
     by tests/test_features.py; which one ships is decided by measuring
-    both ON THE CHIP (PISLAM_BRIEF_DOT=0/1 overrides)."""
+    both ON THE CHIP (OrbParams.brief_dot, seeded from PISLAM_BRIEF_DOT
+    at params-construction time so each setting gets its own trace)."""
     n = patches.shape[0]
     d = _GATHER_R - _TAP_R
     p = patches[:, d:d + _TAP_E, d:d + _TAP_E]
@@ -445,8 +455,8 @@ def _brief_binned_select(patches, angles, bins: int):
     return (acc[:, :256] < acc[:, 256:]).astype(jnp.uint8)
 
 
-def _brief_binned(patches, angles, bins: int):
-    if os.environ.get("PISLAM_BRIEF_DOT", "0") == "1":
+def _brief_binned(patches, angles, bins: int, dot: bool = False):
+    if dot:
         return _brief_binned_dot(patches, angles, bins)
     return _brief_binned_select(patches, angles, bins)
 
@@ -590,7 +600,8 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     # angle_bins one-hot matmuls on one [~N, G^2] operand instead of
     # 8 small per-level batches (8x fewer MXU dispatches)
     feats["desc"] = brief_descriptors(_blur_patches(pat), feats["angle"],
-                                      params.angle_bins)
+                                      params.angle_bins,
+                                      dot=params.brief_dot)
     # truncate/pad to exactly n_features, strongest first
     order = jnp.argsort(jnp.where(feats["valid"], -feats["response"], jnp.inf))
     keep = order[:params.n_features]

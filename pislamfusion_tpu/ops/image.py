@@ -226,21 +226,23 @@ _PALLAS_STENCIL: dict | None = None
 
 def _stencil_gates() -> dict:
     """Per-kernel gates for the stencil-family Pallas kernels, decided on
-    real hardware by scripts/validate_pallas.py and recorded as fields of
-    the `.pallas_stencil_ok` marker: `sandwich` (the fused banded-sandwich
-    in _matmul_sep — one HBM pass for both axes) and `stack` (the
-    whole-SIFT-octave single call in features/sift.py). They are gated
-    SEPARATELY because the chip disagrees about them: the octave stack
-    measured 19.7x faster than the XLA chain, while the per-op sandwich
-    is flat-to-worse vs XLA's own fused einsums at 1080p.
-    PISLAM_PALLAS_STENCIL=0/1 force-overrides both."""
+    real hardware by scripts/validate_pallas.py. The chip's verdicts are
+    the IN-REPO defaults (so a fresh clone reproduces the validated
+    configuration with no manual step): `stack` (the whole-SIFT-octave
+    single Pallas call in features/sift.py) measured 19.7x faster than
+    the XLA op chain and defaults ON on TPU; `sandwich` (the fused
+    banded-sandwich in _matmul_sep — one HBM pass for both axes) measured
+    flat-to-worse vs XLA's own fused einsums at 1080p and defaults OFF.
+    A `.pallas_stencil_ok` marker written by a fresh validate_pallas.py
+    run overrides the defaults; PISLAM_PALLAS_STENCIL=0/1 force-overrides
+    everything."""
     global _PALLAS_STENCIL
     if _PALLAS_STENCIL is None:
         env = os.environ.get("PISLAM_PALLAS_STENCIL", "")
         if env in ("0", "1"):
             gates = {"sandwich": env == "1", "stack": env == "1"}
         else:
-            gates = {"sandwich": False, "stack": False}
+            gates = {"sandwich": False, "stack": True}
             marker = os.path.join(os.path.dirname(__file__), "..", "..",
                                   ".pallas_stencil_ok")
             if os.path.isfile(marker):
