@@ -117,11 +117,43 @@ def mosaic_psnr_vs_truth(map2d, ground, S_gt2est, plane):
     return psnr, float(cov.mean())
 
 
+def _real_ground(n=1024):
+    """Mirror-tiled, upscaled real aerial photograph (see
+    tests/test_real_texture.py for provenance)."""
+    from PIL import Image
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     "tests", "data", "aerial_npu.png")
+    img = Image.open(p).convert("RGB")
+    a = np.asarray(img, np.float32)
+    a = np.concatenate([a, a[:, ::-1]], 1)
+    a = np.concatenate([a, a[::-1]], 0)
+    img = Image.fromarray(a.astype(np.uint8)).resize((n, n), Image.LANCZOS)
+    return np.asarray(img, np.float32)
+
+
 def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
-             cam=None, poses=None, verbose=True, overrides=None):
+             cam=None, poses=None, verbose=True, overrides=None,
+             fixture="flat"):
+    """fixture selects the survey scene family (the ablation axes of
+    doc/ABLATION.md): 'flat' = procedural planar texture, 'real' = the
+    real aerial photograph as ground texture, 'parallax' = 3D world with
+    raised slabs + per-frame exposure drift (tests/synth_survey.py)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    ground = make_ground(rng)
+    render = None
+    if fixture == "parallax":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "..", "tests"))
+        import synth_survey as S
+        world = S.make_world(rng)
+        ground = S.true_ortho(world)
+
+        def render(cam_, pose, k):
+            return S.render_view_3d(world, cam_, pose, k=k, illum=0.08)
+    elif fixture == "real":
+        ground = _real_ground()
+    else:
+        ground = make_ground(rng)
     if cam is None:
         cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
     if poses is None:
@@ -153,7 +185,8 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
 
     t0 = time.perf_counter()
     for i, p in enumerate(poses):
-        img = render_view(ground, cam, p)
+        img = (render(cam, p, i) if render is not None
+               else render_view(ground, cam, p))
         slam.track(img, float(i))
         if verbose and (i + 1) % 10 == 0:
             print(f"  frame {i + 1}/{len(poses)} tracked="

@@ -340,6 +340,66 @@ def fused_track_chain(desc_k, valid_k, xy_k, prev_desc, prev_valid, aux,
     return packed_k
 
 
+@functools.partial(jax.jit, static_argnames=("params", "fx", "fy", "cx",
+                                             "cy", "width", "height",
+                                             "radius", "radius_local",
+                                             "chi2_th"))
+def fused_track_chain_images(images_k, prev_desc, prev_valid, aux,
+                             local_pos, local_desc, local_valid,
+                             params: orb.OrbParams = orb.OrbParams(),
+                             fx: float = 260.0, fy: float = 260.0,
+                             cx: float = 160.0, cy: float = 120.0,
+                             width: int = 320, height: int = 240,
+                             radius: float = 20.0,
+                             radius_local: float = 8.0,
+                             chi2_th: float = 5.991):
+    """fused_track_chain fed RAW stacked frames: extraction runs INSIDE
+    the scan, so the host uploads ONE [K, H, W] uint8 array per chain
+    instead of dispatching K separate per-frame uploads.
+
+    Why this exists: on the tunneled backend a device_put costs ~40-50 ms
+    FIXED plus ~30 MB/s of transfer (measured, see README "Transfer
+    ceiling"); round 2's chain still paid the fixed cost per frame via
+    the feeder's per-frame predispatch_extract, which is how a chain of
+    K=8 measured SLOWER than per-frame tracking (BENCH_r02:
+    slam_chain_fps 3.2 vs slam_track_fps 6.9). Batching the upload pays
+    the fixed cost once per chain: amortized per-frame transfer drops
+    from ~(40 + bytes/30MB/s) to ~(40/K + bytes/30MB/s).
+
+    images_k: [K, H, W] gray or [K, H, W, 3] RGB, any dtype. aux as in
+    fused_track_chain. Returns (packed_k [K, rows], feats_k — each
+    frame's padded features stacked on axis 0, left on device for the
+    host to slice into the Frames it tracked).
+    """
+    n = prev_desc.shape[0]
+    prev_p3d = aux[:3 * n].reshape(n, 3)
+    prev_has = aux[3 * n:4 * n] > 0.5
+    pose_est = aux[4 * n:4 * n + 7]
+    motion = aux[4 * n + 7:4 * n + 14]
+
+    def step(carry, img):
+        p_desc, p_valid, p_p3d, p_has, pose_est, motion = carry
+        g = img.astype(jnp.float32)
+        if g.ndim == 3:
+            g = im.rgb_to_gray(g)
+        feats = _detect(g, params)
+        pose_pred = lie.se3_mul(pose_est, motion)
+        T_pred_w2c = lie.se3_inv(pose_pred)
+        packed, p3d_m, w_m, res2 = _track_core(
+            feats, p_desc, p_valid, p_p3d, p_has, T_pred_w2c,
+            local_pos, local_desc, local_valid, fx, fy, cx, cy,
+            width, height, radius, radius_local, chi2_th)
+        pose_new = lie.se3_inv(res2.T_w2c)
+        has_m = (w_m > 0) & (res2.chi2 < chi2_th / fx ** 2)
+        motion_new = lie.se3_mul(lie.se3_inv(pose_est), pose_new)
+        return ((feats["desc"], feats["valid"], p3d_m, has_m, pose_new,
+                 motion_new), (packed, feats))
+
+    carry0 = (prev_desc, prev_valid, prev_p3d, prev_has, pose_est, motion)
+    _, (packed_k, feats_k) = jax.lax.scan(step, carry0, images_k)
+    return packed_k, feats_k
+
+
 def _localmap_core(desc, valid, xy, T_w2c, p3d_cur, w_cur,
                    local_pos, local_desc, local_valid,
                    fx, fy, cx, cy, width, height, radius, chi2_th):

@@ -81,27 +81,24 @@ def _default_vocabulary(kind: str = "orb"):
 class OrbDetector:                        # the host library wrapped; one
     # TPU ORB program serves all four names (same pattern/pyramid/BRIEF)
     def __init__(self, cfg):
-        import functools
-        import jax
         self.params = orb.OrbParams(
             n_features=cfg.get_int("SLAM.nFeature", 1000),
             n_levels=cfg.get_int("ORB.nLevels", 8),
             scale_factor=cfg.get_double("ORB.ScaleFactor", 1.2))
         self.kind = "orb"
-        # jit is NOT optional here: an eager orb_detect issues hundreds of
-        # per-op dispatches (minutes over the TPU tunnel vs ms compiled)
-        self._fn = jax.jit(
-            functools.partial(orb.orb_detect, params=self.params))
 
     def __call__(self, gray):
-        return self._fn(jnp.asarray(gray, jnp.float32))
+        # orb_detect is itself jitted at module level with params a
+        # hashed static — calling it directly shares ONE compiled program
+        # across every detector/SLAM instance (an instance-level
+        # jax.jit(partial(...)) re-entered the compile/cache path per
+        # instance: ~1 s per new SLAM object on the tunneled backend)
+        return orb.orb_detect(jnp.asarray(gray, jnp.float32), self.params)
 
 
 @FEATURE_DETECTORS.register("Sift")
 class SiftDetector:
     def __init__(self, cfg):
-        import functools
-        import jax
         from ..ops.features import sift
         self.params = sift.SiftParams(
             n_features=cfg.get_int("SLAM.nFeature", 1000),
@@ -109,11 +106,25 @@ class SiftDetector:
                                               0.02),
             n_octaves=cfg.get_int("Sift.nOctaves", 4))
         self.kind = "sift"
-        self._fn = jax.jit(
-            functools.partial(sift.sift_detect, params=self.params))
+        self._sift_detect = sift.sift_detect
 
     def __call__(self, gray):
-        return self._fn(jnp.asarray(gray, jnp.float32))
+        # module-level jitted program shared across instances (see
+        # OrbDetector.__call__)
+        return self._sift_detect(jnp.asarray(gray, jnp.float32),
+                                 self.params)
+
+
+def _box_downsample(img: np.ndarray, s: int) -> np.ndarray:
+    """Host s x s box-mean downsample (SLAM.TrackScale). uint8 stays
+    uint8 (uint32 accumulate); floats average in their own dtype. The
+    bottom/right remainder rows/cols are cropped."""
+    h, w = img.shape[0] - img.shape[0] % s, img.shape[1] - img.shape[1] % s
+    v = img[:h, :w]
+    if v.dtype == np.uint8:
+        acc = v.reshape(h // s, s, w // s, s).astype(np.uint32)
+        return (acc.sum((1, 3)) // (s * s)).astype(np.uint8)
+    return v.reshape(h // s, s, w // s, s).mean((1, 3)).astype(v.dtype)
 
 
 class SLAM:
@@ -143,6 +154,8 @@ class SLAM:
         self.frames_tracked = 0
         self.frames_total = 0
         self.track_errors = 0   # per-frame tracking-thread exceptions
+        self._track_scale = max(1, self.cfg.get_int("SLAM.TrackScale", 1))
+        self._scaled_cam = None
 
     # lazy init on first frame (DIYSLAM.cpp:239-260)
     def _ensure_modules(self):
@@ -255,22 +268,50 @@ class SLAM:
         image = np.asarray(image)
         color = image if image.ndim == 3 else None
         if self.tracker.use_fused:
-            # the fused step gray-converts and casts ON DEVICE: keep the
-            # raw (typically uint8) frame and upload it as-is
+            # keep the frame uint8 for upload, but gray-convert RGB ON
+            # THE HOST first: the tunnel moves ~30 MB/s (README "Transfer
+            # ceiling"), so shipping 3-channel frames costs 3x the
+            # dominant per-frame expense for a few ms of host arithmetic
             gray = image
+            if gray.ndim == 3:
+                if gray.dtype == np.uint8:
+                    g = gray.astype(np.uint16)
+                    # BT.601 luma in fixed point (77+150+29 = 256)
+                    gray = ((77 * g[..., 0] + 150 * g[..., 1]
+                             + 29 * g[..., 2]) >> 8).astype(np.uint8)
+                else:
+                    gray = np.asarray(im.rgb_to_gray(
+                        jnp.asarray(gray, jnp.float32)))
         else:
             gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image,
                                                           jnp.float32)))
                     if image.ndim == 3 else image.astype(np.float32))
+        cam = self.camera
+        if self._track_scale > 1:
+            # SLAM.TrackScale=s: track on an s-fold host-downsampled frame
+            # with intrinsics scaled to match (poses, map geometry and the
+            # mosaic feed are resolution-independent; the full-res color
+            # frame still goes to the mosaic). On the tunneled backend
+            # this divides the dominant per-frame upload by s^2.
+            gray = _box_downsample(gray, self._track_scale)
+            if self._scaled_cam is None:
+                from ..core.camera import Camera
+                s = float(self._track_scale)
+                self._scaled_cam = Camera(
+                    int(cam.width // s), int(cam.height // s),
+                    cam.fx / s, cam.fy / s, cam.cx / s, cam.cy / s)
+            cam = self._scaled_cam
         frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
-                      camera=self.camera, image=gray, color=color)
+                      camera=cam, image=gray, color=color)
         if not self.tracker.use_fused:
             # fused tracking extracts inside its own jit; every other
-            # configuration extracts here (DIYSLAM.cpp:279)
+            # configuration extracts here (DIYSLAM.cpp:279). Host copies
+            # come through the frame's packed fetch: ONE round trip
+            # instead of one per feature array.
             with timer.scope("SLAM::extract"):
                 feats = self.detector(gray)
-            frame.set_features({k: np.asarray(v) for k, v in feats.items()},
-                               self.detector.kind)
+                frame.set_features_device(feats, self.detector.kind)
+                frame._materialize()
         if gps_lla is not None:
             from ..core import gps as gpsmod
             if self._local_frame is None:
@@ -285,11 +326,16 @@ class SLAM:
             if height_ground is not None:
                 frame.height_ground = float(height_ground)
         if self._online:
-            # depth-2 overlap (DIYSLAM.cpp:346-363): upload + dispatch the
-            # frame's feature extraction FROM THIS THREAD — it executes
-            # while the tracking thread is still fetching the previous
-            # frame's result — then block on the bounded queue
-            self.tracker.predispatch_extract(frame)
+            if self._chain <= 1:
+                # depth-2 overlap (DIYSLAM.cpp:346-363): upload + dispatch
+                # the frame's feature extraction FROM THIS THREAD — it
+                # executes while the tracking thread is still fetching the
+                # previous frame's result — then block on the bounded queue
+                self.tracker.predispatch_extract(frame)
+            # chain mode queues the RAW frame: the tracking loop drains K
+            # frames and uploads them as ONE stacked device_put, paying
+            # the tunnel's ~40-50 ms fixed per-upload cost once per chain
+            # instead of once per frame (tracker.track_chain)
             self._queue.put(frame)
         else:
             self._track_one(frame)
@@ -348,13 +394,27 @@ class SLAM:
             if frame is None:
                 return
             frames = [frame]
-            # chain mode (SLAM.TrackChain > 1): greedily drain frames the
-            # feeder already queued so K frames ride ONE device dispatch
-            # and ONE packed fetch (tracker.track_chain) — the feeder's
-            # predispatch_extract already put their features on device
+            # chain mode (SLAM.TrackChain > 1): drain frames the feeder
+            # queued so K frames ride ONE stacked upload + ONE packed
+            # fetch (tracker.track_chain). The drain WAITS a bounded
+            # interval for the feeder (SLAM.ChainWaitMs, default 150 ms
+            # total): on a 1-core host the feeder rarely stays ahead, and
+            # a get_nowait()-only drain degenerated chains to 1-2 frames
+            # — per-frame dispatches with none of the amortization.
+            # Waiting trades per-frame latency for throughput; real-time
+            # feeds should lower ChainWaitMs (or TrackChain) to taste.
+            if self._chain > 1:
+                import time as _time
+                deadline = _time.monotonic() + self.cfg.get_double(
+                    "SLAM.ChainWaitMs", 150.0) / 1e3
             while len(frames) < self._chain:
                 try:
-                    nxt = self._queue.get_nowait()
+                    if self._chain > 1:
+                        left = deadline - _time.monotonic()
+                        nxt = (self._queue.get(timeout=left) if left > 0
+                               else self._queue.get_nowait())
+                    else:
+                        nxt = self._queue.get_nowait()
                 except queue.Empty:
                     break
                 if nxt is None:

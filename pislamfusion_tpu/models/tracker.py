@@ -107,7 +107,9 @@ class Tracker:
 
     def ensure_features(self, frame: Frame):
         """Extract features on demand (the fused path extracts inside its
-        jit; every other path needs them host-side first)."""
+        jit; every other path needs them host-side first). Host copies
+        materialize through the frame's PACKED fetch — a bare np.asarray
+        per feature array is a blocking tunnel round trip per leaf."""
         if frame.desc is None and self.detector is not None:
             with timer.scope("Tracker::extract"):
                 img = jnp.asarray(frame.image, jnp.float32)
@@ -115,9 +117,8 @@ class Tracker:
                     from ..ops import image as im
                     img = im.rgb_to_gray(img)
                 feats = self.detector(img)
-                frame.set_features({k: np.asarray(v)
-                                    for k, v in feats.items()},
-                                   self.detector.kind)
+                frame.set_features_device(feats, self.detector.kind)
+                frame._materialize()
 
     # ------------------------------------------------------------------ API
     def track(self, frame: Frame) -> bool:
@@ -190,14 +191,6 @@ class Tracker:
         else:
             last_desc = jnp.asarray(last.desc)
             last_valid = jnp.asarray(last.valid)
-        for fr in frames:
-            if fr.feats_dev is None:
-                self.predispatch_extract(fr)
-            if fr.feats_dev is None:
-                return None
-        desc_k = jnp.stack([fr.feats_dev["desc"] for fr in frames])
-        valid_k = jnp.stack([fr.feats_dev["valid"] for fr in frames])
-        xy_k = jnp.stack([fr.feats_dev["xy"] for fr in frames])
         # pad the chain to the next POWER OF TWO (capped at TrackChain):
         # the greedy queue drain yields variable batch sizes
         # (2..TrackChain) and each distinct K would be a separate compile
@@ -213,16 +206,7 @@ class Tracker:
         cap = min(self.cfg.get_int("SLAM.TrackChain", 1),
                   1 << max(1, (len(frames) - 1)).bit_length())
         cap = max(cap, len(frames))
-        if len(frames) < cap:
-            padk = cap - len(frames)
-            desc_k = jnp.concatenate(
-                [desc_k, jnp.zeros((padk,) + desc_k.shape[1:],
-                                   desc_k.dtype)])
-            valid_k = jnp.concatenate(
-                [valid_k, jnp.zeros((padk,) + valid_k.shape[1:],
-                                    valid_k.dtype)])
-            xy_k = jnp.concatenate(
-                [xy_k, jnp.zeros((padk,) + xy_k.shape[1:], xy_k.dtype)])
+        padk = cap - len(frames)
         radius = self.cfg.get_double("SLAM.WindowRadius", 20.0)
         r_local = self.cfg.get_double("SLAM.LocalWindowRadius", 8.0)
         aux = np.concatenate([
@@ -230,14 +214,61 @@ class Tracker:
             has.astype(np.float32),
             np.asarray(last.pose_c2w, np.float32),
             np.asarray(self.motion, np.float32)])
-        with timer.scope("Tracker::chainDispatch"):
-            packed_k = pipeline.fused_track_chain(
-                desc_k, valid_k, xy_k, last_desc, last_valid,
-                jnp.asarray(aux), lpos, ldesc, lvalid,
-                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-                width=cam.width, height=cam.height,
-                radius=radius, radius_local=r_local,
-                chi2_th=self.chi2_px)
+        # RAW-IMAGE chain (the default with SLAM.TrackChain > 1): frames
+        # arrive un-predispatched, and the K raw frames ride ONE
+        # device_put — on the tunneled backend an upload costs ~40-50 ms
+        # FIXED + ~30 MB/s, so per-frame predispatch (round 2) paid the
+        # fixed cost K times and made the chain SLOWER than per-frame
+        # tracking. Extraction runs inside the chained scan.
+        use_images = all(fr.feats_dev is None and fr._feats is None
+                         and fr.image is not None for fr in frames)
+        if use_images:
+            with timer.scope("Tracker::chainUpload"):
+                imgs = np.stack([np.asarray(fr.image) for fr in frames])
+                if padk:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((padk,) + imgs.shape[1:],
+                                        imgs.dtype)])
+                imgs_dev = jnp.asarray(imgs)
+            with timer.scope("Tracker::chainDispatch"):
+                packed_k, feats_k = pipeline.fused_track_chain_images(
+                    imgs_dev, last_desc, last_valid, jnp.asarray(aux),
+                    lpos, ldesc, lvalid, params=self.detector.params,
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    width=cam.width, height=cam.height,
+                    radius=radius, radius_local=r_local,
+                    chi2_th=self.chi2_px)
+            for i, fr in enumerate(frames):
+                fr.set_features_device(
+                    {k: v[i] for k, v in feats_k.items()},
+                    self.detector.kind)
+        else:
+            for fr in frames:
+                if fr.feats_dev is None:
+                    self.predispatch_extract(fr)
+                if fr.feats_dev is None:
+                    return None
+            desc_k = jnp.stack([fr.feats_dev["desc"] for fr in frames])
+            valid_k = jnp.stack([fr.feats_dev["valid"] for fr in frames])
+            xy_k = jnp.stack([fr.feats_dev["xy"] for fr in frames])
+            if padk:
+                desc_k = jnp.concatenate(
+                    [desc_k, jnp.zeros((padk,) + desc_k.shape[1:],
+                                       desc_k.dtype)])
+                valid_k = jnp.concatenate(
+                    [valid_k, jnp.zeros((padk,) + valid_k.shape[1:],
+                                        valid_k.dtype)])
+                xy_k = jnp.concatenate(
+                    [xy_k, jnp.zeros((padk,) + xy_k.shape[1:],
+                                     xy_k.dtype)])
+            with timer.scope("Tracker::chainDispatch"):
+                packed_k = pipeline.fused_track_chain(
+                    desc_k, valid_k, xy_k, last_desc, last_valid,
+                    jnp.asarray(aux), lpos, ldesc, lvalid,
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    width=cam.width, height=cam.height,
+                    radius=radius, radius_local=r_local,
+                    chi2_th=self.chi2_px)
         with timer.scope("Tracker::chainFetch"):
             packed_k = np.asarray(packed_k)   # ONE round trip, K frames
         if self.map.version != map_version:

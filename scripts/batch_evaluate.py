@@ -54,6 +54,10 @@ def main(argv):
                 kwargs["loop_close"] = v not in ("0", "false")
             elif k == "SLAM.nFeature":
                 kwargs["n_feats"] = int(v)
+            elif k == "fixture":     # scene family (run_demo fixture axis)
+                kwargs["fixture"] = v
+            elif k == "seed":        # texture/world RNG seed
+                kwargs["seed"] = int(v)
             else:   # any other Svar key (Tracker, Matcher, ...) passes through
                 kwargs["overrides"][k] = v
         print(f"== {name} ==", flush=True)
@@ -79,7 +83,44 @@ def main(argv):
             print("   FAILED (see stdout.log)", flush=True)
     open(os.path.join(out_root, "summary.json"), "w").write(
         json.dumps(results, indent=1))
+    _aggregate_over_seeds(out_root, results)
     return 0
+
+
+def _aggregate_over_seeds(out_root, results):
+    """Group runs that differ only in `seed` and report mean +- std for
+    the headline metrics — conclusions must clear the seed spread to be
+    conclusions (doc/ABLATION.md v2 methodology)."""
+    import math
+    import re
+    groups = {}
+    for name, m in results.items():
+        if m is None:
+            continue
+        base = re.sub(r"_?seed-\d+", "", name) or "default"
+        groups.setdefault(base, []).append(m)
+    agg = {}
+    for base, ms in groups.items():
+        if not ms:
+            continue
+        row = {"n_runs": len(ms)}
+        for key in ("tracked_ratio", "ate_pct", "psnr", "points",
+                    "keyframes"):
+            vals = [m[key] for m in ms if key in m]
+            mean = sum(vals) / len(vals)
+            std = math.sqrt(sum((v - mean) ** 2 for v in vals)
+                            / max(len(vals) - 1, 1))
+            row[key] = {"mean": round(mean, 4), "std": round(std, 4)}
+        agg[base] = row
+    with open(os.path.join(out_root, "aggregate.json"), "w") as f:
+        f.write(json.dumps(agg, indent=1))
+    for base in sorted(agg):
+        r = agg[base]
+        print(f"{base}: ATE {r['ate_pct']['mean']:.2f}+-"
+              f"{r['ate_pct']['std']:.2f}% "
+              f"PSNR {r['psnr']['mean']:.1f}+-{r['psnr']['std']:.1f} dB "
+              f"tracked {100 * r['tracked_ratio']['mean']:.0f}% "
+              f"(n={r['n_runs']})", flush=True)
 
 
 if __name__ == "__main__":

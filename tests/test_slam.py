@@ -178,8 +178,11 @@ def test_slam_online_chain_mode():
     # queue and a 1-core box the worker drains >1 frame routinely — catch
     # silent fallback-to-per-frame by checking the chain program compiled
     from pislamfusion_tpu.models import pipeline as plmod
-    assert plmod.fused_track_chain._cache_size() > 0, \
-        "fused_track_chain never dispatched (chain path silently skipped)"
+    # raw-image chains (one stacked upload, extraction in-scan) are the
+    # default; the pre-extracted-features variant serves mixed batches
+    assert (plmod.fused_track_chain_images._cache_size() > 0
+            or plmod.fused_track_chain._cache_size() > 0), \
+        "no chain program ever dispatched (chain path silently skipped)"
 
 
 def test_slam_sift_path():
