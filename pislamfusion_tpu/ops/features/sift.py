@@ -400,8 +400,10 @@ def sift_detect(img, params: SiftParams = SiftParams()):
         outs["size"].append(sigma_of_s * scale)
         outs["desc"].append(desc)
         outs["valid"].append(valid)
-        # next octave: downsample the 2-sigma image
-        oct_img = stack[S][::2, ::2]
+        # next octave: downsample the 2-sigma image (exact [::2, ::2]
+        # samples; the matmul spelling avoids TPU's strided-slice
+        # relayout — see im.decimate2)
+        oct_img = im.decimate2(stack[S])
     feats = {kk: jnp.concatenate(vv, 0) for kk, vv in outs.items()}
     order = jnp.argsort(jnp.where(feats["valid"], -feats["response"],
                                   jnp.inf))

