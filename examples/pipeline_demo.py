@@ -152,6 +152,16 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
             return S.render_view_3d(world, cam_, pose, k=k, illum=0.08)
     elif fixture == "real":
         ground = _real_ground()
+        # the photo itself is deterministic — make seeds matter: rotate/
+        # mirror the ground per seed and add mild sensor noise, so the
+        # seed axis measures run-to-run spread instead of replaying one
+        # identical sequence three times
+        k = int(seed) % 4
+        ground = np.rot90(ground, k).copy()
+        if (int(seed) // 4) % 2:
+            ground = ground[:, ::-1].copy()
+        ground = np.clip(ground + rng.normal(0, 3.0, ground.shape), 0,
+                         255).astype(np.float32)
     else:
         ground = make_ground(rng)
     if cam is None:

@@ -69,13 +69,18 @@ def _noisy_correspondences(rng, H, n=200, outlier_frac=0.3, span=400.0):
     return pa.astype(np.float32), pb.astype(np.float32), out_idx
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_homography_vs_cv2(seed):
+@pytest.mark.parametrize("seed,outlier_frac", [
+    (0, 0.3), (1, 0.3), (2, 0.3),
+    # the fixed-budget-vs-adaptive-iterations question (RANSAC.cpp:93)
+    # bites hardest at high contamination: sweep it
+    (3, 0.1), (4, 0.5), (5, 0.6),
+])
+def test_homography_vs_cv2(seed, outlier_frac):
     rng = np.random.default_rng(seed)
     Hgt = np.array([[1.1, 0.08, 12.0],
                     [-0.05, 0.96, -7.0],
                     [1e-4, -8e-5, 1.0]])
-    pa, pb, _ = _noisy_correspondences(rng, Hgt)
+    pa, pb, _ = _noisy_correspondences(rng, Hgt, outlier_frac=outlier_frac)
     valid = np.ones(len(pa), bool)
 
     ours = R.find_homography(jax.random.PRNGKey(seed), jnp.asarray(pa),

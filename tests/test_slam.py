@@ -185,6 +185,47 @@ def test_slam_online_chain_mode():
         "no chain program ever dispatched (chain path silently skipped)"
 
 
+def test_slam_track_scale():
+    """SLAM.TrackScale=2: tracking runs on host-downsampled frames with
+    scaled intrinsics (4x less device upload — the tunneled-TPU config),
+    while poses stay resolution-independent: the strip must track and
+    the estimated inter-frame baseline must match the truth's spacing
+    within the monocular gauge."""
+    rng = np.random.default_rng(12)
+    ground = make_ground(rng)
+    # 640x480 so the half-res track still sees real texture
+    cam = Camera(640, 480, 520.0, 520.0, 320.0, 240.0)
+    xs = np.arange(25.0, 61.0, 3.0)
+    poses = [nadir_pose(x, 30.0, 25.0) for x in xs]
+    cfg = Svar()
+    cfg.set("FeatureDetector", "ORB")
+    cfg.set("SLAM.nFeature", "500")
+    cfg.set("SLAM.LoopClose", "0")
+    cfg.set("SLAM.TrackScale", "2")
+    cfg.set("SLAM.BAFrameCap", "8")
+    cfg.set("SLAM.BAPointCap", "1024")
+    cfg.set("SLAM.BAObsCap", "4096")
+    cfg.set("SLAM.LocalBAIters", "8")
+    slam = create_slam(cfg, cam)
+    est = []
+    for i, p in enumerate(poses):
+        fr = slam.track(render_view(ground, cam, p), float(i))
+        est.append(None if fr is None else fr.pose_c2w[:3].copy())
+    slam.finish()
+    assert slam._track_scale == 2
+    assert slam._scaled_cam is not None and slam._scaled_cam.width == 320
+    assert slam.frames_tracked > 0.7 * len(poses)
+    # monocular gauge: successive steps should be nearly uniform like
+    # the ground truth's constant 3 m spacing
+    steps = [np.linalg.norm(b - a) for a, b in zip(est[2:-1], est[3:])
+             if a is not None and b is not None]
+    assert len(steps) > 6
+    ratio = np.asarray(steps) / np.median(steps)
+    assert np.all(np.abs(ratio - 1.0) < 0.35), ratio
+    # the full-res color frame still reaches the mosaic queue
+    assert slam.trans_queue.qsize() > 0 or slam.frames_tracked == 0
+
+
 def test_slam_sift_path():
     """FeatureDetector=Sift (the reference's Default.cfg detector): SIFT
     extraction + L2 matching through the classic (non-fused) tracker path
