@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import glog
-from ..core.registry import TRACKERS
+from ..core.registry import RELOCALIZERS, TRACKERS
 from ..core.timer import timer
 from ..ops import ba, init2view, lie, matching, ransac
 from ..utils import host_se3 as hse3
@@ -84,6 +84,21 @@ class Tracker:
         self.motion = self.motion.copy()
         self.motion[:3] *= float(S[7])
         self.invalidate_local_stage()   # staged point cloud moved
+
+    def _relocalizer(self):
+        """Named Relocalizer seam (Relocalizer.h:16-28). The reference
+        DECLARES this registry but registers no implementation (grep
+        REGISTER_RELOCALIZER over its tree finds only the macro) and runs
+        relocalization inside TrackerOpt::relocalize; the `Relocalizer`
+        cfg key here resolves a named strategy, defaulting to the
+        tracker-internal sweep for exact behavioral parity."""
+        if getattr(self, "_reloc", None) is None:
+            name = self.cfg.get_string("Relocalizer", "demo")
+            try:
+                self._reloc = RELOCALIZERS.create(name, self.cfg)
+            except Exception:                              # noqa: BLE001
+                self._reloc = RelocalizerDemo(self.cfg)
+        return self._reloc
 
     def invalidate_local_stage(self):
         self._local_stage = None
@@ -396,7 +411,7 @@ class Tracker:
                 ok = self._track_last_frame(frame)
         self.ensure_features(frame)
         if not ok:
-            ok = self._track_ref_kf(frame)
+            ok = self._relocalizer().relocalize(self, frame)
         if ok and track_submap:
             ok = self._track_local_map(frame)
         if ok:
@@ -1457,3 +1472,21 @@ class TrackerRTSfMInit(TrackerPlanar):
             if self._pair_initialize(frame, lg):    # :1151 initialize()
                 return True
         return False
+
+
+@RELOCALIZERS.register("demo")
+@RELOCALIZERS.register("default")
+class RelocalizerDemo:
+    """Default named relocalization strategy: the tracker's own LOST
+    sweep (loop-detector candidates -> recent keyframes -> strided map
+    sample, batched match prefilter + PnP — Tracker._track_ref_kf,
+    mirroring TrackerOpt::relocalize, TrackerOpt.cpp:1307-1350). Exists
+    so the reference's Relocalizer registry seam (Relocalizer.h:16-28)
+    resolves by name; the reference itself registers no implementation
+    and inlines the same logic in its tracker."""
+
+    def __init__(self, cfg=None):
+        self.cfg = cfg
+
+    def relocalize(self, tracker: "Tracker", frame: Frame) -> bool:
+        return tracker._track_ref_kf(frame)

@@ -394,6 +394,12 @@ def test_tracker_registry_covers_reference_names():
     for name in ("BoW", "GPS"):
         assert LOOP_DETECTORS.create(name, WorldMap(), Svar()) is not None, \
             name
+    # the Relocalizer registry seam (Relocalizer.h:16-28): the reference
+    # declares it with no registered implementation; ours resolves the
+    # default tracker-sweep strategy by name
+    from pislamfusion_tpu.core.registry import RELOCALIZERS
+    for name in ("demo", "default"):
+        assert RELOCALIZERS.create(name, Svar()) is not None, name
 
 
 def test_tracker_loadmap(slam_run, tmp_path):
