@@ -24,10 +24,18 @@
 // (plain text) produced by the reference Vocabulary code on
 // deterministically generated descriptors, so the Python side can run
 // the identical queries and compare.
+//
+// Build WITHOUT -msse3/-msse4.2 (scripts/build_golden_fixtures.sh):
+// the reference's own CMake sets no SSE flags, so its binary compiles
+// CameraATAN::Project's scalar branch. The #ifdef __SSE3__ branch in
+// Camera.h:259-267 is BUGGY (it subtracts z from x/y instead of
+// dividing — `_mm_sub_pd(xy, {z,z})`) and never ships; enabling SSE3
+// here would bake that wrong projection into the expectations.
 #include <immintrin.h>
 
 #include <GSLAM/core/GSLAM.h>
 #include <GSLAM/core/Vocabulary.h>
+#include <GSLAM/core/GPS.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -250,6 +258,84 @@ static void write_vocab(const std::string& stem, bool orb) {
     std::printf("wrote %s.gbow (+expect)\n", stem.c_str());
 }
 
+// ------------------------------------------------------- math fixtures
+// Expectation table computed by the reference's own header-inline math:
+// SO3 exp/ln, SE3 compose/inverse/apply, SIM3 apply, Camera model
+// Project/UnProject (PinHole/ATAN/OpenCV), WGS84 GPS2XYZ/XYZ2GPS
+// (SO3.h / SE3.h / SIM3.h / Camera.h / GPS.h:55-90). The Python side
+// (tests/test_golden_reference.py) evaluates our lie/camera/gps modules
+// on the same inputs and must match to double precision.
+static void write_math(const std::string& path) {
+    std::ofstream txt(path.c_str());
+    txt.precision(17);
+    const double ws[4][3] = {{0.02, -0.01, 0.3}, {1.2, -0.7, 0.4},
+                             {0, 0, 0}, {-2.9, 0.1, 0.05}};
+    for (int i = 0; i < 4; ++i) {
+        GSLAM::SO3 q = GSLAM::SO3::exp(
+            GSLAM::Point3d(ws[i][0], ws[i][1], ws[i][2]));
+        txt << "so3exp " << i << " " << q.x << " " << q.y << " " << q.z
+            << " " << q.w << "\n";
+        GSLAM::Point3d l = q.ln();
+        txt << "so3ln " << i << " " << l.x << " " << l.y << " " << l.z
+            << "\n";
+    }
+    GSLAM::SE3 A(GSLAM::SO3::exp(GSLAM::Point3d(0.1, 0.2, -0.3)),
+                 GSLAM::Point3d(1.0, -2.0, 3.0));
+    GSLAM::SE3 B(GSLAM::SO3::exp(GSLAM::Point3d(-0.5, 0.05, 0.6)),
+                 GSLAM::Point3d(0.5, 4.0, -1.5));
+    GSLAM::SE3 C = A * B;
+    GSLAM::SE3 Ai = A.inverse();
+    GSLAM::Point3d pw(2.5, -1.25, 7.0);
+    GSLAM::Point3d pA = A * pw;
+    txt << "se3mul " << C.get_translation().x << " "
+        << C.get_translation().y << " " << C.get_translation().z << " "
+        << C.get_rotation().x << " " << C.get_rotation().y << " "
+        << C.get_rotation().z << " " << C.get_rotation().w << "\n";
+    txt << "se3inv " << Ai.get_translation().x << " "
+        << Ai.get_translation().y << " " << Ai.get_translation().z << " "
+        << Ai.get_rotation().x << " " << Ai.get_rotation().y << " "
+        << Ai.get_rotation().z << " " << Ai.get_rotation().w << "\n";
+    txt << "se3apply " << pA.x << " " << pA.y << " " << pA.z << "\n";
+    GSLAM::SIM3 S(A, 1.75);
+    GSLAM::Point3d pS = S * pw;
+    txt << "sim3apply " << pS.x << " " << pS.y << " " << pS.z << "\n";
+
+    // cameras: parameter-vector construction (Camera.h:407+ dispatch)
+    const GSLAM::Point3d p3(0.35, -0.2, 2.0);
+    {
+        std::vector<double> ps = {1920, 1080, 1200, 1210, 955, 545};
+        GSLAM::Camera cam(ps);
+        GSLAM::Point2d uv = cam.Project(p3);
+        GSLAM::Point3d ray = cam.UnProject(GSLAM::Point2d(100.5, 700.25));
+        txt << "pinhole " << cam.CameraType() << " " << uv.x << " "
+            << uv.y << " " << ray.x << " " << ray.y << " " << ray.z
+            << "\n";
+    }
+    {
+        std::vector<double> ps = {1920, 1080, 1200, 1210, 955, 545, 0.85};
+        GSLAM::Camera cam(ps);
+        GSLAM::Point2d uv = cam.Project(p3);
+        GSLAM::Point3d ray = cam.UnProject(GSLAM::Point2d(100.5, 700.25));
+        txt << "atan " << cam.CameraType() << " " << uv.x << " " << uv.y
+            << " " << ray.x << " " << ray.y << " " << ray.z << "\n";
+    }
+    {
+        std::vector<double> ps = {1920, 1080, 1200, 1210, 955, 545,
+                                  0.1, -0.05, 0.001, -0.002, 0.02};
+        GSLAM::Camera cam(ps);
+        GSLAM::Point2d uv = cam.Project(p3);
+        GSLAM::Point3d ray = cam.UnProject(GSLAM::Point2d(100.5, 700.25));
+        txt << "opencv " << cam.CameraType() << " " << uv.x << " " << uv.y
+            << " " << ray.x << " " << ray.y << " " << ray.z << "\n";
+    }
+    // WGS84 ECEF (GPS.h:55-90)
+    GSLAM::Point3d ecef = GSLAM::GPS<>::GPS2XYZ(39.90, 116.30, 50.0);
+    txt << "gps2xyz " << ecef.x << " " << ecef.y << " " << ecef.z << "\n";
+    GSLAM::Point3d back = GSLAM::GPS<>::XYZ2GPS(ecef.x, ecef.y, ecef.z);
+    txt << "xyz2gps " << back.x << " " << back.y << " " << back.z << "\n";
+    std::printf("wrote %s\n", path.c_str());
+}
+
 int main(int argc, char** argv) {
     std::string outdir = argc > 1 ? argv[1] : ".";
     write_map(outdir + "/ref_map.maphash");
@@ -257,5 +343,6 @@ int main(int argc, char** argv) {
     write_vocab(outdir + "/ref_vocab_orb", true);
     g_lcg = 999331;
     write_vocab(outdir + "/ref_vocab_sift", false);
+    write_math(outdir + "/ref_math_expect.txt");
     return 0;
 }

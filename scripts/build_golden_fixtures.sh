@@ -8,7 +8,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 REF="${REFERENCE_ROOT:-/root/reference}"
 OUT="$REPO/tests/data/golden"
 mkdir -p "$OUT"
-g++ -std=c++11 -O1 -msse4.2 -I"$REF/GSLAM" \
+g++ -std=c++11 -O1 -I"$REF/GSLAM" \
     "$REPO/native/golden_writer.cpp" -o /tmp/golden_writer -lpthread
 /tmp/golden_writer "$OUT"
 ls -la "$OUT"

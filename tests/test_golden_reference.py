@@ -167,6 +167,88 @@ def test_reference_gbow_transform_parity(stem, seed, gen):
         assert dgot == pytest.approx(dref, rel=1e-6)
 
 
+# ----------------------------------------------------------------- math
+def test_reference_math_table():
+    """ref_math_expect.txt is computed by the reference's OWN header
+    math (SO3/SE3/SIM3/Camera/GPS inline implementations); our lie /
+    camera / gps modules must reproduce it to double precision (camera
+    unprojection of distorted models to the reference's own iterative
+    tolerance)."""
+    exp = _expect("ref_math")
+    from pislamfusion_tpu.ops import lie
+    from pislamfusion_tpu.utils import host_se3 as hse3
+    from pislamfusion_tpu.core.camera import Camera
+    from pislamfusion_tpu.core import gps as G
+
+    ws = {0: [0.02, -0.01, 0.3], 1: [1.2, -0.7, 0.4],
+          2: [0, 0, 0], 3: [-2.9, 0.1, 0.05]}
+    # device lie ops run in the test config's float32 — compare to f32
+    # resolution; host-f64 paths below hold 1e-12
+    for row in exp["so3exp"]:
+        i = int(row[0])
+        q = np.asarray(lie.so3_exp(np.asarray(ws[i], np.float64)))
+        np.testing.assert_allclose(q, [float(v) for v in row[1:]],
+                                   atol=5e-7)
+    for row in exp["so3ln"]:
+        i = int(row[0])
+        qref = [float(v) for v in exp["so3exp"][i][1:]]
+        w = np.asarray(lie.so3_log(np.asarray(qref, np.float64)))
+        np.testing.assert_allclose(w, [float(v) for v in row[1:]],
+                                   atol=5e-6)
+
+    def _quat_f64(w):
+        w = np.asarray(w, np.float64)
+        th = np.linalg.norm(w)
+        if th < 1e-15:
+            return np.array([0.0, 0, 0, 1])
+        ax = w / th
+        return np.concatenate([ax * np.sin(th / 2), [np.cos(th / 2)]])
+
+    A = np.concatenate([[1.0, -2.0, 3.0], _quat_f64([0.1, 0.2, -0.3])])
+    B = np.concatenate([[0.5, 4.0, -1.5], _quat_f64([-0.5, 0.05, 0.6])])
+    C = hse3.se3_mul(A, B)
+    ref = [float(v) for v in exp["se3mul"][0]]
+    np.testing.assert_allclose(C[:3], ref[:3], atol=1e-12)
+    np.testing.assert_allclose(np.abs(C[3:]), np.abs(ref[3:]), atol=1e-12)
+    Ai = hse3.se3_inv(A)
+    ref = [float(v) for v in exp["se3inv"][0]]
+    np.testing.assert_allclose(Ai[:3], ref[:3], atol=1e-12)
+    pw = np.asarray([2.5, -1.25, 7.0])
+    np.testing.assert_allclose(
+        hse3.se3_apply(A, pw), [float(v) for v in exp["se3apply"][0]],
+        atol=1e-12)
+    S = np.concatenate([A, [1.75]])
+    np.testing.assert_allclose(
+        np.asarray(lie.sim3_apply(S, pw)).reshape(-1),
+        [float(v) for v in exp["sim3apply"][0]], atol=1e-6)
+
+    p3 = np.asarray([0.35, -0.2, 2.0])
+    uv_probe = np.asarray([100.5, 700.25])
+    for key, params in (
+            ("pinhole", [1920, 1080, 1200, 1210, 955, 545]),
+            ("atan", [1920, 1080, 1200, 1210, 955, 545, 0.85]),
+            ("opencv", [1920, 1080, 1200, 1210, 955, 545,
+                        0.1, -0.05, 0.001, -0.002, 0.02])):
+        row = exp[key][0]
+        cam = Camera.from_parameters(params)
+        uv = np.asarray(cam.project(p3), np.float64).reshape(-1)
+        np.testing.assert_allclose(uv, [float(v) for v in row[1:3]],
+                                   rtol=1e-5, atol=1e-4)
+        ray = np.asarray(cam.unproject(uv_probe), np.float64).reshape(-1)
+        ref_ray = [float(v) for v in row[3:6]]
+        np.testing.assert_allclose(ray[:2], ref_ray[:2], rtol=1e-4,
+                                   atol=1e-5)
+
+    ecef = G.lla_to_ecef(116.30, 39.90, 50.0)
+    np.testing.assert_allclose(
+        np.asarray(ecef).reshape(-1),
+        [float(v) for v in exp["gps2xyz"][0]], rtol=1e-12)
+    lla = np.asarray(G.ecef_to_lla(np.asarray(ecef))).reshape(-1)
+    ref = [float(v) for v in exp["xyz2gps"][0]]     # (lat, lon, alt)
+    np.testing.assert_allclose([lla[1], lla[0]], ref[:2], atol=1e-9)
+    assert abs(lla[2] - ref[2]) < 1e-4
+
+
 def test_reference_gbow_resave_reloads():
     """Write-back: our .gbow writer emits a file our loader AND field
     layout round-trip losslessly from the reference-trained tree."""
