@@ -229,10 +229,19 @@ def _select_topk(resp, k: int, cell: int = 64):
     return s, y, x, v
 
 
-def _sample_grid(dx, dy, cx, cy, angle, sigma, n: int, radius_sigmas: float):
+def _sample_grid(dx, dy, cx, cy, angle, sigma, n: int, radius_sigmas: float,
+                 bounds=None):
     """Bilinearly sample gradient maps on an n x n rotated grid around each
     keypoint. Returns (gx, gy, u, v): [K, n*n] samples + grid coords in
-    rotated keypoint frame (units of the grid half-extent)."""
+    rotated keypoint frame (units of the grid half-extent).
+
+    bounds: optional (x_hi, y_lo, y_hi) [K] arrays bounding each
+    keypoint's OWN image region inside a packed multi-octave gradient
+    image (see sift_detect: all octaves' orientation/descriptor sampling
+    rides ONE Pallas call instead of one per octave — per-call overhead
+    is ~0.35 ms on this chip). Samples outside the bounds are masked;
+    the inter-octave margin rows are zero so slab DMAs never read
+    another octave's pixels as in-bounds data."""
     K = cx.shape[0]
     lin = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0  # (-1, 1)
     gu, gv = jnp.meshgrid(lin, lin, indexing="xy")
@@ -246,6 +255,12 @@ def _sample_grid(dx, dy, cx, cy, angle, sigma, n: int, radius_sigmas: float):
     py = cy[:, None] + rad * (sa * gu + ca * gv)
     grad = jnp.stack([dx, dy], -1)          # [H, W, 2]
     H, W = dx.shape
+    if bounds is not None:
+        x_hi, y_lo, y_hi = bounds
+        bvalid = ((px >= 0) & (px <= x_hi[:, None])
+                  & (py >= y_lo[:, None]) & (py <= y_hi[:, None]))
+    else:
+        bvalid = ((px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
     if im.use_tpu_pallas():
         # Pallas slab sampler: the scattered rotated grids are ~32 ms of
         # scalar-core gathers per frame via XLA; see patchgather.
@@ -255,19 +270,21 @@ def _sample_grid(dx, dy, cx, cy, angle, sigma, n: int, radius_sigmas: float):
         rel = jnp.stack([px - centers[:, 0:1].astype(jnp.float32),
                          py - centers[:, 1:2].astype(jnp.float32)], 1)
         vals = bilinear_grid_pallas(grad, centers, rel, radius=16)
-        valid = ((px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1))
+        valid = bvalid
     else:
         xy = jnp.stack([px, py], -1)        # [K, n*n, 2]
         vals, valid = im.bilinear_sample(grad, xy)
+        valid = valid & bvalid
     return vals[..., 0], vals[..., 1], gu, gv, valid
 
 
-def _orientations(dx, dy, cx, cy, sigma, params: SiftParams):
+def _orientations(dx, dy, cx, cy, sigma, params: SiftParams, bounds=None):
     """Dominant gradient orientation per keypoint (36-bin histogram,
     Gaussian weighted, parabolic peak refinement)."""
     n = 16
     gx, gy, gu, gv, valid = _sample_grid(dx, dy, cx, cy,
-                                         jnp.zeros_like(cx), sigma, n, 4.5)
+                                         jnp.zeros_like(cx), sigma, n, 4.5,
+                                         bounds=bounds)
     mag = jnp.hypot(gx, gy) * valid
     w = jnp.exp(-(gu ** 2 + gv ** 2) * 2.0)     # sigma = 0.5 of window
     theta = jnp.arctan2(gy, gx)
@@ -295,14 +312,15 @@ def _orientations(dx, dy, cx, cy, sigma, params: SiftParams):
     return (peak + off) * (2 * jnp.pi / B)
 
 
-def _descriptors(dx, dy, cx, cy, angle, sigma, params: SiftParams):
+def _descriptors(dx, dy, cx, cy, angle, sigma, params: SiftParams,
+                 bounds=None):
     """128-d descriptors from a 16x16 rotated sample grid with soft 4x4x8
     binning (one-hot matmul accumulation — MXU-friendly)."""
     n = 16
     G = params.desc_grid
     OB = params.desc_ori_bins
     gx, gy, gu, gv, valid = _sample_grid(dx, dy, cx, cy, angle, sigma, n,
-                                         1.5 * G / 2.0)
+                                         1.5 * G / 2.0, bounds=bounds)
     mag = jnp.hypot(gx, gy) * valid
     w = jnp.exp(-(gu ** 2 + gv ** 2) * 1.0)
     theta = jnp.arctan2(gy, gx) - angle[:, None]
@@ -375,8 +393,18 @@ def sift_detect(img, params: SiftParams = SiftParams()):
     base = im.gaussian_blur(img[..., None],
                             float(np.sqrt(max(params.sigma0 ** 2 - 0.25,
                                               0.01))))[..., 0]
-    outs = {kk: [] for kk in ("xy", "response", "angle", "octave", "size",
-                              "desc", "valid")}
+    outs = {kk: [] for kk in ("xy", "response", "octave", "size", "valid")}
+    # orientation/descriptor sampling is DEFERRED: every octave's
+    # keypoints sample ONE packed gradient image in ONE Pallas call per
+    # stage instead of one per octave per stage. Measured on-chip this
+    # is a WASH vs per-octave calls (9.68 vs 9.65 ms/frame whole-detect
+    # — the per-call overhead hypothesis did not hold); kept because the
+    # single-batch form also serves batched/vmapped callers with one
+    # program and no per-octave shape set.
+    MARGIN = 32          # > sampler slab radius: octaves cannot bleed
+    grads_dx, grads_dy, base_rows, row = [], [], [], 0
+    cx_all, cy_all, sig_all = [], [], []
+    xhi_all, ylo_all, yhi_all = [], [], []
     oct_img = base
     for o in range(n_oct):
         stack = _octave_stack(oct_img, params)         # [S+3, h, w]
@@ -388,23 +416,41 @@ def sift_detect(img, params: SiftParams = SiftParams()):
         sigma_of_s = params.sigma0 * k ** (s_idx.astype(jnp.float32) + 1.0)
         # gradients of the closest Gaussian level (use middle of the octave)
         dxm, dym = _gradients(stack[S // 2 + 1])
+        h, w = dxm.shape
+        grads_dx.append(jnp.pad(dxm, ((0, MARGIN), (0, W - w))))
+        grads_dy.append(jnp.pad(dym, ((0, MARGIN), (0, W - w))))
+        base_rows.append(row)
         cx = x.astype(jnp.float32)
         cy = y.astype(jnp.float32)
-        ang = _orientations(dxm, dym, cx, cy, sigma_of_s, params)
-        desc = _descriptors(dxm, dym, cx, cy, ang, sigma_of_s, params)
+        cx_all.append(cx)
+        cy_all.append(cy + float(row))
+        sig_all.append(sigma_of_s)
+        xhi_all.append(jnp.full((kq,), float(w - 1), jnp.float32))
+        ylo_all.append(jnp.full((kq,), float(row), jnp.float32))
+        yhi_all.append(jnp.full((kq,), float(row + h - 1), jnp.float32))
+        row += h + MARGIN
         scale = float(2 ** o)
         outs["xy"].append(jnp.stack([cx, cy], -1) * scale)
         outs["response"].append(v)
-        outs["angle"].append(ang)
         outs["octave"].append(jnp.full((kq,), o, jnp.int32))
         outs["size"].append(sigma_of_s * scale)
-        outs["desc"].append(desc)
         outs["valid"].append(valid)
         # next octave: downsample the 2-sigma image (exact [::2, ::2]
         # samples; the matmul spelling avoids TPU's strided-slice
         # relayout — see im.decimate2)
         oct_img = im.decimate2(stack[S])
     feats = {kk: jnp.concatenate(vv, 0) for kk, vv in outs.items()}
+    dxp = jnp.concatenate(grads_dx, 0)
+    dyp = jnp.concatenate(grads_dy, 0)
+    cxk = jnp.concatenate(cx_all, 0)
+    cyk = jnp.concatenate(cy_all, 0)
+    sigk = jnp.concatenate(sig_all, 0)
+    bounds = (jnp.concatenate(xhi_all, 0), jnp.concatenate(ylo_all, 0),
+              jnp.concatenate(yhi_all, 0))
+    feats["angle"] = _orientations(dxp, dyp, cxk, cyk, sigk, params,
+                                   bounds=bounds)
+    feats["desc"] = _descriptors(dxp, dyp, cxk, cyk, feats["angle"], sigk,
+                                 params, bounds=bounds)
     order = jnp.argsort(jnp.where(feats["valid"], -feats["response"],
                                   jnp.inf))
     keep = order[:params.n_features]
