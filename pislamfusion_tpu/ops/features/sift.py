@@ -401,7 +401,10 @@ def sift_detect(img, params: SiftParams = SiftParams()):
     # — the per-call overhead hypothesis did not hold); kept because the
     # single-batch form also serves batched/vmapped callers with one
     # program and no per-octave shape set.
-    MARGIN = 32          # > sampler slab radius: octaves cannot bleed
+    # > the sampler's worst-case slab reach below a center (WH=48 rows
+    # aligned down by up to 7: 24 rows past the keypoint —
+    # patchgather.bilinear_grid_pallas geometry), so octaves cannot bleed
+    MARGIN = 32
     grads_dx, grads_dy, base_rows, row = [], [], [], 0
     cx_all, cy_all, sig_all = [], [], []
     xhi_all, ylo_all, yhi_all = [], [], []
