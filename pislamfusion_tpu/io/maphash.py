@@ -406,6 +406,8 @@ def into_worldmap(data: MapHashData, wmap) -> None:
         wmap._frames.clear()
         wmap._points.clear()
         wmap._keyframe_ids.clear()
+        wmap._kf_center_cache = None
+        wmap.version += 1   # whole-map replacement (see WorldMap.load)
         max_pid = 0
         for p in data.points:
             desc = _unpack_desc(p.descriptor)[0] \

@@ -60,6 +60,9 @@ class Frame:
     camera: Camera
     image: Optional[np.ndarray] = None          # [H, W] gray or [H, W, 3]
     color: Optional[np.ndarray] = None          # [H, W, 3] for the mosaic
+    # full-resolution gray kept for the mosaic when SLAM.TrackScale
+    # downsampled `image` and no color frame exists (models/slam.py)
+    mosaic_image: Optional[np.ndarray] = None
     desc_kind: str = "orb"
     pose_c2w: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32))

@@ -280,19 +280,26 @@ class SLAM:
                     gray = ((77 * g[..., 0] + 150 * g[..., 1]
                              + 29 * g[..., 2]) >> 8).astype(np.uint8)
                 else:
-                    gray = np.asarray(im.rgb_to_gray(
-                        jnp.asarray(gray, jnp.float32)))
+                    # host dot product: a device rgb_to_gray here would
+                    # upload 3 channels + fetch 1 on the feeder thread —
+                    # the exact transfer this branch exists to avoid
+                    gray = (gray[..., :3].astype(np.float32)
+                            @ np.array([0.299, 0.587, 0.114], np.float32))
         else:
             gray = (np.asarray(im.rgb_to_gray(jnp.asarray(image,
                                                           jnp.float32)))
                     if image.ndim == 3 else image.astype(np.float32))
         cam = self.camera
+        mosaic_full = None
         if self._track_scale > 1:
             # SLAM.TrackScale=s: track on an s-fold host-downsampled frame
             # with intrinsics scaled to match (poses, map geometry and the
-            # mosaic feed are resolution-independent; the full-res color
-            # frame still goes to the mosaic). On the tunneled backend
-            # this divides the dominant per-frame upload by s^2.
+            # mosaic feed are resolution-independent; the FULL-RES frame
+            # still goes to the mosaic — the color image when there is
+            # one, else the pre-downsample gray stashed below). On the
+            # tunneled backend this divides the per-frame upload by s^2.
+            if color is None:
+                mosaic_full = gray       # full-res gray, pre-downsample
             gray = _box_downsample(gray, self._track_scale)
             if self._scaled_cam is None:
                 from ..core.camera import Camera
@@ -303,6 +310,8 @@ class SLAM:
             cam = self._scaled_cam
         frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
                       camera=cam, image=gray, color=color)
+        if mosaic_full is not None:
+            frame.mosaic_image = mosaic_full
         if not self.tracker.use_fused:
             # fused tracking extracts inside its own jit; every other
             # configuration extracts here (DIYSLAM.cpp:279). Host copies
@@ -368,7 +377,9 @@ class SLAM:
         if ok:
             self.frames_tracked += 1
             # feed the mosaic queue (TrackerOpt.cpp:374-384)
-            img = frame.color if frame.color is not None else frame.image
+            img = frame.color if frame.color is not None \
+                else (frame.mosaic_image if frame.mosaic_image is not None
+                      else frame.image)
             img = self._undistort_for_mosaic(img)
             self.trans_queue.product((img, frame.pose_c2w.copy()))
             if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",

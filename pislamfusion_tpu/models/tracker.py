@@ -96,7 +96,12 @@ class Tracker:
             name = self.cfg.get_string("Relocalizer", "demo")
             try:
                 self._reloc = RELOCALIZERS.create(name, self.cfg)
-            except Exception:                              # noqa: BLE001
+            except Exception as exc:                       # noqa: BLE001
+                # loud fallback: a typo'd name or a broken user strategy
+                # must not silently swap in the default for the whole run
+                glog.logger.error(
+                    "Relocalizer=%r failed to construct (%s); using the "
+                    "default tracker sweep" % (name, exc))
                 self._reloc = RelocalizerDemo(self.cfg)
         return self._reloc
 

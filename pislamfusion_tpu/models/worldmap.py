@@ -308,6 +308,10 @@ class WorldMap:
             self._frames.clear()
             self._points.clear()
             self._keyframe_ids.clear()
+            self._kf_center_cache = None
+            self.version += 1   # a load replaces the whole map: stale
+                                # caches and in-flight device steps must
+                                # observe the gauge change
             n = len(data["frame_id"])
             nkp = data["frame_nkp"]
             offs = np.concatenate([[0], np.cumsum(nkp)])
@@ -397,6 +401,10 @@ class WorldMap:
             self._frames.clear()
             self._points.clear()
             self._keyframe_ids.clear()
+            self._kf_center_cache = None
+            self.version += 1   # a load replaces the whole map: stale
+                                # caches and in-flight device steps must
+                                # observe the gauge change
             for fd in blob["frames"]:
                 fr = Frame(id=fd["id"], timestamp=fd["timestamp"],
                            camera=Camera.from_parameters(fd["camera"]))

@@ -401,11 +401,13 @@ def sift_detect(img, params: SiftParams = SiftParams()):
     # — the per-call overhead hypothesis did not hold); kept because the
     # single-batch form also serves batched/vmapped callers with one
     # program and no per-octave shape set.
-    # > the sampler's worst-case slab reach below a center (WH=48 rows
-    # aligned down by up to 7: 24 rows past the keypoint —
-    # patchgather.bilinear_grid_pallas geometry), so octaves cannot bleed
-    MARGIN = 32
-    grads_dx, grads_dy, base_rows, row = [], [], [], 0
+    # > the sampler's worst-case slab reach below a center: slab height
+    # WH=48 with origin ya = align8(cy - R), so dy0 = cy - ya is in
+    # [16, 23] and the reach below the keypoint is WH-1-dy0 <= 31 rows
+    # (patchgather.bilinear_grid_pallas geometry). 48 leaves headroom
+    # for a future radius bump instead of clearing 31 by one row.
+    MARGIN = 48
+    grads_dx, grads_dy, row = [], [], 0
     cx_all, cy_all, sig_all = [], [], []
     xhi_all, ylo_all, yhi_all = [], [], []
     oct_img = base
@@ -422,7 +424,6 @@ def sift_detect(img, params: SiftParams = SiftParams()):
         h, w = dxm.shape
         grads_dx.append(jnp.pad(dxm, ((0, MARGIN), (0, W - w))))
         grads_dy.append(jnp.pad(dym, ((0, MARGIN), (0, W - w))))
-        base_rows.append(row)
         cx = x.astype(jnp.float32)
         cy = y.astype(jnp.float32)
         cx_all.append(cx)
@@ -438,9 +439,9 @@ def sift_detect(img, params: SiftParams = SiftParams()):
         outs["octave"].append(jnp.full((kq,), o, jnp.int32))
         outs["size"].append(sigma_of_s * scale)
         outs["valid"].append(valid)
-        # next octave: downsample the 2-sigma image (exact [::2, ::2]
-        # samples; the matmul spelling avoids TPU's strided-slice
-        # relayout — see im.decimate2)
+        # next octave: downsample the 2-sigma image ([::2, ::2] sample
+        # selection; the matmul spelling avoids TPU's strided-slice
+        # relayout — precision note in im.decimate2)
         oct_img = im.decimate2(stack[S])
     feats = {kk: jnp.concatenate(vv, 0) for kk, vv in outs.items()}
     dxp = jnp.concatenate(grads_dx, 0)

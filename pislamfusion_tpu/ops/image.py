@@ -407,12 +407,15 @@ def _decim_matrix(n: int) -> np.ndarray:
 
 
 def decimate2(img):
-    """Exact 2x nearest decimation (`img[::2, ::2]`) over the (-3, -2)
-    axes, spelled as one-hot MXU matmuls on TPU: a raw strided slice
-    forces a relayout copy there (measured +6.7 ms/frame across SIFT's
-    four octave handoffs @1080p — stride 9.9 ms vs matmul 4.0 ms for the
-    whole stack chain). Values are bit-exact (x * 1.0 sums of single
-    terms). CPU keeps the stride."""
+    """2x nearest decimation (`img[::2, ::2]` sample selection) over the
+    (-3, -2) axes, spelled as one-hot MXU matmuls on TPU: a raw strided
+    slice forces a relayout copy there (measured +6.7 ms/frame across
+    SIFT's four octave handoffs @1080p — stride 9.9 ms vs matmul 4.0 ms
+    for the whole stack chain). Sample SELECTION is exact; VALUES pass
+    through the stencil precision (default Precision.HIGH = bf16_3x,
+    ~2^-16 relative — far below the DoG contrast gate that consumes
+    them; PISLAM_STENCIL_PRECISION=highest makes them exact). The CPU
+    path keeps the bit-exact stride."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]

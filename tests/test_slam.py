@@ -222,8 +222,13 @@ def test_slam_track_scale():
     assert len(steps) > 6
     ratio = np.asarray(steps) / np.median(steps)
     assert np.all(np.abs(ratio - 1.0) < 0.35), ratio
-    # the full-res color frame still reaches the mosaic queue
-    assert slam.trans_queue.qsize() > 0 or slam.frames_tracked == 0
+    # the mosaic queue must receive FULL-RESOLUTION frames (for gray
+    # input the pre-downsample image is stashed as frame.mosaic_image;
+    # feeding the half-res track frame would render a wrong-scale mosaic
+    # under the full-res camera)
+    assert slam.trans_queue.qsize() > 0
+    img0, _pose0 = slam.trans_queue.try_consume()
+    assert img0.shape[:2] == (480, 640), img0.shape
 
 
 def test_slam_sift_path():
