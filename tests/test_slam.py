@@ -207,6 +207,9 @@ def test_slam_track_scale():
     cfg.set("SLAM.BAObsCap", "4096")
     cfg.set("SLAM.LocalBAIters", "8")
     slam = create_slam(cfg, cam)
+    from pislamfusion_tpu.core.messenger import DataTrans
+    slam.trans_queue = DataTrans(30)   # private queue: the global one
+    # carries frames from other tests in this pytest process
     est = []
     for i, p in enumerate(poses):
         fr = slam.track(render_view(ground, cam, p), float(i))
