@@ -814,12 +814,17 @@ class Mapper:
         new_poses, new_points, cost = ba.optimize(
             prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
             huber_delta=float(np.sqrt(5.991)) * sigma,
-            # warm-started incremental BA usually converges well under the
-            # cap; stop on <0.01% relative improvement after >= 2 accepted
-            # steps (g2o's terminate gate; 1e-3 with no minimum froze BA
-            # at ~1 iteration/KF and the loop-closure circuit stopped
-            # closing — see ba.optimize docstring)
-            tol=self.cfg.get_double("SLAM.LocalBATol", 1e-4))
+            # SLAM.LocalBATol > 0 enables relative-improvement early
+            # termination (g2o's terminate gate). Default 0 = the full
+            # fixed-length LM: the round-2 default of 1e-4 measurably
+            # under-converged GPS-prior windows (geo-ATE 2.95 m vs
+            # <2 m on the everything-on soak survey) and even 1e-5
+            # still did — GPS priors pull the window in many small
+            # relative steps, so ANY relative gate stops them early.
+            # The knob stays for throughput-sensitive configs; the cost
+            # of 0 is bounded by SLAM.LocalBAIters (one device program
+            # either way, ~10 ms per LM step)
+            tol=self.cfg.get_double("SLAM.LocalBATol", 0.0))
         # one fetch for both results (a bare np.asarray each is a
         # blocking tunnel round trip per array)
         new_poses, new_points = jax.device_get((new_poses, new_points))
