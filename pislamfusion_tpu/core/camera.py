@@ -78,6 +78,23 @@ class Camera:
                                    fx=self.fx * s, fy=self.fy * s,
                                    cx=self.cx * s, cy=self.cy * s)
 
+    def downsampled(self, s: int) -> "Camera":
+        """Camera for an s*s box-downsampled image.
+
+        Downsampled pixel j covers original pixels [j*s, j*s+s), so its
+        center sits at original coordinate j*s + (s-1)/2 -- the principal
+        point maps to (c - (s-1)/2)/s, not c/s.  `dataclasses.replace`
+        preserves the subclass: ATAN/OpenCV distortion acts on NORMALIZED
+        coordinates, which intrinsic scaling leaves untouched, so the
+        coefficients carry over unchanged (OCAM distorts in pixel space
+        and overrides this)."""
+        off = (s - 1) / 2.0
+        return dataclasses.replace(self, width=int(self.width // s),
+                                   height=int(self.height // s),
+                                   fx=self.fx / s, fy=self.fy / s,
+                                   cx=(self.cx - off) / s,
+                                   cy=(self.cy - off) / s)
+
     # -- distortion hooks (identity for pinhole) -----------------------------
     def _distort(self, xn, yn):
         return xn, yn
@@ -250,6 +267,20 @@ class CameraOCAM(Camera):
         height, width = int(rows[4][0]), int(rows[4][1])
         return CameraOCAM(width=width, height=height, cx=yc, cy=xc,
                           pol=pol, invpol=invpol, c=c, d=d, e=e)
+
+    def downsampled(self, s: int) -> "CameraOCAM":
+        """OCAM distorts in PIXEL space, so the polynomials rescale with
+        the image: the sensor-plane radius r and components (xi, yp)
+        all shrink by s, so pol'(r') = pol(s*r')/s (coefficient a_k ->
+        a_k * s^(k-1)) keeps rays parallel, and invpol's output radius
+        divides by s (all coefficients / s)."""
+        off = (s - 1) / 2.0
+        return dataclasses.replace(
+            self, width=int(self.width // s), height=int(self.height // s),
+            cx=(self.cx - off) / s, cy=(self.cy - off) / s,
+            pol=tuple(a * float(s) ** (k - 1)
+                      for k, a in enumerate(self.pol)),
+            invpol=tuple(a / s for a in self.invpol))
 
     def project(self, p3d):
         """[..., 3] camera-frame points -> [..., 2] pixels

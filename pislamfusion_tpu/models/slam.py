@@ -302,11 +302,11 @@ class SLAM:
                 mosaic_full = gray       # full-res gray, pre-downsample
             gray = _box_downsample(gray, self._track_scale)
             if self._scaled_cam is None:
-                from ..core.camera import Camera
-                s = float(self._track_scale)
-                self._scaled_cam = Camera(
-                    int(cam.width // s), int(cam.height // s),
-                    cam.fx / s, cam.fy / s, cam.cx / s, cam.cy / s)
+                # downsampled() preserves the distortion model (ATAN /
+                # OpenCV coefficients act on normalized coords; OCAM
+                # rescales its pixel-space polynomials) and applies the
+                # (s-1)/2 box-downsample pixel-center offset to cx/cy.
+                self._scaled_cam = cam.downsampled(self._track_scale)
             cam = self._scaled_cam
         frame = Frame(id=self.map.get_fid(), timestamp=timestamp,
                       camera=cam, image=gray, color=color)

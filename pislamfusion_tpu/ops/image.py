@@ -245,6 +245,16 @@ def _stencil_gates() -> dict:
             gates = {"sandwich": False, "stack": True}
             marker = os.path.join(os.path.dirname(__file__), "..", "..",
                                   ".pallas_stencil_ok")
+            if not os.path.isfile(marker) and use_tpu_pallas():
+                # default-ON without an on-chip validation record: the
+                # 19.7x win was measured on one chip generation; flag it
+                # so a different TPU knows to run validate_pallas.py.
+                from ..core.glog import logger
+                logger.warning(
+                    "Pallas stack kernel enabled from in-repo defaults "
+                    "without on-chip validation (.pallas_stencil_ok "
+                    "missing) - run scripts/validate_pallas.py once on "
+                    "this TPU, or set PISLAM_PALLAS_STENCIL=0 to disable")
             if os.path.isfile(marker):
                 try:
                     import json

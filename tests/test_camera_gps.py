@@ -46,6 +46,52 @@ def test_camera_scaled():
     assert cam.width == 320 and abs(cam.fx - 250.0) < 1e-9
 
 
+def test_camera_downsampled_preserves_model(rng):
+    """downsampled(s) must keep the distortion model (SLAM.TrackScale
+    path) and map pixels with the s*s box convention: downsampled pixel
+    j has its center at original coordinate j*s + (s-1)/2, so a 3D point
+    projecting to p full-res projects to (p - (s-1)/2)/s downsampled."""
+    s = 2
+    cams = [
+        Camera(640, 480, 500.0, 500.0, 321.0, 239.0),
+        CameraATAN(640, 480, 500.0, 500.0, 321.0, 239.0, d=0.9),
+        CameraOpenCV(640, 480, 500.0, 500.0, 321.0, 239.0,
+                     k1=0.1, k2=-0.05, p1=0.001, p2=-0.001, k3=0.01),
+    ]
+    p3d = np.asarray(rng.uniform(-0.4, 0.4, size=(64, 3)), np.float32)
+    p3d[:, 2] = 1.0
+    for cam in cams:
+        small = cam.downsampled(s)
+        assert type(small) is type(cam)
+        if isinstance(cam, CameraOpenCV):
+            assert small.k1 == cam.k1 and small.p2 == cam.p2
+        pix_full = np.asarray(cam.project(p3d))
+        pix_small = np.asarray(small.project(p3d))
+        np.testing.assert_allclose(
+            pix_small, (pix_full - (s - 1) / 2.0) / s, atol=1e-4)
+
+
+def test_camera_downsampled_ocam():
+    from test_ocam import _synthetic_ocam
+    s = 2
+    cam = _synthetic_ocam()
+    small = cam.downsampled(s)
+    rng = np.random.default_rng(3)
+    ang = rng.uniform(0, 2 * np.pi, 100)
+    rad = rng.uniform(5.0, 320.0, 100)
+    px = np.stack([cam.cx + rad * np.cos(ang),
+                   cam.cy + rad * np.sin(ang)], -1)
+    rays = np.asarray(cam.unproject(px))
+    pix_full = np.asarray(cam.project(rays))
+    pix_small = np.asarray(small.project(rays))
+    np.testing.assert_allclose(
+        pix_small, (pix_full - (s - 1) / 2.0) / s, atol=2e-2)
+    # unprojection through the rescaled pol stays parallel to full-res
+    rays_small = np.asarray(small.unproject((px - (s - 1) / 2.0) / s))
+    cos = np.sum(rays_small * rays, -1)
+    assert cos.min() > 1.0 - 1e-5
+
+
 def test_ecef_roundtrip():
     lon, lat, alt = 108.9, 34.2, 400.0  # near Xi'an (the reference datasets)
     xyz = gps.lla_to_ecef(lon, lat, alt)
