@@ -131,6 +131,22 @@ class OrbParams:
 
 
 _EXTRACT_ON: bool | None = None
+_FLAT_ON: bool | None = None
+
+
+def _flat_gate() -> bool:
+    """Gate for the flat (cross-level fused) extraction front end:
+    PISLAM_ORB_FLAT=0/1 overrides; default ON where the MXU stencil path
+    runs (TPU). Process-lifetime cache — the decision is baked into jit
+    traces like the other extraction gates."""
+    global _FLAT_ON
+    if _FLAT_ON is None:
+        env = os.environ.get("PISLAM_ORB_FLAT", "")
+        if env in ("0", "1"):
+            _FLAT_ON = env == "1"
+        else:
+            _FLAT_ON = im._use_mxu_stencil()
+    return _FLAT_ON
 
 
 def _extract_kernels_on() -> bool:
@@ -273,6 +289,229 @@ def _topk_flat(flat_v, flat_y, flat_x, k: int):
 def _per_cell_quota(shape, k: int, cell: int) -> int:
     ncy, ncx = -(-shape[0] // cell), -(-shape[1] // cell)
     return max(1, min(cell * cell, int(np.ceil(2.0 * k / (ncy * ncx)))))
+
+
+# ---------------------------------------------------------------------------
+# Flat extraction front end: the whole pyramid + FAST + NMS + selection as
+# ONE short cross-level XLA program.
+#
+# The chained formulation above runs 8 SERIAL resizes (level l waits on
+# level l-1) and then 8 per-level score/select op groups — measured
+# ~2.5 ms/frame at 1080p dominated by fixed per-op scheduling, not
+# arithmetic (BASELINE.md "Single-chip ceiling walk"). Here instead:
+#   * every level is computed DIRECTLY from level 0 by one pair of banded
+#     matmuls whose matrices are the float64-composed product of the
+#     per-step bilinear matrices (mathematically identical to the chain,
+#     one bf16 rounding instead of seven) — 7 independent MXU ops with no
+#     serial dependency, emitted straight into the packed gather layout
+#     (edge-clamp folded into the matrices like pyramid_pallas does);
+#   * FAST score + NMS + threshold/border masks + per-cell winners run
+#     ONCE over the packed stack (cell-aligned level interiors), so the
+#     ~40-op score tree executes once instead of 8 times;
+#   * per-level top-k becomes ONE batched lax.top_k over [n_levels, cells]
+#     with static quota masks.
+# Semantics match select_keypoints' per_cell==1 path (same masks, same
+# row-major-first tie order, zero cells index their first pixel); the
+# fall-back chain above remains for shapes/params outside this regime.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _FlatPlan:
+    shapes: tuple          # ((lh, lw), ...) per level
+    bases: tuple           # packed row base of each level block
+    block_rows: tuple      # rows per level block (cell multiples)
+    wp: int                # packed lane count (cell multiple)
+    cell: int              # selection cell == top row pad
+    pad_left: int          # lane pad before each level's interior: 128
+    #                        when cell divides 128 (level views slice at
+    #                        a lane-tile boundary -> no relayout copy),
+    #                        else cell
+    total_rows: int
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _flat_plan(h: int, w: int, n_levels: int, scale_factor: float,
+               cell: int) -> _FlatPlan | None:
+    """Packed layout: each level block is [cell + ceil(lh+r, cell), wp]
+    with the level's pixels at rows [base+cell, base+cell+lh), lanes
+    [cell, cell+lw) — interiors cell-aligned (cell winners reshape in one
+    op) AND surrounded by >= _GATHER_R edge-clamped context (the patch
+    gatherer reads the same buffer)."""
+    if cell < _GATHER_R or cell % 8:
+        return None
+    shapes = []
+    for lvl in range(n_levels):
+        s = scale_factor ** lvl
+        shapes.append((max(1, int(round(h / s))) if lvl else h,
+                       max(1, int(round(w / s))) if lvl else w))
+    # block/lane alignment: cell for the winner reshape, 128 when cell
+    # divides 128 so the Pallas flat-pyramid kernel's tiles line up
+    # (extra rows/lanes are edge-clamped replicas the masks ignore)
+    align = 128 if 128 % cell == 0 else cell
+    pad_left = 128 if align == 128 else cell
+    wp = _ceil_to(pad_left + w + _GATHER_R, align)
+    bases, blocks, rows = [], [], 0
+    for lh, lw in shapes:
+        blocks.append(_ceil_to(cell + lh + _GATHER_R, align))
+        bases.append(rows)
+        rows += blocks[-1]
+    return _FlatPlan(tuple(shapes), tuple(bases), tuple(blocks), wp,
+                     cell, pad_left, rows)
+
+
+@functools.lru_cache(maxsize=16)
+def _flat_matrices(h: int, w: int, n_levels: int, scale_factor: float,
+                   cell: int):
+    """Per-level (row [block_rows_l, h], col [wp, w]) float32 matrices:
+    the composed bilinear chain with the block's edge-clamp pad folded
+    in. Level 0 is None (a plain edge pad is exact f32). Col rows beyond
+    the level's lw + _GATHER_R context are zero."""
+    plan = _flat_plan(h, w, n_levels, scale_factor, cell)
+    from ..image import _resize_matrix
+    rowacc = np.eye(h, dtype=np.float64)
+    colacc = np.eye(w, dtype=np.float64)
+    mats = [None]
+    for lvl in range(1, n_levels):
+        (ph, pw), (lh, lw) = plan.shapes[lvl - 1], plan.shapes[lvl]
+        rowacc = np.asarray(_resize_matrix(ph, lh), np.float64) @ rowacc
+        colacc = np.asarray(_resize_matrix(pw, lw), np.float64) @ colacc
+        mr = np.zeros((plan.block_rows[lvl], h), np.float64)
+        for t in range(plan.block_rows[lvl]):
+            mr[t] = rowacc[min(max(t - cell, 0), lh - 1)]
+        mc = np.zeros((plan.wp, w), np.float64)
+        for t in range(plan.pad_left + lw + _GATHER_R):
+            mc[t] = colacc[min(max(t - plan.pad_left, 0), lw - 1)]
+        mats.append((mr.astype(np.float32), mc.astype(np.float32)))
+    return tuple(mats)
+
+
+@functools.lru_cache(maxsize=16)
+def _flat_row_tables(h: int, w: int, n_levels: int, scale_factor: float,
+                     cell: int):
+    """Static per-packed-row vectors for the interior mask: level-local y
+    (huge negative outside any interior) and the level's (lh, lw)."""
+    plan = _flat_plan(h, w, n_levels, scale_factor, cell)
+    y_loc = np.full(plan.total_rows, -(1 << 20), np.int32)
+    row_lh = np.zeros(plan.total_rows, np.int32)
+    row_lw = np.zeros(plan.total_rows, np.int32)
+    for lvl, ((lh, lw), base) in enumerate(zip(plan.shapes, plan.bases)):
+        r0 = base + cell
+        y_loc[r0:r0 + lh] = np.arange(lh)
+        row_lh[r0:r0 + lh] = lh
+        row_lw[r0:r0 + lh] = lw
+    return y_loc, row_lh, row_lw
+
+
+def _flat_feasible(h: int, w: int, params: "OrbParams", quotas) -> bool:
+    plan = _flat_plan(h, w, params.n_levels, params.scale_factor,
+                      params.cell)
+    if plan is None:
+        return False
+    # the packed cell-winner formulation implements per_cell == 1 only
+    # (true at production sizes; tiny test shapes fall back to the chain)
+    return all(_per_cell_quota(s, max(q, 1), params.cell) == 1
+               for s, q in zip(plan.shapes, quotas))
+
+
+def _detect_flat(img, params: "OrbParams", quotas):
+    """Flat front end. Returns (outs dict, packed [R, wp] f32, pxy [N0, 2]
+    packed-coordinate patch centers), N0 = sum of level quotas."""
+    H, W = img.shape
+    n_levels, cell = params.n_levels, params.cell
+    plan = _flat_plan(H, W, n_levels, params.scale_factor, cell)
+    mats = _flat_matrices(H, W, n_levels, params.scale_factor, cell)
+    pl_ = plan.pad_left
+    chain_dt = jnp.bfloat16 if im._use_mxu_stencil() else jnp.float32
+    src = img.astype(chain_dt)[..., None]
+    blocks = [jnp.pad(img, ((cell, plan.block_rows[0] - H - cell),
+                            (pl_, plan.wp - W - pl_)), mode="edge")]
+    for lvl in range(1, n_levels):
+        mr, mc = mats[lvl]
+        blk = im._matmul_sep(src, mr, mc)[..., 0]
+        blocks.append(blk.astype(jnp.float32))
+    packed = jnp.concatenate(blocks, 0)              # [R, wp] f32
+
+    # FAST score once over the stack (global 3px border zeroing + lane
+    # wraps all fall inside the per-level 16px masks below)
+    score = fast_score_map(packed)
+    y_loc, row_lh, row_lw = _flat_row_tables(H, W, n_levels,
+                                             params.scale_factor, cell)
+    yv = jnp.asarray(y_loc)[:, None]
+    lhv = jnp.asarray(row_lh)[:, None]
+    lwv = jnp.asarray(row_lw)[:, None]
+    b = EDGE_THRESHOLD
+    lanes = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    ok = ((yv >= b) & (yv < lhv - b)
+          & (lanes >= pl_ + b) & (lanes < pl_ + lwv - b))
+    s = jnp.where(ok & (score > params.min_threshold), score, 0.0)
+    s = _nms3(s)
+
+    # per-cell (max, first-linear-index) over the whole stack
+    R, Wp = s.shape
+    nry, ncx_t = R // cell, Wp // cell
+    cells4 = s.reshape(nry, cell, ncx_t, cell)
+    cv = jnp.max(cells4, axis=(1, 3))                # [nry, ncx_t]
+    up = jnp.broadcast_to(cv[:, None, :, None],
+                          (nry, cell, ncx_t, cell)).reshape(R, Wp)
+    lin = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) * Wp
+           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+    big = jnp.int32(R * Wp)
+    ci = jnp.min(jnp.where(s == up, lin, big).reshape(
+        nry, cell, ncx_t, cell), axis=(1, 3))        # [nry, ncx_t]
+
+    # batched per-level top-k with static quota masks
+    ks = [max(q, 1) for q in quotas]
+    kmax = max(ks)
+    ccounts = [(-(-lh // cell)) * (-(-lw // cell))
+               for lh, lw in plan.shapes]
+    cmax = max(ccounts)
+    vrows, irows = [], []
+    cc0 = pl_ // cell
+    for lvl, (lh, lw) in enumerate(plan.shapes):
+        rc0 = plan.bases[lvl] // cell + 1
+        ncy, ncx = -(-lh // cell), -(-lw // cell)
+        vs = cv[rc0:rc0 + ncy, cc0:cc0 + ncx].reshape(-1)
+        is_ = ci[rc0:rc0 + ncy, cc0:cc0 + ncx].reshape(-1)
+        vrows.append(jnp.pad(vs, (0, cmax - vs.shape[0])))
+        irows.append(jnp.pad(is_, (0, cmax - is_.shape[0])))
+    vall = jnp.stack(vrows)                          # [L, cmax]
+    iall = jnp.stack(irows)
+    tv, tidx = jax.lax.top_k(vall, kmax)             # [L, kmax]
+    tlin = jnp.take_along_axis(iall, tidx, axis=1)
+
+    # static flatten: level-major, slot < quota_l (same order as the
+    # chained path's per-level concat)
+    sel = np.concatenate([lvl * kmax + np.arange(k)
+                          for lvl, k in enumerate(ks)]).astype(np.int32)
+    v_flat = jnp.take(tv.reshape(-1), jnp.asarray(sel))
+    lin_w = jnp.take(tlin.reshape(-1), jnp.asarray(sel))
+    px = lin_w % Wp
+    py = lin_w // Wp
+    base_v = np.concatenate([np.full(k, plan.bases[lvl], np.int32)
+                             for lvl, k in enumerate(ks)])
+    scale_v = np.concatenate([np.full(k, params.scale_factor ** lvl,
+                                      np.float32)
+                              for lvl, k in enumerate(ks)])
+    oct_v = np.concatenate([np.full(k, lvl, np.int32)
+                            for lvl, k in enumerate(ks)])
+    x_loc = px - pl_
+    y_loc_w = py - jnp.asarray(base_v) - cell
+    sc = jnp.asarray(scale_v)
+    outs = {
+        "xy": jnp.stack([x_loc, y_loc_w], -1).astype(jnp.float32)
+        * sc[:, None],
+        "response": v_flat,
+        "octave": jnp.asarray(oct_v),
+        "size": jnp.asarray(PATCH_SIZE * scale_v.astype(np.float32)),
+        "valid": v_flat > 0,
+    }
+    pxy = jnp.stack([px, py], -1).astype(jnp.int32)
+    return outs, packed, pxy
 
 
 def _gather_patches(img, xy_center, radius: int):
@@ -488,8 +727,8 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     img = img.astype(jnp.float32)
     H, W = img.shape
     quotas = params.features_per_level()
-    outs = {k: [] for k in ("xy", "response", "octave", "size", "valid")}
     r = _GATHER_R
+    outs = {k: [] for k in ("xy", "response", "octave", "size", "valid")}
     blocks, block_xy, row_off = [], [], 0
     wmax = W + 2 * r
     # build the pyramid first so selection can run as ONE fused Pallas
@@ -498,7 +737,20 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     # On TPU the resize chain + edge-pad + packing all happen inside ONE
     # pyramid kernel; level views are cheap slices of its output.
     pyr_plan = None
-    if im.use_tpu_pallas() and _extract_kernels_on():
+    flat_plan = None
+    if im.use_tpu_pallas() and _flat_gate():
+        from . import flatpyr_pallas as fpp
+        if fpp.flat_pyramid_available(H, W, params.n_levels,
+                                      params.scale_factor, params.cell):
+            # parallel flat-pyramid kernel: every level from level 0 via
+            # composed matrices, one program launch (vs the 8-step
+            # serial chain below). Level views slice at lane-tile
+            # boundaries (pad_left=128) — no relayout copies.
+            pyr_packed = fpp.build_flat_pyramid(
+                img, params.n_levels, params.scale_factor, params.cell)
+            flat_plan = _flat_plan(H, W, params.n_levels,
+                                   params.scale_factor, params.cell)
+    if flat_plan is None and im.use_tpu_pallas() and _extract_kernels_on():
         from . import pyramid_pallas as pp
         if pp.pyramid_available(H, W, params.n_levels,
                                 params.scale_factor, r):
@@ -506,7 +758,13 @@ def orb_detect(img, params: OrbParams = OrbParams()):
                 img, params.n_levels, params.scale_factor, r)
             pyr_plan = pp.pyramid_plan(H, W, params.n_levels,
                                        params.scale_factor, r)
-    if pyr_plan is not None:
+    if flat_plan is not None:
+        cl, pl_ = flat_plan.cell, flat_plan.pad_left
+        level_imgs = [
+            jax.lax.slice(pyr_packed, (b + cl, pl_),
+                          (b + cl + lh, pl_ + lw))
+            for b, (lh, lw) in zip(flat_plan.bases, flat_plan.shapes)]
+    elif pyr_plan is not None:
         level_imgs = [
             jax.lax.slice(pyr_packed, (b + r, r), (b + r + lh, r + lw))
             for b, (lh, lw) in zip(pyr_plan.bases, pyr_plan.shapes)]
@@ -563,26 +821,41 @@ def orb_detect(img, params: OrbParams = OrbParams()):
         # blurring the gathered patch itself (see _GATHER_R note above).
         # With the pyramid kernel the packed buffer already exists — only
         # the per-level center offsets are needed.
-        if pyr_plan is not None:
-            row_off = pyr_plan.bases[lvl]
+        if flat_plan is not None:
+            # flat layout: level pixel (x, y) sits at packed
+            # (x + pad_left, bases[lvl] + cell + y)
+            block_xy.append(xy + jnp.asarray(
+                [[flat_plan.pad_left, flat_plan.bases[lvl]
+                  + flat_plan.cell]], jnp.int32))
         else:
-            blk = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
-            blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1])))
-            blocks.append(blk)
-        # packed-image centers: +r for the block's own edge pad (the
-        # gather treats centers as origins into an r-padded image)
-        block_xy.append(xy + jnp.asarray([[r, row_off + r]], jnp.int32))
-        if pyr_plan is None:
-            row_off += blk.shape[0]
+            if pyr_plan is not None:
+                row_off = pyr_plan.bases[lvl]
+            else:
+                blk = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
+                blk = jnp.pad(blk, ((0, 0), (0, wmax - blk.shape[1])))
+                blocks.append(blk)
+            # packed-image centers: +r for the block's own edge pad (the
+            # gather treats centers as origins into an r-padded image)
+            block_xy.append(xy + jnp.asarray([[r, row_off + r]],
+                                             jnp.int32))
+            if pyr_plan is None:
+                row_off += blk.shape[0]
         outs["xy"].append(xy.astype(jnp.float32) * scale)
         outs["response"].append(resp)
         outs["octave"].append(jnp.full((k,), lvl, jnp.int32))
         outs["size"].append(jnp.full((k,), PATCH_SIZE * scale, jnp.float32))
         outs["valid"].append(valid)
     feats = {kk: jnp.concatenate(v, 0) for kk, v in outs.items()}
-    packed = pyr_packed if pyr_plan is not None \
+    packed = pyr_packed if (pyr_plan is not None or flat_plan is not None) \
         else jnp.concatenate(blocks, 0)
     pxy = jnp.concatenate(block_xy, 0)
+    return _descriptor_tail(feats, packed, pxy, params)
+
+
+def _descriptor_tail(feats, packed, pxy, params: OrbParams):
+    """Shared back end: patch gather over the packed pyramid, IC-angle,
+    blur + BRIEF, strongest-first truncation to n_features."""
+    r = _GATHER_R
     if im.use_tpu_pallas():
         from .patchgather import gather_patches_pallas
         pat = gather_patches_pallas(packed, pxy, r)     # [N, G, G]
