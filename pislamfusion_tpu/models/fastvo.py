@@ -155,9 +155,19 @@ class FastVO:
             max_dist=80.0 if self.detector == "orb" else 0.2,
             window_mask=wmask)
         tgt = jnp.where(ok, idx, N)
-        p3d = jnp.zeros((N, 3)).at[tgt].set(prev_p3d, mode="drop")
-        wgt = jnp.zeros((N,)).at[tgt].set(ok.astype(jnp.float32),
-                                          mode="drop")
+        # scatter-free permutation: TPU scatters serialize on the scalar
+        # core; a [N, N] one-hot contraction runs on the MXU instead.
+        # onehot[i, j] = 1 iff prev feature i matched new feature j, so
+        # p3d = onehot^T @ prev_p3d and wgt = onehot^T @ ok.
+        onehot = (tgt[:, None] == jnp.arange(N)[None, :]).astype(
+            jnp.float32)
+        p3d = jax.lax.dot_general(
+            onehot, prev_p3d, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        wgt = jax.lax.dot_general(
+            onehot, ok.astype(jnp.float32)[:, None],
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)[:, 0]
         rays_xy = jnp.stack([(feats["xy"][:, 0] - cx) / fx,
                              (feats["xy"][:, 1] - cy) / fy], -1)
         T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt, iters=8,
@@ -174,20 +184,28 @@ class FastVO:
         scan measured ~12% SLOWER on v5e — streaming one frame at a time
         through the scan keeps intermediates cache-resident.)"""
         rgb = inputs
+        if jnp.issubdtype(rgb.dtype, jnp.integer):
+            # uint8-staged frames (4x less HBM + tunnel than f32): cast
+            # on device, fused into the first consumers
+            rgb = rgb.astype(jnp.float32)
         tcarry, (pose_new, n_match) = self._track_step(carry[:5], rgb)
         c_lap, c_w = self._feed(pose_new, rgb, carry[5], carry[6])
         return tcarry + (c_lap, c_w), (pose_new, n_match)
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4))
     def _process(self, frames, pose0, c_lap, c_w):
-        first = frames[0]
+        first = frames[0].astype(jnp.float32)
         gray0 = im.rgb_to_gray(first) if first.ndim == 3 else first
         f0 = self._detect(gray0)
         p3d0 = self._plane_points(f0["xy"], pose0)
         # motion model starts at rest: prev2 == prev == pose0
         carry = (f0["desc"], f0["valid"], p3d0, pose0, pose0, c_lap, c_w)
         carry, (poses, n_match) = jax.lax.scan(self._step, carry, frames)
-        return carry[5], carry[6], poses, n_match
+        # pack poses + n_match into ONE array: every device_get leaf is a
+        # separate ~28 ms tunnel round trip on this backend
+        out = jnp.concatenate(
+            [poses, n_match.astype(jnp.float32)[:, None]], -1)
+        return carry[5], carry[6], out
 
     # ------------------------------------------------------------------
     def process(self, frames, pose0) -> Tuple[np.ndarray, np.ndarray]:
@@ -197,10 +215,10 @@ class FastVO:
         (poses [K, 7], n_matches [K]); the mosaic accumulates in place."""
         frames = jnp.asarray(frames)
         pose0 = jnp.asarray(pose0, jnp.float32)
-        self.canvas_lap, self.canvas_w, poses, n_match = self._process(
+        self.canvas_lap, self.canvas_w, packed = self._process(
             frames, pose0, self.canvas_lap, self.canvas_w)
-        out = jax.device_get((poses, n_match))
-        return out[0], out[1]
+        out = jax.device_get(packed)          # ONE fetch round trip
+        return out[:, :7], out[:, 7].astype(np.int32)
 
     def blended(self, bg: float = 255.0):
         """Reconstructed mosaic + coverage mask (host numpy)."""
