@@ -262,3 +262,41 @@ def test_reference_gbow_resave_reloads():
     assert v2.size() == voc.size()
     np.testing.assert_array_equal(v2.node_desc, voc.node_desc)
     np.testing.assert_allclose(v2.node_weight, voc.node_weight)
+
+
+def test_fixture_regeneration_guard(tmp_path):
+    """Regeneration guard (VERDICT r3 item 9): when g++ and the
+    reference checkout are present, scripts/build_golden_fixtures.sh
+    must still compile native/golden_writer.cpp against the reference's
+    own headers and emit byte-identical fixtures. Catches bit-rot in
+    the writer or the headers at CI time instead of when a human next
+    reruns the script."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "build_golden_fixtures.sh")
+    ref = os.environ.get("REFERENCE_ROOT", "/root/reference")
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ on this box")
+    if not os.path.isdir(os.path.join(ref, "GSLAM")):
+        pytest.skip("reference checkout not present")
+    out = tmp_path / "golden"
+    env = dict(os.environ, REFERENCE_ROOT=ref)
+    # run the script with OUT redirected into the tmpdir via a wrapper
+    # (the script derives OUT from its repo location, so copy it)
+    wrapper = tmp_path / "build.sh"
+    body = open(script).read().replace(
+        'OUT="$REPO/tests/data/golden"', f'OUT="{out}"').replace(
+        'REPO="$(cd "$(dirname "$0")/.." && pwd)"', f'REPO="{repo}"')
+    wrapper.write_text(body)
+    subprocess.run(["sh", str(wrapper)], check=True, env=env,
+                   capture_output=True, timeout=300)
+    for name in ("ref_map.maphash", "ref_vocab_orb.gbow",
+                 "ref_vocab_sift.gbow", "ref_math_expect.txt",
+                 "ref_vocab_orb_expect.txt", "ref_vocab_sift_expect.txt"):
+        fresh = (out / name).read_bytes()
+        committed = open(os.path.join(GOLDEN, name), "rb").read()
+        assert fresh == committed, (
+            f"{name}: freshly emitted fixture differs from the committed "
+            "one - the writer or the reference headers changed")
