@@ -200,6 +200,179 @@ def run_slam(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
     return slam, fusion
 
 
+def run_survey(cfg: Svar, dataset_paths: List[str], out_dir: str = "."):
+    """Act=Survey: dataset -> batched FastVO (single chip) or the
+    segment-parallel dist_vo engine (multi-device) -> result.png +
+    trajectory.txt + optional geo-tiles.
+
+    The batch survey mode the reference's architecture cannot express
+    (its closest role: Map2DFusion.cpp:153-248 TestMap2D playback, which
+    needs known poses; here poses come from the one-program VO). GPS
+    fixes anchor the plane frame and, on the multi-device path, each
+    segment (drift correction on by default when anchors exist).
+
+    Knobs: Survey.MaxFrames?=0 (all), Survey.Height?=0 (m above ground
+    when frames carry no height), Survey.SegLen?=auto, Survey.Mesh?=0
+    (0 = all devices), Survey.NFeature?=1000, Map2D.Scale?=0.5.
+    """
+    import numpy as np
+    if not dataset_paths:
+        raise SystemExit("no dataset given (pass e.g. survey.npudronemap)")
+    ds = open_dataset(dataset_paths[0])
+    if ds is None or not ds.is_opened():
+        raise SystemExit(f"could not open dataset {dataset_paths[0]}")
+    for k in ds.cfg.keys():
+        cfg.insert(k, ds.cfg.get(k), overwrite=False)
+    cam = ds.camera
+    if cam is None:
+        raise SystemExit("dataset has no camera calibration")
+
+    from .core import gps as gpsmod
+    from .models.fastvo import FastVO
+    from .models.map2d import _write_png
+    from .ops import mosaic as M
+
+    max_frames = cfg.get_int("Survey.MaxFrames", 0)
+    raws = []
+    gps_track = gpsmod.GPSArray()     # interleaved GPSFrame records
+    while True:
+        fr = ds.grab_frame(load=False)
+        if fr is None:
+            break
+        if fr.is_gps_only:
+            if fr.gps_lla is not None:
+                gps_track.add(fr.timestamp, *fr.gps_lla)
+            continue
+        raws.append(fr)
+        if max_frames and len(raws) >= max_frames:
+            break
+    if len(raws) < 2:
+        raise SystemExit("survey needs at least 2 image frames")
+    if len(gps_track):
+        # associate interleaved fixes to image frames by timestamp
+        # (DatasetNPUDroneMap's Unified GPS/mono interleave)
+        ts_arr, _ = gps_track._freeze()
+        for fr in raws:
+            if fr.gps_lla is None:
+                t = min(max(fr.timestamp, float(ts_arr[0])),
+                        float(ts_arr[-1]))
+                lla = gps_track.at(t)
+                if lla is not None:
+                    fr.gps_lla = np.asarray(lla, np.float64)
+
+    # plane-frame anchors from GPS when present (ENU at the first fix;
+    # ground plane z=0 sits Survey.Height / height_ground below the cam)
+    local = None
+    positions = np.zeros((len(raws), 2), np.float64)
+    heights = np.zeros(len(raws), np.float64)
+    h_default = cfg.get_double("Survey.Height", 0.0)
+    have_gps = raws[0].gps_lla is not None
+    for i, fr in enumerate(raws):
+        if have_gps and fr.gps_lla is not None:
+            if local is None:
+                local = gpsmod.LocalFrame(*fr.gps_lla)
+                # set (not insert): dataset probing leaves an EMPTY
+                # "GPS.Origin" behind (Svar's get-with-default inserts
+                # the default, dataset.py:143), which would block an
+                # overwrite=False insert here
+                if not cfg.get_string("GPS.Origin", "").strip():
+                    cfg.set("GPS.Origin",
+                            " ".join(str(v) for v in fr.gps_lla))
+            enu = local.to_local(*fr.gps_lla)
+            positions[i] = enu[:2]
+        heights[i] = (fr.height_ground if fr.height_ground
+                      else (h_default or 1.0))
+    h_med = float(np.median(heights))
+    scale = cfg.get_double("Map2D.Scale", 0.5)
+    lp, _ = M.auto_resolution(cam, h_med, scale)
+    es = M.ELE_PIXELS * lp
+    fp_m = float(np.hypot(cam.width, cam.height)) / cam.fx * h_med
+    min_xy = positions.min(0) - 0.7 * fp_m
+    span = positions.max(0) - min_xy + 0.7 * fp_m
+    tiles = int(np.ceil(span.max() / es)) + 2
+    n_feat = cfg.get_int("Survey.NFeature",
+                         cfg.get_int("SLAM.nFeature", 1000))
+    vo = FastVO(cam, min_xy, tiles, lp, bands=cfg.get_int("Map2D.BandNum",
+                                                          5),
+                n_features=n_feat, window_radius=max(4.0 * es, 40.0))
+    print(f"survey: {len(raws)} frames, canvas {tiles}x{tiles} tiles, "
+          f"GSD {lp:.3f} m/px, median height {h_med:.1f} m")
+
+    frames = np.stack([fr.load_image() for fr in raws])
+    t0 = time.perf_counter()
+    import jax
+    n_dev = len(jax.devices())
+    mesh_n = cfg.get_int("Survey.Mesh", 0) or n_dev
+
+    def anchor_pose(i):
+        t = np.array([positions[i, 0], positions[i, 1], heights[i]],
+                     np.float64)
+        if raws[i].pyr is not None:
+            q = gpsmod.pyr_to_rotation(*raws[i].pyr)  # camera->ENU quat
+        else:
+            # nadir: 180deg about x maps camera +z onto -z (down at the
+            # z=0 ground plane), the synth_survey/bench convention
+            q = np.array([1.0, 0.0, 0.0, 0.0])
+        return np.concatenate([t, np.asarray(q, np.float64)]).astype(
+            np.float32)
+
+    if mesh_n > 1 and n_dev > 1:
+        from .parallel import make_mesh, dist_vo
+        seg_len = cfg.get_int("Survey.SegLen",
+                              max(4, -(-len(raws) // mesh_n) + 1))
+        segs, firsts = dist_vo.segments_from_frames(frames, seg_len,
+                                                    overlap=1)
+        anchors = np.stack([anchor_pose(s) for s in firsts])
+        mesh = make_mesh(jax.devices()[:mesh_n])
+        kw = dict(correct_drift=True, anchor_stride=seg_len - 1) \
+            if have_gps else {}
+        print(f"{segs.shape[0]} segments x {seg_len} over {mesh_n} "
+              f"devices" + (", drift-corrected" if kw else ""))
+        est_s, nm = dist_vo.process_survey(vo, segs, anchors, mesh, **kw)
+        est = np.zeros((len(raws), 7), np.float32)
+        n_match = np.zeros(len(raws), np.int64)
+        for i, s in enumerate(firsts):
+            take = min(seg_len, len(raws) - s)
+            est[s:s + take] = est_s[i][:take]
+            n_match[s:s + take] = nm[i][:take]
+    else:
+        est, n_match = vo.process(frames, anchor_pose(0))
+    dt = time.perf_counter() - t0
+    tracked = int((np.asarray(n_match)[1:] > 10).sum()) + 1
+    print(f"tracked {tracked}/{len(raws)} frames in {dt:.1f}s "
+          f"({len(raws) / max(dt, 1e-9):.1f} fps incl. compile)")
+
+    os.makedirs(out_dir, exist_ok=True)
+    traj_path = os.path.join(out_dir, "trajectory.txt")
+    with open(traj_path, "w") as f:
+        for fr, p in zip(raws, est):
+            f.write(f"{fr.timestamp:.6f} " +
+                    " ".join(f"{v:.6f}" for v in p) + "\n")
+    img, covered = vo.blended()
+    result_png = os.path.join(out_dir,
+                              cfg.get_string("Map.File2Save",
+                                             "result.png"))
+    saved = False
+    if covered.any():
+        _write_png(result_png, img.astype(np.uint8))
+        saved = True
+    tiles_dir = cfg.get_string("GeoTiles.Dir", "")
+    n_tiles = 0
+    if tiles_dir and cfg.get_string("GPS.Origin", "").strip():
+        from .io.exporters import export_geo_tiles
+        origin = [float(v) for v in
+                  cfg.get_string("GPS.Origin", "").split()]
+        plane = np.array([0, 0, 0, 0, 0, 0, 1], np.float64)
+        n_tiles = export_geo_tiles(
+            vo, origin, tiles_dir,
+            zoom=cfg.get_int("GeoTiles.Zoom", 19), plane_se3=plane,
+            datum=cfg.get_string("GeoTiles.Datum", "wgs84"))
+    print(f"outputs: {traj_path}"
+          + (f", {result_png}" if saved else ", nothing blended")
+          + (f", {n_tiles} geo-tiles" if n_tiles else ""))
+    return est, n_match, vo
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     from .core.jaxcache import enable_persistent_cache
     from .core.svar import svar
@@ -219,6 +392,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if act == "SLAM":
         run_slam(svar, positional,
                  out_dir=svar.get_string("Out.Dir", "."))
+        return 0
+    if act == "Survey":
+        run_survey(svar, positional,
+                   out_dir=svar.get_string("Out.Dir", "."))
         return 0
     if act == "TestMap2D":
         fusion = FusionSystem(svar)

@@ -132,12 +132,18 @@ class FastVO:
         Factored out of _step so the segment-parallel path
         (parallel/dist_vo.py) can run a track-only pass, bend the chains
         onto the GPS anchors, and feed with corrected poses."""
+        gray = im.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
+        feats = self._detect(gray)
+        return self._track_core(carry, feats)
+
+    def _track_core(self, carry, feats):
+        """Match + pose-LM given already-extracted features (the paired
+        step extracts two frames in one batched call, then runs this
+        serially per frame)."""
         cam, params = self.cam, self.params
         N = params.n_features
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
         prev_desc, prev_valid, prev_p3d, pose_prev2, pose_est = carry
-        gray = im.rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
-        feats = self._detect(gray)
         # constant-velocity prediction (the reference's motion model,
         # TrackerOpt::trackLastFrame): pose_pred = V * pose_{t-1} with
         # V = pose_{t-1} * pose_{t-2}^{-1} in world frame
@@ -192,6 +198,35 @@ class FastVO:
         c_lap, c_w = self._feed(pose_new, rgb, carry[5], carry[6])
         return tcarry + (c_lap, c_w), (pose_new, n_match)
 
+    def _step2(self, carry, inputs):
+        """Paired step: extract TWO frames in one batched call (halves
+        the fixed per-op cost of the extraction front end and gives the
+        scheduler independent work to overlap), then run the serial
+        match/LM/feed chain per frame. inputs: [2, H, W(,3)]."""
+        rgb2 = inputs
+        if jnp.issubdtype(rgb2.dtype, jnp.integer):
+            rgb2 = rgb2.astype(jnp.float32)
+        gray2 = im.rgb_to_gray(rgb2) if rgb2.ndim == 4 else rgb2
+        feats2 = orb.orb_detect_batch(gray2, self.params)
+        tcarry = carry[:5]
+        c_lap, c_w = carry[5], carry[6]
+        poses, nms = [], []
+        for b in range(2):
+            feats = {k: v[b] for k, v in feats2.items()}
+            tcarry, (pose_new, n_match) = self._track_core(tcarry, feats)
+            c_lap, c_w = self._feed(pose_new, rgb2[b], c_lap, c_w)
+            poses.append(pose_new)
+            nms.append(n_match)
+        return (tcarry + (c_lap, c_w),
+                (jnp.stack(poses), jnp.stack(nms)))
+
+    def _use_pair_step(self, frames) -> bool:
+        import os
+        if os.environ.get("PISLAM_PAIR_STEP", "") == "0":
+            return False
+        return (self.detector == "orb" and frames.shape[0] % 2 == 0
+                and frames.shape[0] >= 4 and im.use_tpu_pallas())
+
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4))
     def _process(self, frames, pose0, c_lap, c_w):
         first = frames[0].astype(jnp.float32)
@@ -200,7 +235,15 @@ class FastVO:
         p3d0 = self._plane_points(f0["xy"], pose0)
         # motion model starts at rest: prev2 == prev == pose0
         carry = (f0["desc"], f0["valid"], p3d0, pose0, pose0, c_lap, c_w)
-        carry, (poses, n_match) = jax.lax.scan(self._step, carry, frames)
+        if self._use_pair_step(frames):
+            K = frames.shape[0]
+            fp = frames.reshape((K // 2, 2) + frames.shape[1:])
+            carry, (poses, n_match) = jax.lax.scan(self._step2, carry, fp)
+            poses = poses.reshape(K, 7)
+            n_match = n_match.reshape(K)
+        else:
+            carry, (poses, n_match) = jax.lax.scan(self._step, carry,
+                                                   frames)
         # pack poses + n_match into ONE array: every device_get leaf is a
         # separate ~28 ms tunnel round trip on this backend
         out = jnp.concatenate(

@@ -117,39 +117,54 @@ def flat_pyramid_available(h: int, w: int, n_levels: int,
                                              "cell", "interpret"))
 def build_flat_pyramid(img, n_levels: int, scale_factor: float,
                        cell: int, interpret: bool = False):
-    """img: [H, W] float32. Returns packed [plan.total_rows, plan.wp]
-    float32 (orb._flat_plan layout). Check flat_pyramid_available first."""
+    """img: [H, W] (or [B, H, W]) float32. Returns the packed
+    [B * plan.total_rows, plan.wp] float32 buffer — frame f's blocks at
+    row offset f * plan.total_rows (orb._flat_plan layout per frame).
+    A batch rides through the SAME kernel with B* the tiles: per-frame
+    work is independent, so batching divides the per-launch overhead.
+    Check flat_pyramid_available first."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    h, w = img.shape
+    if img.ndim == 2:
+        img = img[None]
+    B, h, w = img.shape
     plan, a_blocks, s0s, dsts, lvl_of, bt, c0s = _tables(
         h, w, n_levels, scale_factor, cell)
     wp = plan.wp
     njl = wp // _BLK
-    n_tiles = a_blocks.shape[0]
+    n_tiles1 = a_blocks.shape[0]
+    if B > 1:
+        src_rows = plan.block_rows[0]
+        nblk = plan.total_rows // _BLK
+        s0s = np.concatenate([s0s + f * src_rows for f in range(B)])
+        dsts = np.concatenate([dsts + f * nblk for f in range(B)])
+        lvl_of = np.tile(lvl_of, B)
+    abidx = np.tile(np.arange(n_tiles1, dtype=np.int32), B)
+    n_tiles = n_tiles1 * B
     # bf16 operands: DEFAULT precision (Mosaic rejects the fp32
     # contract annotation on bf16 vectors); accumulation is f32 via
     # preferred_element_type
     hi = jax.lax.Precision.DEFAULT
 
-    # level-0 block: exact f32 edge pad, aliased into the output; the
-    # bf16 twin is the kernel's matmul source
+    # level-0 blocks: exact f32 edge pad, aliased into the output; the
+    # bf16 twins are the kernel's matmul source
     blk0 = jnp.pad(img.astype(jnp.float32),
-                   ((cell, plan.block_rows[0] - h - cell),
+                   ((0, 0), (cell, plan.block_rows[0] - h - cell),
                     (plan.pad_left, wp - w - plan.pad_left)), mode="edge")
+    zero_tail = jnp.zeros((plan.total_rows - plan.block_rows[0], wp),
+                          jnp.float32)
     init = jnp.concatenate(
-        [blk0, jnp.zeros((plan.total_rows - plan.block_rows[0], wp),
-                         jnp.float32)], 0)
-    src16 = blk0.astype(jnp.bfloat16)
+        sum(([blk0[f], zero_tail] for f in range(B)), []), 0)
+    src16 = blk0.reshape(B * plan.block_rows[0], wp).astype(jnp.bfloat16)
 
     # static per-level lane-window starts (Mosaic needs static VMEM
     # slices); resolved per tile via the level id scalar
     c0_st = tuple(tuple(int(c0s[l, j]) for j in range(njl))
                   for l in range(n_levels - 1))
 
-    def kernel(s0_ref, dst_ref, lvl_ref, a_ref, bt_ref, src_ref, io_ref,
-               out_ref, slab, obuf, sems):
+    def kernel(s0_ref, dst_ref, lvl_ref, ab_ref, a_ref, bt_ref, src_ref,
+               io_ref, out_ref, slab, obuf, sems):
         ti = pl.program_id(0)
 
         def issue_src(t, slot):
@@ -190,13 +205,14 @@ def build_flat_pyramid(img, n_levels: int, scale_factor: float,
         cpo.wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, _BLK, _RK), lambda i, *refs: (i, 0, 0),
+            pl.BlockSpec((1, _BLK, _RK),
+                         lambda i, s0, dst, lvl, ab: (ab[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, njl, _RK, _BLK),
-                         lambda i, s0, dst, lvl: (lvl[i], 0, 0, 0),
+                         lambda i, s0, dst, lvl, ab: (lvl[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),     # src16
             pl.BlockSpec(memory_space=pltpu.HBM),     # io alias
@@ -210,11 +226,12 @@ def build_flat_pyramid(img, n_levels: int, scale_factor: float,
               pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((plan.total_rows, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * plan.total_rows, wp),
+                                       jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},     # io input (3 prefetch + 3) -> out
+        input_output_aliases={7: 0},     # io input (4 prefetch + 3) -> out
         compiler_params=params,
         interpret=interpret,
     )(jnp.asarray(s0s), jnp.asarray(dsts), jnp.asarray(lvl_of),
-      jnp.asarray(a_blocks, jnp.bfloat16), jnp.asarray(bt, jnp.bfloat16),
-      src16, init)
+      jnp.asarray(abidx), jnp.asarray(a_blocks, jnp.bfloat16),
+      jnp.asarray(bt, jnp.bfloat16), src16, init)

@@ -852,6 +852,125 @@ def orb_detect(img, params: OrbParams = OrbParams()):
     return _descriptor_tail(feats, packed, pxy, params)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def orb_detect_batch(imgs, params: OrbParams = OrbParams()):
+    """Batched extractor: imgs [B, H, W] -> dict of [B, N, ...] arrays.
+
+    The per-frame work is independent, so B frames ride through the SAME
+    ops with B* the data — one flat-pyramid kernel launch, one score/
+    select chain per level (frames stacked along rows), one batched
+    top-k per level, one patch gather, one BRIEF — dividing the fixed
+    per-op cost per frame by B. Semantics per frame match orb_detect's
+    flat path (winner ties can resolve to a different same-score pixel:
+    the stacked winner picks min-lane-then-min-row, the chained path
+    min-row-then-min-lane; scores tie across pixels only in degenerate
+    synthetic images). Falls back to a per-frame loop off-TPU."""
+    imgs = imgs.astype(jnp.float32)
+    B, H, W = imgs.shape
+    quotas = params.features_per_level()
+    plan = _flat_plan(H, W, params.n_levels, params.scale_factor,
+                      params.cell)
+    flat_ok = False
+    if plan is not None and im.use_tpu_pallas() and _flat_gate():
+        from . import flatpyr_pallas as fpp
+        flat_ok = (fpp.flat_pyramid_available(
+            H, W, params.n_levels, params.scale_factor, params.cell)
+            and _flat_feasible(H, W, params, quotas))
+    if not flat_ok:
+        outs = [orb_detect(imgs[b], params) for b in range(B)]
+        return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+
+    from . import flatpyr_pallas as fpp
+    packed = fpp.build_flat_pyramid(imgs, params.n_levels,
+                                    params.scale_factor, params.cell)
+    cell, pl_ = plan.cell, plan.pad_left
+    R = plan.total_rows
+    b_ = EDGE_THRESHOLD
+    ks = [max(q, 1) for q in quotas]
+    per = {k: [] for k in ("xy", "response", "octave", "size", "valid",
+                           "px", "py")}
+    for lvl, (lh, lw) in enumerate(plan.shapes):
+        nry, ncx = -(-lh // cell), -(-lw // cell)
+        RL, LW = nry * cell, ncx * cell
+        base = plan.bases[lvl]
+        views = [jax.lax.slice(packed,
+                               (f * R + base + cell, pl_),
+                               (f * R + base + cell + RL, pl_ + LW))
+                 for f in range(B)]
+        st = jnp.concatenate(views, 0)           # [B*RL, LW]
+        score = fast_score_map(st)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        y_loc = rows_i % RL
+        ok = ((y_loc >= b_) & (y_loc < lh - b_)
+              & (lanes_i >= b_) & (lanes_i < lw - b_))
+        s = jnp.where(ok & (score > params.min_threshold), score, 0.0)
+        s = _nms3(s)
+        # hierarchical per-cell winner: rows first (layout-friendly
+        # row-split reshape on the big array), lanes on the small result
+        rs = s.reshape(B * nry, cell, LW)
+        rowmax = jnp.max(rs, axis=1)             # [B*nry, LW]
+        ri = jax.lax.broadcasted_iota(jnp.int32, rs.shape, 1)
+        rowarg = jnp.min(jnp.where(rs == rowmax[:, None, :], ri,
+                                   jnp.int32(cell)), axis=1)
+        rm2 = rowmax.reshape(B * nry, ncx, cell)
+        cv = jnp.max(rm2, axis=2)                # [B*nry, ncx]
+        li = jax.lax.broadcasted_iota(jnp.int32, rm2.shape, 2)
+        lane_loc = jnp.min(jnp.where(rm2 == cv[:, :, None], li,
+                                     jnp.int32(cell)), axis=2)
+        lane_loc = jnp.minimum(lane_loc, cell - 1)
+        row_loc = jnp.take_along_axis(
+            rowarg.reshape(B * nry, ncx, cell),
+            lane_loc[:, :, None], axis=2)[:, :, 0]
+        row_loc = jnp.minimum(row_loc, cell - 1)
+        # batched per-level top-k
+        k = ks[lvl]
+        cvb = cv.reshape(B, nry * ncx)
+        tv, tidx = jax.lax.top_k(cvb, k)         # [B, k]
+        cells_row = tidx // ncx                  # cell row index
+        cells_col = tidx % ncx
+        flat_lane = jnp.take_along_axis(
+            lane_loc.reshape(B, nry * ncx), tidx, axis=1)
+        flat_row = jnp.take_along_axis(
+            row_loc.reshape(B, nry * ncx), tidx, axis=1)
+        x_l = cells_col * cell + flat_lane       # level-local coords
+        y_l = cells_row * cell + flat_row
+        scale = params.scale_factor ** lvl
+        per["xy"].append(jnp.stack([x_l, y_l], -1).astype(jnp.float32)
+                         * scale)
+        per["response"].append(tv)
+        per["octave"].append(jnp.full((B, k), lvl, jnp.int32))
+        per["size"].append(jnp.full((B, k), PATCH_SIZE * scale,
+                                    jnp.float32))
+        per["valid"].append(tv > 0)
+        per["px"].append(x_l + pl_)
+        fid = jax.lax.broadcasted_iota(jnp.int32, (B, k), 0)
+        per["py"].append(y_l + fid * R + base + cell)
+    feats = {k: jnp.concatenate(v, 1)
+             for k, v in per.items() if k not in ("px", "py")}
+    pxy = jnp.stack([jnp.concatenate(per["px"], 1),
+                     jnp.concatenate(per["py"], 1)], -1)  # [B, N0, 2]
+    N0 = pxy.shape[1]
+    r = _GATHER_R
+    from .patchgather import gather_patches_pallas
+    pat = gather_patches_pallas(packed, pxy.reshape(B * N0, 2), r)
+    d = r - HALF_PATCH
+    angle = ic_angle(pat[:, d:d + PATCH_SIZE, d:d + PATCH_SIZE])
+    desc = brief_descriptors(_blur_patches(pat), angle,
+                             params.angle_bins, dot=params.brief_dot)
+    feats["angle"] = angle.reshape(B, N0)
+    feats["desc"] = desc.reshape(B, N0, 256)
+    order = jnp.argsort(jnp.where(feats["valid"], -feats["response"],
+                                  jnp.inf), axis=1)
+    keep = order[:, :params.n_features]
+    out = {}
+    for k, v in feats.items():
+        idx = keep.reshape(B, -1, *([1] * (v.ndim - 2)))
+        out[k] = jnp.take_along_axis(v, jnp.broadcast_to(
+            idx, (B, params.n_features) + v.shape[2:]), axis=1)
+    return out
+
+
 def _descriptor_tail(feats, packed, pxy, params: OrbParams):
     """Shared back end: patch gather over the packed pyramid, IC-angle,
     blur + BRIEF, strongest-first truncation to n_features."""

@@ -124,16 +124,30 @@ class Visualizer:
         self._n = 0
         os.makedirs(out_dir, exist_ok=True)
 
-    def update(self, slam=None, fusion=None, frame=None):
+    def _atomic(self, name, writer) -> None:
+        """Write via tmp + os.replace so a watcher (imgcat loop, browser
+        refresh) never reads a half-written PNG — the headless stand-in
+        for the reference's live GUI views (SLAMVisualizer.cpp:393-447)."""
         import os
+        path = os.path.join(self.out_dir, name)
+        tmp = path + ".tmp"
+        try:
+            if writer(tmp):
+                os.replace(tmp, path)
+            elif os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
+
+    def update(self, slam=None, fusion=None, frame=None):
         self._n += 1
         if self._n % self.every:
             return
         if frame is not None:
-            save_track_view(frame, os.path.join(self.out_dir, "frame.png"))
+            self._atomic("frame.png", lambda p: save_track_view(frame, p))
         if slam is not None and slam.map is not None \
                 and slam.map.frame_num() > 1:
-            save_map_view(slam.map, os.path.join(self.out_dir, "map.png"))
+            self._atomic("map.png", lambda p: save_map_view(slam.map, p))
         if fusion is not None and fusion.map2d is not None:
-            save_mosaic_view(fusion.map2d,
-                             os.path.join(self.out_dir, "mosaic.png"))
+            self._atomic("mosaic.png",
+                         lambda p: save_mosaic_view(fusion.map2d, p))
