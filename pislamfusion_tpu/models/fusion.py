@@ -65,6 +65,22 @@ class FusionSystem:
         self._prepared = threading.Event()
         self.frames_fed = 0
         self.error: Optional[str] = None
+        # pose-refresh state: bounded cache of fed frames (fid, img,
+        # pose_at_feed) + the latest map snapshot published on
+        # 'map_transformed' / 'fitted_map' (loop closure, GPS refit)
+        self._refresh_cache = []      # [(fid, img, pose)] feed order
+        self._refresh_bytes = 0
+        self._refresh_cap = int(self.cfg.get_double(
+            "Fusion.RefreshCacheMB", 256.0) * 1e6)
+        self._refresh_map = None      # WorldMap to pull new poses from
+        self.frames_refreshed = 0
+        if self._refresh_cap > 0:
+            from ..core.messenger import messenger as _messenger
+
+            def _on_transform(wmap):
+                self._refresh_map = wmap
+            _messenger.subscribe("map_transformed", _on_transform)
+            _messenger.subscribe("fitted_map", _on_transform)
 
     # ------------------------------------------------------------------ API
     def start(self):
@@ -108,16 +124,20 @@ class FusionSystem:
 
     # ------------------------------------------------------------ internals
     def _obtain_frame(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """Blocking dequeue with stop/finish checks (obtainFrame :139-151)."""
+        """Blocking dequeue with stop/finish checks (obtainFrame :139-151).
+        Accepts (img, pose) pairs or (img, pose, fid) triples — the fid
+        links the fed frame back to the WorldMap for pose refresh."""
         while not self._stop.is_set():
             try:
-                img, pose = self._trans.consumption(timeout=0.2)
+                item = self._trans.consumption(timeout=0.2)
             except queue.Empty:
                 if self._finishing.is_set():
                     return None
                 continue
+            img, pose = item[0], item[1]
+            fid = item[2] if len(item) > 2 else None
             self.length_calc.feed(np.asarray(pose)[:3])
-            return img, pose
+            return img, pose, fid
         return None
 
     def _obtain_plane(self) -> Optional[np.ndarray]:
@@ -151,15 +171,71 @@ class FusionSystem:
             return False
         self.map2d = create_map2d(self.cfg.get_string("Map2D.Type", "3"),
                                   self.cfg)
-        if not self.map2d.prepare(plane, cam, frames):
+        if not self.map2d.prepare(plane, cam,
+                                  [(fr[0], fr[1]) for fr in frames]):
             self.error = "Map2D.prepare failed"
             return False
         self._prepared.set()
-        for img, pose in frames:
+        for fr in frames:
             with timer.scope("Fusion::feed"):
-                self.map2d.feed(img, pose)
+                self.map2d.feed(fr[0], fr[1])
+            self._note_fed(fr)
             self.frames_fed += 1
         return True
+
+    # -------------------------------------------------- pose refresh
+    def _note_fed(self, fr):
+        """Cache a fed frame for later pose refresh (bounded by bytes)."""
+        if self._refresh_cap <= 0 or len(fr) < 3 or fr[2] is None:
+            return
+        img = fr[0]
+        nbytes = getattr(img, "nbytes", 0)
+        self._refresh_cache.append((fr[2], img, np.asarray(fr[1]).copy()))
+        self._refresh_bytes += nbytes
+        while self._refresh_bytes > self._refresh_cap \
+                and len(self._refresh_cache) > 1:
+            old = self._refresh_cache.pop(0)
+            self._refresh_bytes -= getattr(old[1], "nbytes", 0)
+
+    def _maybe_refresh(self):
+        """When the map moved (loop closure / GPS refit), re-render the
+        canvas regions whose cached frames' poses changed; update the
+        cache to the new poses."""
+        wmap = self._refresh_map
+        if wmap is None or self.map2d is None or not self._refresh_cache:
+            self._refresh_map = None
+            return
+        self._refresh_map = None
+        from ..utils import host_se3 as hse3
+        entries, keep = [], []
+        for meta, img, old_pose in self._refresh_cache:
+            fid, kf_id, kf_pose_feed = meta
+            kf = wmap.frame(kf_id)
+            f = wmap.frame(fid)
+            if f is not None:           # keyframes: their own new pose
+                new_pose = np.asarray(f.pose_c2w, np.float64)
+            elif kf is not None:
+                # ordinary frames ride their reference keyframe's motion:
+                # new = (T_kf_now o T_kf_feed^-1) o pose_fed
+                delta = hse3.se3_mul(np.asarray(kf.pose_c2w, np.float64),
+                                     hse3.se3_inv(np.asarray(
+                                         kf_pose_feed, np.float64)))
+                new_pose = hse3.se3_mul(delta, old_pose)
+            else:
+                continue
+            entries.append((img, old_pose, new_pose))
+            # re-baseline the meta so a SECOND refresh doesn't
+            # double-apply this keyframe delta
+            kf_now = (np.asarray(kf.pose_c2w, np.float64).copy()
+                      if kf is not None else kf_pose_feed)
+            keep.append(((fid, kf_id, kf_now), img, new_pose))
+        if not entries:
+            return
+        with timer.scope("Fusion::refresh"):
+            n = self.map2d.refresh(entries)
+        if n:
+            self.frames_refreshed += n
+            self._refresh_cache = keep
 
     def map2d_with_slam(self):
         """Map2DFusion.cpp:250-338."""
@@ -188,7 +264,14 @@ class FusionSystem:
                 break
             with timer.scope("Fusion::feed"):
                 self.map2d.feed(fr[0], fr[1])
+            self._note_fed(fr)
             self.frames_fed += 1
+            if self._refresh_map is not None:
+                self._maybe_refresh()
+        # a transform that landed after the last frame (end-of-run GPS
+        # refit / closure) still re-renders before save()
+        if self._refresh_map is not None and self.map2d is not None:
+            self._maybe_refresh()
 
     def test_map2d(self):
         """Trajectory-playback mode (Map2DFusion.cpp:153-248): DataPath holds

@@ -147,6 +147,11 @@ class LoopCloserSE3Graph:
         self.min_interval = cfg.get_int("LoopCloser.MinInterval", 5)
         self.min_correction = cfg.get_double("LoopCloser.MinCorrection",
                                              0.25)
+        # PnP inlier bar for accepting a loop: 25 matches the reference's
+        # LoopCloserDemo verification scale, but REPETITIVE scenes
+        # (apartment blocks, row crops) can produce 25-inlier
+        # wrong-instance fits - raise on such surveys
+        self.min_inliers = cfg.get_double("LoopCloser.MinInliers", 25.0)
         # callback() fired INSIDE the locked rewrite, with the version
         # bump: the tracker's staged local map must be invalidated in the
         # same critical section (same invariant as Mapper.on_map_deformed)
@@ -216,7 +221,7 @@ class LoopCloserSE3Graph:
                                   jnp.asarray(frame.rays[:, :2]),
                                   jnp.asarray(w),
                                   threshold=3.0 / frame.camera.fx)
-            if bool(res.ok) and float(res.score) >= 25:
+            if bool(res.ok) and float(res.score) >= self.min_inliers:
                 # loop-corrected pose of `frame` in world coords
                 T_c2w_corr = np.asarray(lie.se3_inv(res.model))
                 return cid, T_c2w_corr

@@ -381,7 +381,17 @@ class SLAM:
                 else (frame.mosaic_image if frame.mosaic_image is not None
                       else frame.image)
             img = self._undistort_for_mosaic(img)
-            self.trans_queue.product((img, frame.pose_c2w.copy()))
+            # attach (frame_id, ref_kf_id, kf_pose_at_feed) so the fusion
+            # consumer can re-render this frame's tiles when the map's
+            # poses improve (loop closure / GPS refit -> Map2D.refresh)
+            meta = None
+            rk = self.tracker.ref_kf_id
+            if rk >= 0 and self.map is not None:
+                kf = self.map.frame(rk)
+                if kf is not None:
+                    meta = (frame.id, rk,
+                            np.asarray(kf.pose_c2w, np.float64).copy())
+            self.trans_queue.product((img, frame.pose_c2w.copy(), meta))
             if frame.is_keyframe and self.cfg.get_bool("SLAM.LoopClose",
                                                        True):
                 if self.loop_closer.try_close(frame):
@@ -396,6 +406,10 @@ class SLAM:
                     # waiting for the cadence leaves the map meters off)
                     if self.mapper is not None and self.mapper.gps_fitted:
                         self.mapper.fit_gps_all()
+                    # the mosaic consumer re-renders tiles under the
+                    # moved poses (fusion._maybe_refresh)
+                    from ..core.messenger import messenger as _msg
+                    _msg.advertise("map_transformed").publish(self.map)
         return ok
 
     def _tracking_loop(self):

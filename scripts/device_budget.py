@@ -250,3 +250,42 @@ if "planepts" in which:
         pts = o[None, :] - Rw * s[:, None]
         return c + 1e-9 * jnp.sum(pts) + i * 0.0
     report("planepts", step)
+
+if "orb2" in which:
+    def step(c, i):
+        imgs = jnp.stack([img0 * (1.0 + c[0, 0] * 1e-12) + i,
+                          img0 * (1.002 + c[0, 0] * 1e-12) + i])
+        f = orb.orb_detect_batch(imgs, params)
+        return c + 1e-9 * jnp.sum(f["response"][:, 0])
+    report("orb2", step)
+
+if "step2" in which:
+    fx = fy = 1200.0
+    alt = 120.0
+    lp = (2 * (0.5 * alt * np.hypot(W / fx, H / fy)) / np.hypot(W, H)) / 0.5
+    ELE = M.ELE_PIXELS
+    fp_px = int(np.hypot(W, H) * 0.5 / 1.0)
+    patch_tiles = int(np.ceil(fp_px / ELE)) + 1
+    canvas_tiles = patch_tiles + 4
+    patch_px = patch_tiles * ELE
+    min_xy = np.array([90.0 - 0.5 * patch_px * lp,
+                       120.0 - 0.5 * patch_px * lp])
+    cam2 = Camera(W, H, fx, fy, W / 2.0, H / 2.0)
+    vo2 = FastVO(cam2, min_xy, canvas_tiles, lp, bands=5, n_features=N,
+                 n_levels=8, window_radius=60.0, patch_tiles=patch_tiles)
+    pose0 = jnp.asarray(np.array([90.0, 120.0, alt, 1, 0, 0, 0],
+                                 np.float32))
+    g0 = im.rgb_to_gray(rgb0)
+    f0 = orb.orb_detect(g0, params)
+    p3d0 = vo2._plane_points(f0["xy"], pose0)
+    carry0 = (f0["desc"], f0["valid"], p3d0, pose0, pose0,
+              vo2.canvas_lap, vo2.canvas_w)
+
+    def steps2(carry, i):
+        rgb2 = jnp.stack([rgb0 + i + carry[4][0] * 1e-9,
+                          rgb0 * 1.001 + i + carry[4][0] * 1e-9])
+        carry, (poses, n) = vo2._step2(carry, rgb2)
+        return carry
+    report("step2", steps2, carry0,
+           lambda c: jnp.sum(c[4]) + jnp.sum(c[5][0][0, :2, :2])
+           + jnp.sum(c[6][0][0, :2, :2]))

@@ -1,0 +1,111 @@
+"""Mosaic pose-refresh (VERDICT r3 item 6): tiles composited under early
+(drifted) poses are re-rendered once better poses exist, instead of the
+drift staying baked into the canvas forever. The reference's analogue:
+MultiBandMap2DCPU re-blends on draw and re-feeds after loop closure
+(:637-775); here WorldMap pose updates drive Map2D.refresh()."""
+import numpy as np
+import pytest
+
+from pislamfusion_tpu.core.camera import Camera
+from pislamfusion_tpu.core.svar import Svar
+from pislamfusion_tpu.models.map2d import create_map2d
+
+from synth_survey import make_ground, lawnmower, render_view
+
+
+def _psnr(img, covered, ground, min_xy, lp):
+    ys, xs = np.nonzero(covered)
+    gx = np.clip(((min_xy[0] + (xs + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[1] - 1)
+    gy = np.clip(((min_xy[1] + (ys + 0.5) * lp) / 0.1).astype(int), 0,
+                 ground.shape[0] - 1)
+    d = img[ys, xs].astype(np.float64) - ground[gy, gx]
+    return 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
+
+
+@pytest.mark.parametrize("map_type", ["multiband", "weighted"])
+def test_refresh_recovers_drifted_mosaic(map_type, rng):
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = lawnmower()[:16]
+    frames = [render_view(ground, cam, p) for p in poses]
+    # drift grows along the track (what uncorrected VO bakes into tiles)
+    drift = np.cumsum(rng.normal(0, 0.25, (len(poses), 2)), 0)
+    drifted = poses.copy()
+    drifted[:, 0] += drift[:, 0]
+    drifted[:, 1] += drift[:, 1]
+
+    cfg = Svar()
+    cfg.set("Map2D.BandNumber", "3")
+    m = create_map2d(map_type, cfg)
+    plane = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    assert m.prepare(plane, cam, [(None, p) for p in poses])
+    for img, p in zip(frames, drifted):
+        assert m.feed(img, p)
+    img0, cov0 = m.blended()
+    psnr_drift = _psnr(img0, cov0, ground, m.min_xy, m.length_pixel)
+
+    # "optimization" recovers the true poses -> refresh re-renders
+    entries = [(img, old, new)
+               for img, old, new in zip(frames, drifted, poses)]
+    refed = m.refresh(entries)
+    assert refed > 0
+    img1, cov1 = m.blended()
+    psnr_fixed = _psnr(img1, cov1, ground, m.min_xy, m.length_pixel)
+    assert psnr_fixed > psnr_drift + 3.0, (psnr_drift, psnr_fixed)
+
+    # a refresh with unchanged poses is a no-op
+    assert m.refresh([(img, p, p)
+                      for img, p in zip(frames, poses)]) == 0
+
+
+def test_fusion_refresh_wiring(rng):
+    """The full event chain: feed through the DataTrans queue with
+    (img, pose, meta) triples, publish 'map_transformed' with a map
+    whose keyframe moved, and the FusionSystem consumer re-renders."""
+    import queue as _q
+    import time
+
+    from pislamfusion_tpu.core.messenger import DataTrans, messenger
+    from pislamfusion_tpu.models.fusion import FusionSystem
+    from types import SimpleNamespace
+
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = lawnmower()[:10]
+    frames = [render_view(ground, cam, p) for p in poses]
+    drifted = poses.copy()
+    drifted[:, 0] += 3.0      # rigid 3 m offset the kf delta removes
+
+    class FakeMap:
+        def __init__(self):
+            self.store = {}
+
+        def frame(self, fid):
+            return self.store.get(fid)
+
+    fake = FakeMap()
+    # keyframe 100 moved from drifted to true anchor; fed frames are
+    # ordinary frames referencing it
+    kf_old = drifted[0].copy()          # kf pose at feed time
+    fake.store[100] = SimpleNamespace(pose_c2w=poses[0].copy())  # now
+
+    cfg = Svar()
+    cfg.set("Map2D.BandNumber", "3")
+    cfg.set("Plane", "0 0 0 0 0 0 1")
+    cfg.set("PrepareFrameNum", "4")
+    cfg.set("Camera.Paraments", "320 240 260 260 160 120")
+    tq = DataTrans(capacity=64)
+    pq = DataTrans(capacity=2)
+    fus = FusionSystem(cfg, cam, trans_q=tq, plane_q=pq).start()
+    for i, (img, p) in enumerate(zip(frames, drifted)):
+        # delta(kf) = true0 o drifted0^-1 corrects every frame exactly
+        # back onto its true pose (the drift here is a rigid offset)
+        meta = (1000 + i, 100, kf_old.copy())
+        tq.product((img, p.copy(), meta))
+    time.sleep(0.1)
+    messenger.advertise("map_transformed").publish(fake)
+    fus.finish()
+    assert fus.error is None, fus.error
+    assert fus.frames_fed == len(frames)
+    assert fus.frames_refreshed > 0

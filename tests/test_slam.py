@@ -230,7 +230,7 @@ def test_slam_track_scale():
     # feeding the half-res track frame would render a wrong-scale mosaic
     # under the full-res camera)
     assert slam.trans_queue.qsize() > 0
-    img0, _pose0 = slam.trans_queue.try_consume()
+    img0, _pose0 = slam.trans_queue.try_consume()[:2]
     assert img0.shape[:2] == (480, 640), img0.shape
 
 
