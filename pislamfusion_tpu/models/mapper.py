@@ -681,6 +681,86 @@ class Mapper:
             fid = next(iter(self._dev_kf_cache))
             self._dev_kf_cache.pop(fid).feats_dev = None
 
+    @staticmethod
+    def solve_local_window(poses_w2c, fixed, pts, obs_f, obs_p, obs_uv,
+                           caps, iters, huber_delta, tol=0.0,
+                           prior_kw=None):
+        """Solve a local BA window that may EXCEED the point/obs caps.
+
+        Within caps: one padded ba.optimize (the fixed-shape compiled
+        program). Overflow (VERDICT r3 item 10): greedy-pack the points
+        into chunks whose observations fit the caps (obs arrive
+        point-major from _local_ba, so chunks are slices), sweep
+        pose-free chunk solves (each warm-started on the previous
+        poses), then re-solve every non-final chunk POINT-ONLY under the
+        final poses — no observation is silently dropped, matching the
+        reference's local windows (MapperDemo.cpp:1286-1555). All chunk
+        problems share one padded shape, so the jitted program compiles
+        once. Returns (new_poses_w2c [F_real], new_pts [P_real]).
+        """
+        F, P, O = caps
+        prior_kw = prior_kw or {}
+        n_pts = len(pts)
+        obs_p = np.asarray(obs_p, np.int32)
+        obs_f = np.asarray(obs_f, np.int32)
+        obs_uv = np.asarray(obs_uv, np.float32)
+        counts = np.bincount(obs_p, minlength=n_pts)
+        chunks = []
+        start = 0
+        while start < n_pts:
+            end, acc = start, 0
+            while end < n_pts and (end - start) < P \
+                    and acc + counts[end] <= O:
+                acc += int(counts[end])
+                end += 1
+            if end == start:      # monster point: obs alone exceed O
+                end = start + 1
+            chunks.append((start, end))
+            start = end
+        cut = np.searchsorted(obs_p, [c[0] for c in chunks]
+                              + [chunks[-1][1]])
+        poses_cur = np.asarray(poses_w2c, np.float32).copy()
+        pts_cur = np.asarray(pts, np.float32).copy()
+        fixed = np.asarray(fixed, bool)
+
+        def solve(ci, pose_free: bool):
+            s, e = chunks[ci]
+            o0, o1 = int(cut[ci]), int(cut[ci + 1])
+            poses_p, fmask = pad_to(poses_cur, F)
+            poses_p[~fmask] = np.array([0, 0, 0, 0, 0, 0, 1.0],
+                                       np.float32)
+            fx = fixed if pose_free else np.ones_like(fixed)
+            fixed_p, _ = pad_to(fx, F, True)
+            fixed_p[~fmask] = True
+            pts_p, pmask = pad_to(pts_cur[s:e], P)
+            of, omask = pad_to(obs_f[o0:o1], O)
+            op, _ = pad_to(obs_p[o0:o1] - s, O)
+            ouv, _ = pad_to(obs_uv[o0:o1], O)
+            kw = prior_kw if pose_free else {}
+            prob = ba.make_problem(
+                poses=poses_p, pose_fixed=fixed_p, points=pts_p,
+                point_fixed=~pmask, obs_frame=of, obs_point=op,
+                obs_uv=ouv, obs_weight=omask.astype(np.float32), **kw)
+            np_, npts, _ = ba.optimize(prob, iters=iters,
+                                       huber_delta=huber_delta, tol=tol)
+            np_, npts = jax.device_get((np_, npts))
+            return np.asarray(np_[:len(poses_cur)]), \
+                np.asarray(npts[:e - s])
+
+        for ci in range(len(chunks)):
+            new_poses, new_pts = solve(ci, pose_free=True)
+            poses_cur = new_poses
+            s, e = chunks[ci]
+            pts_cur[s:e] = new_pts
+        if len(chunks) > 1:
+            # alternation pass: earlier chunks' points re-solved under
+            # the FINAL poses (point-only; priors off, poses fixed)
+            for ci in range(len(chunks) - 1):
+                _, new_pts = solve(ci, pose_free=False)
+                s, e = chunks[ci]
+                pts_cur[s:e] = new_pts
+        return poses_cur, pts_cur
+
     def _note_truncation(self, kind: str, dropped: int):
         """Record (and log on first occurrence) a drop at a BA capacity cap
         — silent truncation quietly degrades BA quality on dense scenes."""
@@ -735,8 +815,9 @@ class Mapper:
                     if self.map.point(p) is not None:
                         pids.append(p)
         if len(pids) > self.ba_p:
+            # logged as saturation, but no longer dropped: the window is
+            # solved in point chunks (solve_local_window)
             self._note_truncation("points", len(pids) - self.ba_p)
-        pids = pids[:self.ba_p]
         pidx = {pid: i for i, pid in enumerate(pids)}
         if len(pids) < 10:
             return
@@ -752,10 +833,11 @@ class Mapper:
         if len(obs_f) < 30:
             return
         if len(obs_f) > self.ba_o:
+            # chunked, not dropped (solve_local_window)
             self._note_truncation("obs", len(obs_f) - self.ba_o)
-        obs_f = np.asarray(obs_f[:self.ba_o], np.int32)
-        obs_p = np.asarray(obs_p[:self.ba_o], np.int32)
-        obs_uv = np.asarray(obs_uv[:self.ba_o], np.float32)
+        obs_f = np.asarray(obs_f, np.int32)
+        obs_p = np.asarray(obs_p, np.int32)
+        obs_uv = np.asarray(obs_uv, np.float32)
         poses = hse3.se3_inv(np.stack([f.pose_c2w for f in frames])).astype(
             np.float32)
         fixed = np.array([fid not in free_set for fid in frame_ids])
@@ -763,20 +845,6 @@ class Mapper:
         if fixed.sum() == 0:
             fixed[np.argmin(frame_ids)] = True
         pts = np.stack([self.map.point(p).position for p in pids])
-        # pad to capacities (F fixed at the cap: a varying frame count would
-        # recompile the whole jitted BA program per keyframe)
-        F = self.ba_f
-        poses_p, fmask = pad_to(poses, F)
-        poses_p[~fmask] = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
-        fixed_p, _ = pad_to(fixed, F, True)
-        fixed_p[~fmask] = True
-        P = self.ba_p
-        pts_p, pmask = pad_to(pts, P)
-        O = self.ba_o
-        obs_fp, omask = pad_to(obs_f, O)
-        obs_pp, _ = pad_to(obs_p, O)
-        obs_uvp, _ = pad_to(obs_uv, O)
-        weight = omask.astype(np.float32)
         # GPS priors (when frames carry ENU fixes and GPS is fitted) —
         # MapperDemo.cpp:1431: `GPS.Fitted && GPS.LocalOptimize(default 1)`
         use_gps = self.gps_fitted and self.cfg.get_bool("GPS.LocalOptimize",
@@ -806,28 +874,24 @@ class Mapper:
                 pin, _ = pad_to(np.stack(gps_info).astype(np.float32), G)
                 prior_kw = dict(prior_frame=pfr, prior_pose=ppo,
                                 prior_info=pin)
-        prob = ba.make_problem(
-            poses=poses_p, pose_fixed=fixed_p, points=pts_p,
-            point_fixed=~pmask, obs_frame=obs_fp, obs_point=obs_pp,
-            obs_uv=obs_uvp, obs_weight=weight, **prior_kw)
         sigma = 1.0 / frame.camera.fx
-        new_poses, new_points, cost = ba.optimize(
-            prob, iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
+        # SLAM.LocalBATol > 0 enables relative-improvement early
+        # termination (g2o's terminate gate). Default 0 = the full
+        # fixed-length LM: the round-2 default of 1e-4 measurably
+        # under-converged GPS-prior windows (geo-ATE 2.95 m vs
+        # <2 m on the everything-on soak survey) and even 1e-5
+        # still did — GPS priors pull the window in many small
+        # relative steps, so ANY relative gate stops them early.
+        # The knob stays for throughput-sensitive configs; the cost
+        # of 0 is bounded by SLAM.LocalBAIters (one device program
+        # either way, ~10 ms per LM step)
+        new_poses, new_points = self.solve_local_window(
+            poses, fixed, pts, obs_f, obs_p, obs_uv,
+            (self.ba_f, self.ba_p, self.ba_o),
+            iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
             huber_delta=float(np.sqrt(5.991)) * sigma,
-            # SLAM.LocalBATol > 0 enables relative-improvement early
-            # termination (g2o's terminate gate). Default 0 = the full
-            # fixed-length LM: the round-2 default of 1e-4 measurably
-            # under-converged GPS-prior windows (geo-ATE 2.95 m vs
-            # <2 m on the everything-on soak survey) and even 1e-5
-            # still did — GPS priors pull the window in many small
-            # relative steps, so ANY relative gate stops them early.
-            # The knob stays for throughput-sensitive configs; the cost
-            # of 0 is bounded by SLAM.LocalBAIters (one device program
-            # either way, ~10 ms per LM step)
-            tol=self.cfg.get_double("SLAM.LocalBATol", 0.0))
-        # one fetch for both results (a bare np.asarray each is a
-        # blocking tunnel round trip per array)
-        new_poses, new_points = jax.device_get((new_poses, new_points))
+            tol=self.cfg.get_double("SLAM.LocalBATol", 0.0),
+            prior_kw=prior_kw)
         new_c2w = hse3.se3_inv(new_poses).astype(np.float32)
         with self.map.update_lock:
             for fid in free_ids:

@@ -399,3 +399,68 @@ def test_pose_jac_analytic_matches_autodiff(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_local_window_chunked_overflow(rng):
+    """VERDICT r3 item 10: a local window exceeding BA_P/BA_O caps is
+    solved in point chunks with an alternation pass instead of silently
+    truncating — accuracy must match the uncapped single solve."""
+    from pislamfusion_tpu.models.mapper import Mapper as MapperDemo
+    from pislamfusion_tpu.utils import host_se3 as hse3
+
+    F, Pn, On = 6, 900, 1800
+    # ground truth: 4 cameras on a line looking at a cloud of Pn points
+    g_poses = []
+    for k in range(4):
+        T = np.array([0.4 * k, 0.02 * k, 0.0, 0, 0, 0, 1], np.float32)
+        g_poses.append(T)
+    g_poses = np.stack(g_poses)
+    pts_g = np.stack([rng.uniform(-3, 3, Pn), rng.uniform(-3, 3, Pn),
+                      rng.uniform(8, 14, Pn)], -1).astype(np.float32)
+    obs_f, obs_p, obs_uv = [], [], []
+    for j in range(Pn):             # point-major, as _local_ba builds it
+        for k in range(4):
+            Tw2c = hse3.se3_inv(g_poses[k].astype(np.float64))
+            pc = hse3.se3_apply(Tw2c, pts_g[j].astype(np.float64))
+            if pc[2] <= 0.1:
+                continue
+            uv = pc[:2] / pc[2] + rng.normal(0, 5e-4, 2)
+            obs_f.append(k)
+            obs_p.append(j)
+            obs_uv.append(uv)
+    obs_f = np.asarray(obs_f, np.int32)
+    obs_p = np.asarray(obs_p, np.int32)
+    obs_uv = np.asarray(obs_uv, np.float32)
+    assert len(obs_f) > 1600          # overflows the (300, 600) caps below
+
+    noise_p = g_poses.copy()
+    noise_p[1:, :3] += rng.normal(0, 0.05, (3, 3)).astype(np.float32)
+    pts_n = pts_g + rng.normal(0, 0.05, pts_g.shape).astype(np.float32)
+    fixed = np.array([True, False, False, False])
+    poses_w2c = np.stack([np.asarray(hse3.se3_inv(p.astype(np.float64)),
+                                     np.float32) for p in noise_p])
+
+    def err(new_poses, new_pts):
+        c2w = np.stack([np.asarray(hse3.se3_inv(p.astype(np.float64)))
+                        for p in new_poses])
+        ep = float(np.linalg.norm(c2w[:, :3] - g_poses[:, :3], axis=1).max())
+        ept = float(np.sqrt(np.mean(np.sum((new_pts - pts_g) ** 2, -1))))
+        return ep, ept
+
+    # uncapped single solve (caps big enough to hold everything)
+    p_big, x_big = MapperDemo.solve_local_window(
+        poses_w2c, fixed, pts_n, obs_f, obs_p, obs_uv,
+        (F, 1024, 4096), iters=25, huber_delta=0.01)
+    # chunked: point cap 300, obs cap 600 -> >= 3 chunks + alternation
+    p_chk, x_chk = MapperDemo.solve_local_window(
+        poses_w2c, fixed, pts_n, obs_f, obs_p, obs_uv,
+        (F, 300, 600), iters=25, huber_delta=0.01)
+
+    ep_b, ept_b = err(p_big, x_big)
+    ep_c, ept_c = err(p_chk, x_chk)
+    # pose at the noise floor; point depth is weakly constrained by the
+    # short baseline (~0.04 irreducible at depth 10 / baseline 1.2)
+    assert ep_b < 0.02 and ept_b < 0.1, (ep_b, ept_b)
+    # no accuracy cliff: chunked tracks the single solve
+    assert ep_c < max(1.5 * ep_b, 0.02), (ep_c, ep_b)
+    assert ept_c < max(1.5 * ept_b, 0.02), (ept_c, ept_b)
