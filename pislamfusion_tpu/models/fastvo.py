@@ -198,43 +198,52 @@ class FastVO:
         c_lap, c_w = self._feed(pose_new, rgb, carry[5], carry[6])
         return tcarry + (c_lap, c_w), (pose_new, n_match)
 
-    def _step2(self, carry, inputs):
-        """Paired step: extract TWO frames in one batched call (halves
-        the fixed per-op cost of the extraction front end and gives the
-        scheduler independent work to overlap), then run the serial
-        match/LM/feed chain per frame. inputs: [2, H, W(,3)]."""
+    def _step_group(self, carry, inputs):
+        """Grouped step: G frames per scan body. Each frame still runs
+        the serial match/LM/feed chain, but the G extractions are
+        INDEPENDENT chains inside one program, so the scheduler overlaps
+        extract(f_{i+1}) with match/LM/feed(f_i) — the round-4 bench
+        measured 165 -> 185 FPS at G=2 @1080p. (The batched-extraction
+        variant, PISLAM_PAIR_BATCH=1 / orb_detect_batch, measured 100:
+        one batched program has MORE data per op but loses the
+        cross-stage overlap.) inputs: [G, H, W(,3)]."""
         import os
-        rgb2 = inputs
-        if jnp.issubdtype(rgb2.dtype, jnp.integer):
-            rgb2 = rgb2.astype(jnp.float32)
-        gray2 = im.rgb_to_gray(rgb2) if rgb2.ndim == 4 else rgb2
-        if os.environ.get("PISLAM_PAIR_BATCH", "1") == "1":
-            feats2 = orb.orb_detect_batch(gray2, self.params)
+        rgbs = inputs
+        if jnp.issubdtype(rgbs.dtype, jnp.integer):
+            rgbs = rgbs.astype(jnp.float32)
+        grays = im.rgb_to_gray(rgbs) if rgbs.ndim == 4 else rgbs
+        G = rgbs.shape[0]
+        if os.environ.get("PISLAM_PAIR_BATCH", "0") == "1" \
+                and self.detector == "orb":
+            feats_g = orb.orb_detect_batch(grays, self.params)
         else:
-            # two independent single-frame extractions: same op count,
-            # but both chains live in ONE scan body so the scheduler can
-            # overlap extract(f2) with match/LM/feed(f1)
-            fa = orb.orb_detect(gray2[0], self.params)
-            fb = orb.orb_detect(gray2[1], self.params)
-            feats2 = {k: jnp.stack([fa[k], fb[k]]) for k in fa}
+            fs = [self._detect(grays[b]) for b in range(G)]
+            feats_g = {k: jnp.stack([f[k] for f in fs]) for k in fs[0]}
         tcarry = carry[:5]
         c_lap, c_w = carry[5], carry[6]
         poses, nms = [], []
-        for b in range(2):
-            feats = {k: v[b] for k, v in feats2.items()}
+        for b in range(G):
+            feats = {k: v[b] for k, v in feats_g.items()}
             tcarry, (pose_new, n_match) = self._track_core(tcarry, feats)
-            c_lap, c_w = self._feed(pose_new, rgb2[b], c_lap, c_w)
+            c_lap, c_w = self._feed(pose_new, rgbs[b], c_lap, c_w)
             poses.append(pose_new)
             nms.append(n_match)
         return (tcarry + (c_lap, c_w),
                 (jnp.stack(poses), jnp.stack(nms)))
 
-    def _use_pair_step(self, frames) -> bool:
+    def _pair_group(self, frames) -> int:
+        """Scan group size: PISLAM_PAIR (default 2 on TPU; 0/1 disable).
+        Must divide the batch."""
         import os
         if os.environ.get("PISLAM_PAIR_STEP", "") == "0":
-            return False
-        return (self.detector == "orb" and frames.shape[0] % 2 == 0
-                and frames.shape[0] >= 4 and im.use_tpu_pallas())
+            return 1
+        if not (self.detector in ("orb", "sift")
+                and frames.shape[0] >= 4 and im.use_tpu_pallas()):
+            return 1
+        # G=2 measured best @1080p (165/185/175 FPS at G=1/2/4: four live
+        # extraction chains start spilling); applies to SIFT identically
+        g = int(os.environ.get("PISLAM_PAIR", "2"))
+        return g if g > 1 and frames.shape[0] % g == 0 else 1
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 4))
     def _process(self, frames, pose0, c_lap, c_w):
@@ -244,10 +253,12 @@ class FastVO:
         p3d0 = self._plane_points(f0["xy"], pose0)
         # motion model starts at rest: prev2 == prev == pose0
         carry = (f0["desc"], f0["valid"], p3d0, pose0, pose0, c_lap, c_w)
-        if self._use_pair_step(frames):
+        G = self._pair_group(frames)
+        if G > 1:
             K = frames.shape[0]
-            fp = frames.reshape((K // 2, 2) + frames.shape[1:])
-            carry, (poses, n_match) = jax.lax.scan(self._step2, carry, fp)
+            fp = frames.reshape((K // G, G) + frames.shape[1:])
+            carry, (poses, n_match) = jax.lax.scan(self._step_group,
+                                                   carry, fp)
             poses = poses.reshape(K, 7)
             n_match = n_match.reshape(K)
         else:
