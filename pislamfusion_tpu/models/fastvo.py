@@ -176,7 +176,10 @@ class FastVO:
             precision=jax.lax.Precision.HIGHEST)[:, 0]
         rays_xy = jnp.stack([(feats["xy"][:, 0] - cx) / fx,
                              (feats["xy"][:, 1] - cy) / fy], -1)
-        T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt, iters=8,
+        import os
+        lm_iters = int(os.environ.get("PISLAM_VO_LM_ITERS", "8"))
+        T_ref, _, _ = ba.optimize_pose(T_pred, p3d, rays_xy, wgt,
+                                       iters=lm_iters,
                                        huber_delta=2.45 / fx)
         pose_new = lie.se3_inv(T_ref)
         new_p3d = self._plane_points(feats["xy"], pose_new)

@@ -231,6 +231,37 @@ class FusionSystem:
             keep.append(((fid, kf_id, kf_now), img, new_pose))
         if not entries:
             return
+        if len(entries) >= 3:
+            # remove the COMMON (gauge) transform first: a global GPS
+            # SIM3 refit moves the map AND the ground plane together, so
+            # the PLANE-RELATIVE mosaic geometry is unchanged — clearing
+            # and re-feeding under the stale prepare-time plane would
+            # blank the canvas (the round-4 CLI e2e regression). Fit
+            # new->old on the camera centers and bring each new pose
+            # back into the feed-time world frame; only the RESIDUAL
+            # deformation (loop bends, local BA) triggers re-rendering.
+            import jax.numpy as jnp
+            from ..ops import lie, ransac
+            old_c = np.stack([e[1][:3] for e in entries]).astype(
+                np.float32)
+            new_c = np.stack([e[2][:3] for e in entries]).astype(
+                np.float32)
+            S = np.asarray(ransac.sim3_horn(jnp.asarray(new_c),
+                                            jnp.asarray(old_c)),
+                           np.float64)
+            adj = []
+            for img, old_pose, new_pose in entries:
+                comp = np.asarray(lie.sim3_mul(
+                    jnp.asarray(S, jnp.float32),
+                    lie.sim3_from_se3(jnp.asarray(new_pose,
+                                                  jnp.float32))))
+                # drop the residual scale (s ~= 1 whenever refresh should
+                # actually fire; global rescales cancel in S)
+                adj.append((img, old_pose,
+                            np.asarray(comp[:7], np.float64)))
+            entries = adj
+            keep = [(meta, img, pose) for (meta, img, _), (_, _, pose)
+                    in zip(keep, entries)]
         with timer.scope("Fusion::refresh"):
             n = self.map2d.refresh(entries)
         if n:

@@ -224,6 +224,12 @@ class Map2DBase:
             return 0
         if thresh is None:
             thresh = 2.0 * self.length_pixel
+        # sanity bound: a "correction" larger than half a patch means the
+        # entry's old pose lives in a different gauge epoch (e.g. fed
+        # before a monocular-scale GPS refit) — re-rendering it would
+        # clear valid content and then fail to restore it. Drop such
+        # entries instead of destroying the canvas.
+        max_move = 0.5 * self.patch_tiles * ELE * self.length_pixel
         with self._lock:
             plane = self.plane
             moved, rects = [], []
@@ -234,12 +240,17 @@ class Map2DBase:
                 pn = _se3_inv_mul_np(plane, np.asarray(new_pose,
                                                        np.float64))
                 planes_new.append(pn)
-                if np.linalg.norm(po[:3] - pn[:3]) > thresh:
+                d = np.linalg.norm(po[:3] - pn[:3])
+                if d > max_move:
+                    planes_new[i] = None      # unrefreshable epoch
+                    continue
+                if d > thresh:
+                    fps = [self._footprint_px(p) for p in (po, pn)]
+                    if any(f is None for f in fps):
+                        planes_new[i] = None  # off-plane: don't touch
+                        continue
                     moved.append(i)
-                    for p in (po, pn):
-                        r = self._footprint_px(p)
-                        if r is not None:
-                            rects.append(r)
+                    rects.extend(fps)
             if not moved or not rects:
                 return 0
 
@@ -251,6 +262,8 @@ class Map2DBase:
                 self._clear_rect_px(*r)
             refed = 0
             for i, (img, _old, _new) in enumerate(entries):
+                if planes_new[i] is None:
+                    continue
                 fp = self._footprint_px(planes_new[i])
                 if fp is None:
                     continue

@@ -85,10 +85,15 @@ def test_fusion_refresh_wiring(rng):
             return self.store.get(fid)
 
     fake = FakeMap()
-    # keyframe 100 moved from drifted to true anchor; fed frames are
-    # ordinary frames referencing it
-    kf_old = drifted[0].copy()          # kf pose at feed time
-    fake.store[100] = SimpleNamespace(pose_c2w=poses[0].copy())  # now
+    # TWO reference keyframes: kf 100 (first half) moved, kf 101 (second
+    # half) did not — a PARTIAL deformation like a loop bend. (A rigid
+    # all-frames move is a gauge change the fusion consumer now removes
+    # before thresholding: map + plane move together, so the
+    # plane-relative mosaic needs no re-render.)
+    kf_old = drifted[0].copy()          # kf 100 pose at feed time
+    fake.store[100] = SimpleNamespace(pose_c2w=poses[0].copy())  # moved
+    kf_old2 = drifted[5].copy()
+    fake.store[101] = SimpleNamespace(pose_c2w=drifted[5].copy())  # same
 
     cfg = Svar()
     cfg.set("Map2D.BandNumber", "3")
@@ -99,11 +104,18 @@ def test_fusion_refresh_wiring(rng):
     pq = DataTrans(capacity=2)
     fus = FusionSystem(cfg, cam, trans_q=tq, plane_q=pq).start()
     for i, (img, p) in enumerate(zip(frames, drifted)):
-        # delta(kf) = true0 o drifted0^-1 corrects every frame exactly
-        # back onto its true pose (the drift here is a rigid offset)
-        meta = (1000 + i, 100, kf_old.copy())
+        if i < 5:   # first half rides kf 100 (moved by -3 m in x)
+            meta = (1000 + i, 100, kf_old.copy())
+        else:       # second half rides kf 101 (unmoved)
+            meta = (1000 + i, 101, kf_old2.copy())
         tq.product((img, p.copy(), meta))
-    time.sleep(0.1)
+    # wait until every frame is fed+cached before the event: an early
+    # event would see only the first (rigidly-moved) half, which the
+    # gauge removal correctly treats as a no-op
+    for _ in range(300):
+        if fus.frames_fed >= len(frames):
+            break
+        time.sleep(0.1)
     messenger.advertise("map_transformed").publish(fake)
     fus.finish()
     assert fus.error is None, fus.error
