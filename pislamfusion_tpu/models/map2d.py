@@ -258,18 +258,32 @@ class Map2DBase:
                 return (a[0] < b[1] and b[0] < a[1]
                         and a[2] < b[3] and b[2] < a[3])
 
+            # Fixpoint: a re-fed frame contributes its FULL footprint, so
+            # that footprint must be cleared too (else its old content
+            # outside the moved rects is double-counted — ADVICE r4 low),
+            # and clearing it may pull further overlapping frames in.
+            fps = [None] * len(entries)
+            for i, (img, _old, _new) in enumerate(entries):
+                if planes_new[i] is not None:
+                    fps[i] = self._footprint_px(planes_new[i])
+            refeed = set()
+            changed = True
+            while changed:
+                changed = False
+                for i, fp in enumerate(fps):
+                    if fp is None or i in refeed:
+                        continue
+                    if any(overlaps(fp, r) for r in rects):
+                        refeed.add(i)
+                        rects.append(fp)
+                        changed = True
             for r in rects:
                 self._clear_rect_px(*r)
             refed = 0
-            for i, (img, _old, _new) in enumerate(entries):
-                if planes_new[i] is None:
-                    continue
-                fp = self._footprint_px(planes_new[i])
-                if fp is None:
-                    continue
-                if any(overlaps(fp, r) for r in rects):
-                    if self._render_frame_locked(img, planes_new[i]):
-                        refed += 1
+            for i in sorted(refeed):            # feed order preserved
+                if self._render_frame_locked(entries[i][0],
+                                             planes_new[i]):
+                    refed += 1
             return refed
 
 
@@ -617,26 +631,34 @@ class WeightedGPUMap2D(WeightedMap2D):
 
     def render_frame(self, img, pose_plane) -> bool:
         with self._lock:
-            geo = self._frame_geometry(pose_plane)
-            if geo is None:
-                self.frames_skipped += 1
-                return False
-            (ty0, tx0), H = geo
-            patch_px = self.patch_tiles * ELE
-            # frame footprint center in patch coords: image center pixel
-            # mapped through H^-1 (H: patch px -> image px)
-            cam = self.camera
-            ctr_img = np.array([cam.cx, cam.cy, 1.0])
-            p = np.linalg.solve(np.asarray(H, np.float64), ctr_img)
-            center = (p[:2] / p[2]).astype(np.float32)
-            self.acc, self.wsum = _gpu_feed(
-                self.acc, self.wsum, jnp.asarray(np.asarray(img),
-                                                 jnp.float32),
-                jnp.asarray(H, jnp.float32),
-                jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
-                jnp.asarray(center), patch_hw=(patch_px, patch_px))
-            self.frames_rendered += 1
-            return True
+            return self._render_frame_locked(img, pose_plane)
+
+    def _render_frame_locked(self, img, pose_plane) -> bool:
+        # NOT the inherited WeightedMap2D body: acc stores already-blended
+        # COLOR here, not sum(w*I) — refresh() re-renders through this
+        # hook, so it must use the same _gpu_feed rule as the feed path
+        # (ADVICE r4 medium: the inherited hook corrupted refreshed
+        # regions on Map2D.Type=2).
+        geo = self._frame_geometry(pose_plane)
+        if geo is None:
+            self.frames_skipped += 1
+            return False
+        (ty0, tx0), H = geo
+        patch_px = self.patch_tiles * ELE
+        # frame footprint center in patch coords: image center pixel
+        # mapped through H^-1 (H: patch px -> image px)
+        cam = self.camera
+        ctr_img = np.array([cam.cx, cam.cy, 1.0])
+        p = np.linalg.solve(np.asarray(H, np.float64), ctr_img)
+        center = (p[:2] / p[2]).astype(np.float32)
+        self.acc, self.wsum = _gpu_feed(
+            self.acc, self.wsum, jnp.asarray(np.asarray(img),
+                                             jnp.float32),
+            jnp.asarray(H, jnp.float32),
+            jnp.asarray([ty0 * ELE, tx0 * ELE], jnp.int32),
+            jnp.asarray(center), patch_hw=(patch_px, patch_px))
+        self.frames_rendered += 1
+        return True
 
     def blended(self, bg: Optional[float] = None):
         if bg is None:

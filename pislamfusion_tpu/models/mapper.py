@@ -684,7 +684,7 @@ class Mapper:
     @staticmethod
     def solve_local_window(poses_w2c, fixed, pts, obs_f, obs_p, obs_uv,
                            caps, iters, huber_delta, tol=0.0,
-                           prior_kw=None):
+                           prior_kw=None, note_truncation=None):
         """Solve a local BA window that may EXCEED the point/obs caps.
 
         Within caps: one padded ba.optimize (the fixed-shape compiled
@@ -694,7 +694,10 @@ class Mapper:
         pose-free chunk solves (each warm-started on the previous
         poses), then re-solve every non-final chunk POINT-ONLY under the
         final poses — no observation is silently dropped, matching the
-        reference's local windows (MapperDemo.cpp:1286-1555). All chunk
+        reference's local windows (MapperDemo.cpp:1286-1555). Sole
+        exception: a single 'monster' point whose observations ALONE
+        exceed the O cap solves on an evenly-strided O-subset, and the
+        remainder is reported through `note_truncation`. All chunk
         problems share one padded shape, so the jitted program compiles
         once. Returns (new_poses_w2c [F_real], new_pts [P_real]).
         """
@@ -715,6 +718,12 @@ class Mapper:
                 end += 1
             if end == start:      # monster point: obs alone exceed O
                 end = start + 1
+                # its chunk solves see an evenly-strided O-subset (below);
+                # the remainder IS dropped — account for it (ADVICE r4:
+                # the docstring's 'no observation silently dropped' must
+                # not hide this path)
+                if note_truncation is not None:
+                    note_truncation("obs", int(counts[start]) - O)
             chunks.append((start, end))
             start = end
         cut = np.searchsorted(obs_p, [c[0] for c in chunks]
@@ -726,6 +735,16 @@ class Mapper:
         def solve(ci, pose_free: bool):
             s, e = chunks[ci]
             o0, o1 = int(cut[ci]), int(cut[ci + 1])
+            if o1 - o0 > O:
+                # monster point: even stride across its observations (a
+                # prefix slice would keep only its earliest frames and
+                # bias the point toward the window's start)
+                sel = o0 + np.round(np.linspace(0, o1 - o0 - 1,
+                                                O)).astype(np.int64)
+                o_f, o_p, o_uv = obs_f[sel], obs_p[sel], obs_uv[sel]
+            else:
+                o_f, o_p, o_uv = (obs_f[o0:o1], obs_p[o0:o1],
+                                  obs_uv[o0:o1])
             poses_p, fmask = pad_to(poses_cur, F)
             poses_p[~fmask] = np.array([0, 0, 0, 0, 0, 0, 1.0],
                                        np.float32)
@@ -733,9 +752,9 @@ class Mapper:
             fixed_p, _ = pad_to(fx, F, True)
             fixed_p[~fmask] = True
             pts_p, pmask = pad_to(pts_cur[s:e], P)
-            of, omask = pad_to(obs_f[o0:o1], O)
-            op, _ = pad_to(obs_p[o0:o1] - s, O)
-            ouv, _ = pad_to(obs_uv[o0:o1], O)
+            of, omask = pad_to(o_f, O)
+            op, _ = pad_to(o_p - s, O)
+            ouv, _ = pad_to(o_uv, O)
             kw = prior_kw if pose_free else {}
             prob = ba.make_problem(
                 poses=poses_p, pose_fixed=fixed_p, points=pts_p,
@@ -891,7 +910,7 @@ class Mapper:
             iters=self.cfg.get_int("SLAM.LocalBAIters", 15),
             huber_delta=float(np.sqrt(5.991)) * sigma,
             tol=self.cfg.get_double("SLAM.LocalBATol", 0.0),
-            prior_kw=prior_kw)
+            prior_kw=prior_kw, note_truncation=self._note_truncation)
         new_c2w = hse3.se3_inv(new_poses).astype(np.float32)
         with self.map.update_lock:
             for fid in free_ids:

@@ -358,6 +358,15 @@ def sim3_horn(pa, pb, w=None):
     """Closed-form similarity aligning pa -> pb (Horn, quaternion method).
 
     pa, pb: [N, 3]; w: optional [N] weights/mask. Returns SIM3 [8].
+
+    Degeneracy guard (VERDICT r4 weak #6): when the centered source cloud
+    is rank<=1 (collinear — a straight survey strip at every `fit_gps_all`
+    / dist-VO drift-correction call site), Horn's rotation about the line
+    axis is unconstrained and eigh returns an arbitrary (often flipped)
+    member of the null family. Branch-free fallback: the MINIMAL rotation
+    aligning the two principal directions (sign-disambiguated by the
+    point correspondence), which is the rotation a caller actually wants
+    for a strip; identity when there is no spread at all.
     """
     if w is None:
         w = jnp.ones(pa.shape[0], pa.dtype)
@@ -382,6 +391,25 @@ def sim3_horn(pa, pb, w=None):
     qwxyz = evecs[:, -1]                        # largest eigenvalue
     q = jnp.array([qwxyz[1], qwxyz[2], qwxyz[3], qwxyz[0]])  # -> (x,y,z,w)
     q = q * jnp.where(q[3] < 0, -1.0, 1.0)
+    # --- rank guard on the source scatter -------------------------------
+    scat_a = (A * w[:, None]).T @ A
+    scat_b = (B * w[:, None]).T @ B
+    eva, veca = jnp.linalg.eigh(scat_a)
+    evb, vecb = jnp.linalg.eigh(scat_b)
+    rank1 = eva[1] <= 1e-5 * jnp.maximum(eva[2], 1e-12)
+    rank0 = eva[2] <= 1e-12
+    da = veca[:, 2]
+    db = vecb[:, 2]
+    # eigvec sign is arbitrary: orient both by the correspondence
+    corr = jnp.sum(w * (A @ da) * (B @ db))
+    db = db * jnp.where(corr < 0, -1.0, 1.0)
+    axv = jnp.cross(da, db)
+    qf = jnp.concatenate([axv, 1.0 + jnp.dot(da, db)[None]])
+    qf = qf / jnp.maximum(jnp.linalg.norm(qf), 1e-9)
+    q_id = jnp.array([0.0, 0.0, 0.0, 1.0], q.dtype)
+    # antipodal principal directions (1+c ~ 0) leave qf meaningless too
+    qf = jnp.where(1.0 + jnp.dot(da, db) < 1e-6, q_id, qf.astype(q.dtype))
+    q = jnp.where(rank1, jnp.where(rank0, q_id, qf), q)
     Ra = lie.quat_rotate(jnp.broadcast_to(q, (pa.shape[0], 4)), A)
     s = jnp.sum(w[:, None] * B * Ra) / jnp.maximum(
         jnp.sum(w[:, None] * Ra * Ra), 1e-12)

@@ -63,3 +63,66 @@ def quat_to_matrix(q):
         np.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
                   1 - 2 * (x * x + y * y)], -1),
     ], -2)
+
+
+def sim3_fit_pose_gauge(poses_a, poses_b, w_axis: float = 1.0):
+    """Least-squares SIM3 gauge (t, q(xyzw), s) mapping frame-a poses onto
+    frame-b poses: c_b ~= s R c_a + t, R_b ~= R R_a.
+
+    Unlike a Horn fit on camera CENTERS only (rotation about the track
+    axis is unconstrained when the centers are collinear — every straight
+    survey strip), this solves Wahba's problem over the centered center
+    offsets PLUS each camera's rotation axes, so the gauge is fully
+    constrained by a single pose pair and exact for rigid/similarity map
+    moves (GPS SIM3 refits move all poses by one gauge transform).
+
+    poses_*: [N, 7] SE3 c2w rows. Returns np.float64 [8] = (t, q, s).
+    Reference role: EstimatorOpenCV::findSIM3 (:94-160) feeds Horn with
+    GPS-vs-map trajectories; the refresh gauge needs the pose-aware form.
+    """
+    Pa = np.asarray(poses_a, np.float64).reshape(-1, 7)
+    Pb = np.asarray(poses_b, np.float64).reshape(-1, 7)
+    ca, cb = Pa[:, :3], Pb[:, :3]
+    ma, mb = ca.mean(0), cb.mean(0)
+    A, B = ca - ma, cb - mb
+    na = float(np.sqrt((A ** 2).sum()))
+    nb = float(np.sqrt((B ** 2).sum()))
+    s = nb / na if na > 1e-9 else 1.0
+    # Wahba pairs: centered center offsets (rms-normalized so a long
+    # trajectory doesn't drown the axes) + the three camera axes per pose.
+    Ra = quat_to_matrix(Pa[:, 3:7])          # [N, 3, 3]
+    Rb = quat_to_matrix(Pb[:, 3:7])
+    M = np.zeros((3, 3))
+    if na > 1e-9 and nb > 1e-9:
+        M += (A / na).T @ (B / nb)
+    for k in range(3):
+        ak, bk = Ra[:, :, k], Rb[:, :, k]
+        M += (w_axis / max(len(Pa), 1)) * (ak.T @ bk)
+    Sxx, Sxy, Sxz = M[0]
+    Syx, Syy, Syz = M[1]
+    Szx, Szy, Szz = M[2]
+    N = np.array([
+        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+    ])
+    _, evecs = np.linalg.eigh(N)
+    qw, qx, qy, qz = evecs[:, -1]
+    q = np.array([qx, qy, qz, qw])
+    if q[3] < 0:
+        q = -q
+    q = q / np.linalg.norm(q)
+    t = mb - s * quat_rotate(q, ma)
+    return np.concatenate([t, q, [s]])
+
+
+def sim3_apply_se3(S, T):
+    """Compose a SIM3 gauge with an SE3 pose: the SE3 part of S o T
+    (scale folds into the translation, rotation composes)."""
+    S = np.asarray(S, np.float64)
+    T = np.asarray(T, np.float64)
+    t = S[7] * quat_rotate(S[3:7], T[:3]) + S[:3]
+    q = quat_mul(S[3:7], T[3:7])
+    q = q / np.linalg.norm(q)
+    return np.concatenate([t, q])

@@ -255,3 +255,63 @@ def test_lo_ransac_fundamental(rng):
                                  threshold=0.004, iters=24, lo_topk=8)
     assert float(hlo.score) >= 0  # H on non-planar scene: just must run
     assert hlo.model.shape == hplain.model.shape
+
+
+def test_sim3_horn_collinear_guard(rng):
+    """VERDICT r4 weak #6: collinear source points leave Horn's rotation
+    about the line axis unconstrained; eigh used to return a 180-degree
+    flip. The guard must recover the minimal line-aligning rotation."""
+    t_line = np.linspace(0, 1, 10)
+    pa = jnp.asarray(np.stack([25 + 36 * t_line,
+                               np.full_like(t_line, 30.0),
+                               np.full_like(t_line, 25.0)], -1), jnp.float32)
+    # pure translation gauge (the round-4 red-test shape)
+    pb = pa + jnp.asarray([3.0, 0.0, 0.0])
+    S = ransac.sim3_horn(pa, pb)
+    np.testing.assert_allclose(np.asarray(lie.sim3_apply(S, pa)),
+                               np.asarray(pb), atol=1e-3)
+    q = np.asarray(lie.sim3_q(S))
+    assert q[3] > 0.999, q          # identity rotation, not a flip
+    np.testing.assert_allclose(float(lie.sim3_s(S)[0]), 1.0, atol=1e-3)
+    # in-plane rotation + scale of the strip: minimal rotation recovered
+    ang = 0.4
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    pb2 = jnp.asarray(1.3 * np.asarray(pa) @ Rz.T + [1.0, -2.0, 0.5],
+                      jnp.float32)
+    S2 = ransac.sim3_horn(pa, pb2)
+    np.testing.assert_allclose(np.asarray(lie.sim3_apply(S2, pa)),
+                               np.asarray(pb2), atol=1e-2)
+    np.testing.assert_allclose(float(lie.sim3_s(S2)[0]), 1.3, atol=1e-2)
+
+
+def test_sim3_fit_pose_gauge_collinear():
+    """The pose-aware gauge fit (fusion refresh) is exact for a SIM3 map
+    move even when every camera center lies on one straight strip."""
+    from pislamfusion_tpu.utils import host_se3 as hse3
+    rng = np.random.default_rng(7)
+    n = 8
+    poses = np.zeros((n, 7))
+    poses[:, 0] = np.linspace(0, 20, n)     # collinear centers
+    poses[:, 1] = 30.0
+    poses[:, 2] = 25.0
+    # nadir-ish orientations with small per-frame jitter
+    for i in range(n):
+        ax = rng.normal(0, 0.05, 3)
+        half = np.linalg.norm(ax) / 2
+        u = ax / max(np.linalg.norm(ax), 1e-12)
+        poses[i, 3:6] = np.sin(half) * u
+        poses[i, 6] = np.cos(half)
+    # true gauge: rotation about the TRACK axis (x) — the exact DoF a
+    # centers-only fit cannot see — plus scale and translation
+    ang = 0.3
+    qg = np.array([np.sin(ang / 2), 0, 0, np.cos(ang / 2)])
+    sg, tg = 0.9, np.array([5.0, -1.0, 2.0])
+    moved = np.stack([
+        np.concatenate([sg * hse3.quat_rotate(qg, p[:3]) + tg,
+                        hse3.quat_mul(qg, p[3:7])]) for p in poses])
+    S = hse3.sim3_fit_pose_gauge(moved, poses)   # maps moved -> original
+    for p, m in zip(poses, moved):
+        back = hse3.sim3_apply_se3(S, m)
+        np.testing.assert_allclose(back[:3], p[:3], atol=1e-9)
+        assert abs(np.dot(back[3:7], p[3:7])) > 1 - 1e-9

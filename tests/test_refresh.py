@@ -23,7 +23,7 @@ def _psnr(img, covered, ground, min_xy, lp):
     return 10 * np.log10(255.0 ** 2 / max((d ** 2).mean(), 1e-12))
 
 
-@pytest.mark.parametrize("map_type", ["multiband", "weighted"])
+@pytest.mark.parametrize("map_type", ["multiband", "weighted", "gpu"])
 def test_refresh_recovers_drifted_mosaic(map_type, rng):
     ground = make_ground(rng)
     cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
@@ -121,3 +121,60 @@ def test_fusion_refresh_wiring(rng):
     assert fus.error is None, fus.error
     assert fus.frames_fed == len(frames)
     assert fus.frames_refreshed > 0
+
+
+def test_fusion_refresh_rotational_gauge_noop(rng):
+    """A global SIM3 refit that ROTATES the map about the (collinear)
+    track axis is a pure gauge move: map and plane move together, so the
+    plane-relative mosaic is unchanged and refresh must be a clean no-op.
+    The round-4 centers-only fit could not see this rotation at all
+    (collinear centers); the pose-aware gauge fit removes it exactly."""
+    import time
+    from types import SimpleNamespace
+
+    from pislamfusion_tpu.core.messenger import DataTrans, messenger
+    from pislamfusion_tpu.models.fusion import FusionSystem
+    from pislamfusion_tpu.utils import host_se3 as hse3
+
+    ground = make_ground(rng)
+    cam = Camera(320, 240, 260.0, 260.0, 160.0, 120.0)
+    poses = lawnmower()[:10]                    # one straight strip
+    frames = [render_view(ground, cam, p) for p in poses]
+
+    ang = 0.25                                   # gauge: rot about x + shift
+    qg = np.array([np.sin(ang / 2), 0, 0, np.cos(ang / 2)])
+    gauge = np.concatenate([[2.0, -1.0, 0.5], qg])
+    moved = [hse3.se3_mul(gauge, p) for p in poses]
+
+    class FakeMap:
+        def __init__(self):
+            self.store = {}
+
+        def frame(self, fid):
+            return self.store.get(fid)
+
+    fake = FakeMap()
+    for i, m in enumerate(moved):
+        fake.store[1000 + i] = SimpleNamespace(pose_c2w=m)
+
+    cfg = Svar()
+    cfg.set("Map2D.BandNumber", "3")
+    cfg.set("Plane", "0 0 0 0 0 0 1")
+    cfg.set("PrepareFrameNum", "4")
+    tq = DataTrans(capacity=64)
+    pq = DataTrans(capacity=2)
+    fus = FusionSystem(cfg, cam, trans_q=tq, plane_q=pq).start()
+    for i, (img, p) in enumerate(zip(frames, poses)):
+        tq.product((img, p.copy(), (1000 + i, 1000 + i, p.copy())))
+    for _ in range(300):
+        if fus.frames_fed >= len(frames):
+            break
+        time.sleep(0.1)
+    img0, cov0 = fus.map2d.blended()
+    messenger.advertise("map_transformed").publish(fake)
+    fus.finish()
+    assert fus.error is None, fus.error
+    assert fus.frames_refreshed == 0            # gauge removed exactly
+    img1, cov1 = fus.map2d.blended()
+    assert np.array_equal(cov0, cov1)
+    assert np.array_equal(img0, img1)           # canvas untouched
