@@ -78,12 +78,21 @@ def survey_poses(alt=25.0, y0=28.0, y1=56.0, dy=7.0, x0=24.0, x1=62.0,
     return np.stack(poses)
 
 
-def mosaic_psnr_vs_truth(map2d, ground, S_gt2est, plane):
+def mosaic_psnr_vs_truth(map2d, ground, S_gt2est, plane=None):
     """Resample the blended mosaic onto the ground-texture grid through the
-    estimated similarity and plane, then PSNR over covered pixels."""
+    estimated similarity and plane, then PSNR over covered pixels.
+
+    The plane must be the CANVAS's plane snapshot (map2d.plane): after a
+    GPS-refit rebase the canvas re-prepares under its own adjusted plane,
+    and the mapper's final force_plane() re-fit can differ from it by an
+    in-plane rotation/translation (a plane SE3 is only defined up to
+    in-plane motion) — resampling through the wrong one reads the wrong
+    canvas region (round-5 calibration run: coverage 0.27 -> 0.02)."""
     out, covered = map2d.blended()
     lp = map2d.length_pixel
     min_xy = map2d.min_xy
+    if plane is None:
+        plane = np.asarray(map2d.plane, np.float64)
     # texture grid (subsample x2 for speed), world coords z=0
     step = 2
     vs, us = np.meshgrid(np.arange(0, ground.shape[0], step),
@@ -133,11 +142,17 @@ def _real_ground(n=1024):
 
 def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
              cam=None, poses=None, verbose=True, overrides=None,
-             fixture="flat"):
+             fixture="flat", gps_sigma=None):
     """fixture selects the survey scene family (the ablation axes of
     doc/ABLATION.md): 'flat' = procedural planar texture, 'real' = the
     real aerial photograph as ground texture, 'parallax' = 3D world with
-    raised slabs + per-frame exposure drift (tests/synth_survey.py)."""
+    raised slabs + per-frame exposure drift (tests/synth_survey.py).
+
+    gps_sigma (meters) enables the reference's actual deployment mode: a
+    noisy GPS fix per frame (DatasetRTMapper's _gpshpyr stream). The
+    mapper SIM3-fits the map to ENU, adds GPS edges to local BA, and its
+    `fitted_map` publishes drive the mosaic pose-refresh/rebase chain —
+    the correction events the v3 ablation (doc/ABLATION.md) measures."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     render = None
@@ -193,11 +208,21 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
     slam.plane_queue = plane_q
     fusion = FusionSystem(cfg, cam, trans_q=trans_q, plane_q=plane_q).start()
 
+    local = None
+    if gps_sigma is not None:
+        from pislamfusion_tpu.core.gps import LocalFrame
+        local = LocalFrame(108.9, 34.0, 0.0)   # arbitrary survey origin
+
     t0 = time.perf_counter()
     for i, p in enumerate(poses):
         img = (render(cam, p, i) if render is not None
                else render_view(ground, cam, p))
-        slam.track(img, float(i))
+        gps = None
+        if local is not None:
+            noisy = p[:3] + rng.normal(0, gps_sigma, 3)
+            gps = local.local_to_lla(noisy)
+        slam.track(img, float(i), gps_lla=gps,
+                   gps_acc=gps_sigma if gps_sigma else 5.0)
         if verbose and (i + 1) % 10 == 0:
             print(f"  frame {i + 1}/{len(poses)} tracked="
                   f"{slam.frames_tracked} kf={len(slam.map.keyframes())} "
@@ -226,7 +251,7 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
         S_gt2est = ransac.sim3_horn(jnp.asarray(gt_pos, jnp.float32),
                                     jnp.asarray(est, jnp.float32))
         psnr, coverage = mosaic_psnr_vs_truth(
-            fusion.map2d, ground, np.asarray(S_gt2est), slam.plane)
+            fusion.map2d, ground, np.asarray(S_gt2est))
         fusion.save(os.path.join(out_dir, "result.png"))
     slam.map.export_trajectory(os.path.join(out_dir, "trajectory.txt"))
     slam.map.export_ply(os.path.join(out_dir, "map.ply"))
@@ -242,7 +267,9 @@ def run_demo(out_dir=".", seed=11, n_feats=600, loop_close=True,
         ate=ate, span=span, ate_pct=100.0 * ate / span,
         mosaic_frames=int(fusion.frames_fed), psnr=psnr, coverage=coverage,
         fusion_error=fusion.error, wall_s=wall,
-        fps=slam.frames_total / max(wall, 1e-9))
+        fps=slam.frames_total / max(wall, 1e-9),
+        gps_fitted=bool(slam.mapper.gps_fitted if slam.mapper else False),
+        frames_refreshed=int(fusion.frames_refreshed))
     if verbose:
         print(f"tracked {metrics['frames']} frames at "
               f"{100 * ratio:.1f}% | {metrics['keyframes']} KFs, "

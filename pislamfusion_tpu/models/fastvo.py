@@ -225,12 +225,32 @@ class FastVO:
         tcarry = carry[:5]
         c_lap, c_w = carry[5], carry[6]
         poses, nms = [], []
-        for b in range(G):
-            feats = {k: v[b] for k, v in feats_g.items()}
-            tcarry, (pose_new, n_match) = self._track_core(tcarry, feats)
-            c_lap, c_w = self._feed(pose_new, rgbs[b], c_lap, c_w)
-            poses.append(pose_new)
-            nms.append(n_match)
+        if os.environ.get("PISLAM_GROUP_SPLIT", "0") == "1":
+            # split ordering: emit the whole match/LM chain first, then
+            # the G feeds. The dataflow is identical to the interleaved
+            # loop (feed b depends only on pose b; feeds chain through
+            # the canvas) — and so, it turns out, is the schedule:
+            # measured on-chip (scripts/probe_group_orders.py, round 5)
+            # split is a WASH (5.15 vs 5.13 ms/frame at G=2; G=3/4 split
+            # 5.21/5.44). XLA's latency-hiding scheduler already treats
+            # the two emission orders identically; kept as an env-gated
+            # variant so the negative result stays reproducible.
+            for b in range(G):
+                feats = {k: v[b] for k, v in feats_g.items()}
+                tcarry, (pose_new, n_match) = self._track_core(tcarry,
+                                                               feats)
+                poses.append(pose_new)
+                nms.append(n_match)
+            for b in range(G):
+                c_lap, c_w = self._feed(poses[b], rgbs[b], c_lap, c_w)
+        else:
+            for b in range(G):
+                feats = {k: v[b] for k, v in feats_g.items()}
+                tcarry, (pose_new, n_match) = self._track_core(tcarry,
+                                                               feats)
+                c_lap, c_w = self._feed(pose_new, rgbs[b], c_lap, c_w)
+                poses.append(pose_new)
+                nms.append(n_match)
         return (tcarry + (c_lap, c_w),
                 (jnp.stack(poses), jnp.stack(nms)))
 

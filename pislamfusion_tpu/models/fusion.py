@@ -18,7 +18,9 @@ like the reference's thread split. `finish()` drains what is left and saves.
 """
 from __future__ import annotations
 
+import os
 import queue
+import sys
 import threading
 from typing import List, Optional, Tuple
 
@@ -65,11 +67,14 @@ class FusionSystem:
         self._prepared = threading.Event()
         self.frames_fed = 0
         self.error: Optional[str] = None
-        # pose-refresh state: bounded cache of fed frames (fid, img,
-        # pose_at_feed) + the latest map snapshot published on
-        # 'map_transformed' / 'fitted_map' (loop closure, GPS refit)
-        self._refresh_cache = []      # [(fid, img, pose)] feed order
+        # pose-refresh state: bounded cache of fed frames
+        # ((fid, kf_id, rel), img, canvas_pose) + the latest map snapshot
+        # published on 'map_transformed' / 'fitted_map' (loop closure,
+        # GPS refit). _feed_gauge maps SLAM-world poses into the canvas
+        # frame after sub-rebase gauge-removal refreshes (see _gauged).
+        self._refresh_cache = []      # feed order
         self._refresh_bytes = 0
+        self._feed_gauge = None       # SIM3 [t, q, s] map-world -> canvas
         self._refresh_cap = int(self.cfg.get_double(
             "Fusion.RefreshCacheMB", 256.0) * 1e6)
         self._refresh_map = None      # WorldMap to pull new poses from
@@ -148,11 +153,20 @@ class FusionSystem:
             return np.asarray(p, np.float64)
         while not self._stop.is_set():
             try:
-                return np.asarray(self._plane_q.consumption(timeout=0.2),
-                                  np.float64)
+                got = self._plane_q.consumption(timeout=0.2)
             except queue.Empty:
                 if self._finishing.is_set() and self._plane_q.qsize() == 0:
                     return None
+                continue
+            # drain to the NEWEST publish: the mapper re-publishes the
+            # plane whenever a refit transforms the map, and preparing
+            # with a stale-epoch plane against current-epoch poses bends
+            # the whole canvas geometry (round-5 GPS calibration)
+            newer = self._plane_q.try_consume()
+            while newer is not None:
+                got = newer
+                newer = self._plane_q.try_consume()
+            return np.asarray(got, np.float64)
         return None
 
     def _camera(self) -> Optional[Camera]:
@@ -171,26 +185,78 @@ class FusionSystem:
             return False
         self.map2d = create_map2d(self.cfg.get_string("Map2D.Type", "3"),
                                   self.cfg)
+        if os.environ.get("PISLAM_FUSION_DEBUG", "") == "1":
+            from .map2d import _se3_inv_mul_np
+            zs = [_se3_inv_mul_np(np.asarray(plane, np.float64),
+                                  np.asarray(fr[1], np.float64))[2]
+                  for fr in frames]
+            print(f"fusion.prepare: plane={np.round(plane, 2)} "
+                  f"frame plane-z={np.round(zs, 2)}",
+                  file=sys.stderr, flush=True)
         if not self.map2d.prepare(plane, cam,
                                   [(fr[0], fr[1]) for fr in frames]):
             self.error = "Map2D.prepare failed"
             return False
         self._prepared.set()
         for fr in frames:
+            pose = self._gauged(fr[1])
             with timer.scope("Fusion::feed"):
-                self.map2d.feed(fr[0], fr[1])
-            self._note_fed(fr)
+                self.map2d.feed(fr[0], pose)
+            self._note_fed(fr, canvas_pose=pose)
             self.frames_fed += 1
         return True
 
     # -------------------------------------------------- pose refresh
-    def _note_fed(self, fr):
-        """Cache a fed frame for later pose refresh (bounded by bytes)."""
+    def _gauged(self, pose):
+        """Map a SLAM-world pose into the CANVAS world frame.
+
+        After a sub-rebase gauge-removal refresh the canvas keeps its old
+        world frame while SLAM publishes poses in the refit one; feeding
+        raw poses then misregisters every future frame by the gauge, and
+        the error COMPOUNDS across refit events (round-5 GPS calibration:
+        the mosaic shattered into scattered footprints, some at the wrong
+        scale). The persistent gauge fitted at the last refresh brings
+        every subsequent feed back into the canvas frame."""
+        if self._feed_gauge is None:
+            return np.asarray(pose, np.float64)
+        from ..utils import host_se3 as hse3
+        return hse3.sim3_apply_se3(self._feed_gauge,
+                                   np.asarray(pose, np.float64))
+
+    def _note_fed(self, fr, canvas_pose=None):
+        """Cache a fed frame for later pose refresh (bounded by bytes).
+
+        Cache rows hold ((fid, kf_id, rel), img, canvas_pose): `rel` is
+        the frame's pose RELATIVE to its reference keyframe at feed time
+        (gauge-invariant up to the refit's scale on the small offset), so
+        a refresh can reconstruct the frame's CURRENT map pose as
+        kf.pose_now o rel no matter how many gauge epochs have passed;
+        `canvas_pose` is the pose actually composited (feed gauge
+        applied)."""
         if self._refresh_cap <= 0 or len(fr) < 3 or fr[2] is None:
             return
         img = fr[0]
         nbytes = getattr(img, "nbytes", 0)
-        self._refresh_cache.append((fr[2], img, np.asarray(fr[1]).copy()))
+        from ..utils import host_se3 as hse3
+        fid, kf_id, kf_pose_feed = fr[2]
+        raw = np.asarray(fr[1], np.float64)
+        rel = hse3.se3_mul(hse3.se3_inv(np.asarray(kf_pose_feed,
+                                                   np.float64)), raw)
+        # keep rel's translation in CANVAS units: map units change scale
+        # at every SIM3 refit (the mono->metric snap can be 10-30x), and
+        # a feed-time-unit rel reconstructed against a later keyframe
+        # pose collapses frames onto their keyframes (the round-5
+        # calibration's clustered shatter). Canvas units are stable for
+        # the cache's lifetime; _maybe_refresh divides by the fitted
+        # map->canvas scale of the moment.
+        s_feed = float(self._feed_gauge[7]) \
+            if self._feed_gauge is not None else 1.0
+        rel = rel.copy()
+        rel[:3] *= s_feed
+        if canvas_pose is None:
+            canvas_pose = self._gauged(raw)
+        self._refresh_cache.append(((fid, kf_id, rel), img,
+                                    np.asarray(canvas_pose, np.float64)))
         self._refresh_bytes += nbytes
         while self._refresh_bytes > self._refresh_cap \
                 and len(self._refresh_cache) > 1:
@@ -207,77 +273,166 @@ class FusionSystem:
             return
         self._refresh_map = None
         from ..utils import host_se3 as hse3
-        entries, keep = [], []
-        for meta, img, old_pose in self._refresh_cache:
-            fid, kf_id, kf_pose_feed = meta
-            kf = wmap.frame(kf_id)
+        # pass 1 — keyframe entries only: their current map pose is exact
+        # (no relative reconstruction), so they anchor the map->canvas
+        # scale estimate the non-keyframe entries' rel translations (held
+        # in canvas units, see _note_fed) must be divided by.
+        kf_rows = []
+        for meta, img, canvas_pose in self._refresh_cache:
+            f = wmap.frame(meta[0])
+            if f is not None:
+                kf_rows.append((np.asarray(f.pose_c2w, np.float64),
+                                canvas_pose))
+        if len(kf_rows) >= 3:
+            S_kf = hse3.sim3_fit_pose_gauge(
+                np.stack([r[0] for r in kf_rows]),
+                np.stack([r[1] for r in kf_rows]))
+            s_now = float(S_kf[7])
+        elif self._feed_gauge is not None:
+            s_now = float(self._feed_gauge[7])
+        else:
+            s_now = 1.0
+        entries, metas, resolved = [], [], []
+        for meta, img, canvas_pose in self._refresh_cache:
+            fid, kf_id, rel = meta
             f = wmap.frame(fid)
+            kf = wmap.frame(kf_id)
             if f is not None:           # keyframes: their own new pose
-                new_pose = np.asarray(f.pose_c2w, np.float64)
+                new_map = np.asarray(f.pose_c2w, np.float64)
             elif kf is not None:
-                # ordinary frames ride their reference keyframe's motion:
-                # new = (T_kf_now o T_kf_feed^-1) o pose_fed
-                delta = hse3.se3_mul(np.asarray(kf.pose_c2w, np.float64),
-                                     hse3.se3_inv(np.asarray(
-                                         kf_pose_feed, np.float64)))
-                new_pose = hse3.se3_mul(delta, old_pose)
+                # ordinary frames ride their reference keyframe: the
+                # feed-time RELATIVE pose (rotation exactly, translation
+                # converted to the map units of the moment) reconstructs
+                # the frame's current map pose across any number of
+                # refit epochs
+                rel_m = rel.copy()
+                rel_m[:3] /= max(s_now, 1e-12)
+                new_map = hse3.se3_mul(np.asarray(kf.pose_c2w,
+                                                  np.float64), rel_m)
             else:
-                continue
-            entries.append((img, old_pose, new_pose))
-            # re-baseline the meta so a SECOND refresh doesn't
-            # double-apply this keyframe delta
-            kf_now = (np.asarray(kf.pose_c2w, np.float64).copy()
-                      if kf is not None else kf_pose_feed)
-            keep.append(((fid, kf_id, kf_now), img, new_pose))
-        if not entries:
+                # reference keyframe CULLED since feed: the frame's
+                # current map pose is unknowable, but its canvas
+                # contribution is still valid — it rides the global
+                # gauge (filled in once S is fitted below). Dropping
+                # these instead (the round-5 bug) pruned the cache to
+                # the surviving-keyframe subset at every event, so each
+                # rebase rebuilt the canvas from ~20% of its frames.
+                new_map = None
+            entries.append((img, canvas_pose, new_map))
+            metas.append(meta)
+            resolved.append(new_map is not None)
+        if not any(resolved):
             return
-        if len(entries) >= 3:
-            # remove the COMMON (gauge) transform first: a global GPS
-            # SIM3 refit moves the map AND the ground plane together, so
-            # the PLANE-RELATIVE mosaic geometry is unchanged — clearing
-            # and re-feeding under the stale prepare-time plane would
-            # blank the canvas (the round-4 CLI e2e regression). Fit
-            # new->old on the FULL POSES (centers + camera axes) and
-            # bring each new pose back into the feed-time world frame;
-            # only the RESIDUAL deformation (loop bends, local BA)
-            # triggers re-rendering.
-            #
-            # Round-5 fix: a centers-only Horn fit is rotationally
-            # degenerate on collinear trajectories (every straight survey
-            # strip) — it returned a 180-degree flip that pushed every
-            # footprint off-plane and silently no-op'd refresh
-            # (test_fusion_refresh_wiring, VERDICT r4 weak #1). The
-            # pose-aware Wahba fit in host_se3 is exact for rigid/SIM3
-            # gauge moves regardless of trajectory shape.
-            old_p = np.stack([e[1] for e in entries]).astype(np.float64)
-            new_p = np.stack([e[2] for e in entries]).astype(np.float64)
+        n_res = sum(resolved)
+        if n_res >= 3:
+            # Fit the CANVAS GAUGE: the SIM3 mapping current map-world
+            # poses onto the canvas-frame poses the cache was composited
+            # at (RESOLVED entries only — culled-keyframe entries have no
+            # current map pose to constrain it). A global GPS refit moves
+            # map AND plane together, so the plane-relative mosaic is
+            # unchanged — only the RESIDUAL deformation (loop bends,
+            # local BA) after removing this gauge triggers re-rendering.
+            # The pose-aware Wahba fit is exact for rigid/SIM3 moves on
+            # ANY trajectory shape (centers-only Horn was rotationally
+            # degenerate on straight survey strips — VERDICT r4 weak #1).
+            old_p = np.stack([e[1] for e, r in zip(entries, resolved)
+                              if r]).astype(np.float64)
+            new_p = np.stack([e[2] for e, r in zip(entries, resolved)
+                              if r]).astype(np.float64)
             S = hse3.sim3_fit_pose_gauge(new_p, old_p)
-            # gauge magnitude AT the trajectory: how far future feeds
-            # (which arrive in the NEW world frame) would land from the
-            # canvas's old frame. Past a visible misregistration the
-            # whole canvas geometry (plane snapshot, min_xy, resolution)
-            # is stale — re-derive it instead of refusing via the
-            # max_move epoch guard (VERDICT r4 missing #1).
+            # culled-keyframe entries ride the global gauge: their map
+            # pose is DEFINED as the one that keeps their canvas
+            # placement, new = S^-1 o canvas
+            S_inv = hse3.sim3_inv(S)
+            entries = [
+                (img, cp, nm if nm is not None
+                 else hse3.sim3_apply_se3(S_inv, cp))
+                for (img, cp, nm) in entries]
+            # Rebase when the canvas frame has drifted too far from the
+            # map frame: (a) median displacement at the trajectory past
+            # Fusion.RebaseThresh (default 8 GSD), or (b) a SCALE
+            # mismatch — a refit that rescales about the trajectory
+            # centroid moves centers very little while every footprint's
+            # size/GSD is wrong by s (the round-5 GPS calibration's
+            # mini-thumbnail shatter). Rebasing re-derives plane/min_xy/
+            # resolution in the CURRENT map frame (keeping result.png and
+            # the geo-tile export in the geo-registered frame) and resets
+            # the feed gauge to identity.
+            # Gauge displacement measured IN THE CANVAS PLANE: only the
+            # in-plane component misregisters the mosaic (a whole-map
+            # altitude wobble from GPS z noise projects to almost
+            # nothing, but dominated the 3D norm and forced every event
+            # onto the rebase branch in the round-5 GPS calibration).
+            plane = np.asarray(self.map2d.plane, np.float64)
+            plane_inv = hse3.se3_inv(plane)
+
+            def _plane_xy(c):
+                return hse3.se3_apply(plane_inv, c)[:2]
             disp = np.median([np.linalg.norm(
-                hse3.sim3_apply_se3(S, p)[:3] - p[:3]) for p in new_p])
+                _plane_xy(hse3.sim3_apply_se3(S, p)[:3])
+                - _plane_xy(p[:3])) for p in new_p])
+            # With the persistent feed gauge, small coherent moves are
+            # fully absorbed (future feeds gauge-adjusted, residual
+            # movers re-rendered) — rebasing is reserved for SCALE snaps
+            # (mono->metric geo-registration) and frame jumps near the
+            # canvas's epoch-sanity bound (0.5 * patch inside
+            # map2d.refresh), where re-deriving geometry in the current
+            # map frame is the only consistent continuation.
+            from ..ops.mosaic import ELE_PIXELS
+            patch_m = getattr(self.map2d, "patch_tiles", 8) * ELE_PIXELS \
+                * self.map2d.length_pixel
             rebase_at = self.cfg.get_double("Fusion.RebaseThresh", 0.0) \
-                or 8.0 * self.map2d.length_pixel
-            if disp > rebase_at:
+                or 0.125 * patch_m
+            scale_at = self.cfg.get_double("Fusion.RebaseScale", 1.15)
+            if os.environ.get("PISLAM_FUSION_DEBUG", "") == "1":
+                print(f"fusion.refresh: {len(entries)} entries "
+                      f"({len(kf_rows)} kf), s_now={s_now:.4f} "
+                      f"S=(t={np.round(S[:3], 2)}, s={S[7]:.4f}) "
+                      f"disp={disp:.3f} rebase_at={rebase_at:.3f}",
+                      file=sys.stderr, flush=True)
+            if disp > rebase_at or not (1.0 / scale_at <= float(S[7])
+                                        <= scale_at):
                 n = self._rebase_canvas(S, entries)
+                if os.environ.get("PISLAM_FUSION_DEBUG", "") == "1":
+                    print(f"fusion.refresh: REBASE re-fed {n}",
+                          file=sys.stderr, flush=True)
                 if n:
                     self.frames_refreshed += n
-                    self._refresh_cache = keep   # raw map-frame poses
-                return
-            adj = [(img, old_pose, hse3.sim3_apply_se3(S, new_pose))
-                   for img, old_pose, new_pose in entries]
-            entries = adj
-            keep = [(meta, img, pose) for (meta, img, _), (_, _, pose)
-                    in zip(keep, entries)]
+                    self._feed_gauge = None      # canvas == map frame now
+                    # the new canvas frame == current map frame: rel
+                    # translations re-baseline to the new canvas units
+                    sc = 1.0 / max(s_now, 1e-12)
+                    self._refresh_cache = []
+                    for m, (img, _o, new_map) in zip(metas, entries):
+                        rel2 = m[2].copy()
+                        rel2[:3] *= sc
+                        self._refresh_cache.append(
+                            ((m[0], m[1], rel2), img, new_map))
+                    return
+                # rebase could not re-derive (prepare/feed refused) —
+                # fall through to gauge mode rather than leaving future
+                # feeds unadjusted in a frame the canvas doesn't match
+                # (the round-5 'REBASE re-fed 0' thrash)
+            # Sub-rebase: the canvas stays in its frame; remember the
+            # gauge so every FUTURE feed is brought into it (_gauged) —
+            # without this the per-event misregistration of new feeds
+            # compounds across refit events.
+            self._feed_gauge = S
+            entries = [(img, old_pose, hse3.sim3_apply_se3(S, new_map))
+                       for img, old_pose, new_map in entries]
+        else:
+            # too few resolved poses for a gauge fit: refresh only the
+            # resolved entries at their raw new poses, leave the rest
+            # (and the feed gauge) untouched
+            entries = [(img, cp, nm if nm is not None else cp)
+                       for img, cp, nm in entries]
         with timer.scope("Fusion::refresh"):
             n = self.map2d.refresh(entries)
         if n:
             self.frames_refreshed += n
-            self._refresh_cache = keep
+            self._refresh_cache = [
+                (m, img, pose) for m, (img, _o, pose)
+                in zip(metas, entries)]
 
     def _rebase_canvas(self, S, entries) -> int:
         """Plane-frame move: a GPS SIM3 refit / large closure moved the
@@ -306,14 +461,49 @@ class FusionSystem:
                                                    np.float64))
         new_map = create_map2d(self.cfg.get_string("Map2D.Type", "3"),
                                self.cfg)
+        dbg = os.environ.get("PISLAM_FUSION_DEBUG", "") == "1"
+        # one garbage cached pose (a tracking transient fed mid-refit)
+        # must not poison the rebase forever: prepare() refuses frame
+        # sets that straddle the plane, so keep only the majority side
+        # at a sane height band
+        from .map2d import _se3_inv_mul_np
+        zs = np.asarray([_se3_inv_mul_np(plane_new,
+                                         np.asarray(pose, np.float64))[2]
+                         for _img, _o, pose in entries])
+        z_med = float(np.median(zs))
+        if dbg:
+            z_old = np.asarray([_se3_inv_mul_np(
+                np.asarray(self.map2d.plane, np.float64),
+                np.asarray(cp, np.float64))[2]
+                for _img, cp, _n in entries])
+            print(f"fusion.rebase: z_old(canvas) med "
+                  f"{float(np.median(z_old)):.2f} -> z_new med "
+                  f"{z_med:.2f}", file=sys.stderr, flush=True)
+        good = (np.sign(zs) == np.sign(z_med)) \
+            & (np.abs(zs) < 10.0 * max(abs(z_med), 1e-9)) \
+            & (np.abs(zs) > 0.02 * abs(z_med))
+        kept = [e for e, g in zip(entries, good) if g]
+        if dbg and len(kept) < len(entries):
+            print(f"fusion.rebase: dropped {len(entries) - len(kept)} "
+                  f"off-plane/outlier entries (z med {z_med:.2f})",
+                  file=sys.stderr, flush=True)
+        if not kept:
+            return 0
         if not new_map.prepare(plane_new, cam,
-                               [(img, pose) for img, _o, pose in entries]):
+                               [(img, pose) for img, _o, pose in kept]):
+            if dbg:
+                print(f"fusion.rebase: prepare REFUSED "
+                      f"(plane_new={np.round(plane_new, 2)})",
+                      file=sys.stderr, flush=True)
             return 0
         n = 0
-        for img, _old, pose in entries:
+        for img, _old, pose in kept:
             with timer.scope("Fusion::rebase_feed"):
                 if new_map.feed(img, pose):
                     n += 1
+        if dbg and n < len(kept):
+            print(f"fusion.rebase: {len(kept) - n}/{len(kept)} "
+                  "re-feeds refused", file=sys.stderr, flush=True)
         self.map2d = new_map          # atomic swap; feed loop is us
         return n
 
@@ -342,9 +532,10 @@ class FusionSystem:
             fr = self._obtain_frame()
             if fr is None:
                 break
+            pose = self._gauged(fr[1])
             with timer.scope("Fusion::feed"):
-                self.map2d.feed(fr[0], fr[1])
-            self._note_fed(fr)
+                self.map2d.feed(fr[0], pose)
+            self._note_fed(fr, canvas_pose=pose)
             self.frames_fed += 1
             if self._refresh_map is not None:
                 self._maybe_refresh()

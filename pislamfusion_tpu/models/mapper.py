@@ -1297,6 +1297,13 @@ class Mapper:
                                                   jnp.float32))))
             self.plane_se3 = np.asarray(lie.sim3_to_se3(jnp.asarray(newp)),
                                         np.float32)
+            if self._plane_sent:
+                # keep the mosaic's plane feed in the CURRENT epoch: a
+                # refit between the plane publish and the consumer's
+                # prepare() otherwise mixes a stale-gauge plane with
+                # current-gauge frame poses (fusion drains the queue to
+                # the newest entry at prepare time)
+                self.plane_queue.product(self.plane_se3)
         if self.on_map_transformed is not None:
             self.on_map_transformed(np.asarray(S))
 

@@ -487,6 +487,17 @@ class SLAM:
         # Evaluater report, TrackerPlanar.cpp:55-78)
         if self.tracker is not None and hasattr(self.tracker, "report"):
             self.tracker.report()
+        # final-pose mosaic refresh: the reference's draw path re-blends
+        # under CURRENT poses every draw (MultiBandMap2DCPU.cpp:637-775),
+        # so its result.png always reflects the final optimized map. Our
+        # feed-time compositing bakes in whatever pose each frame had when
+        # it streamed; publishing the finished map lets the FusionSystem
+        # re-render cached frames whose poses local BA / closures improved
+        # since they were fed (fusion._maybe_refresh).
+        if self.map is not None and self.cfg.get_int("Fusion.FinalRefresh",
+                                                     1):
+            from ..core.messenger import messenger as _msg
+            _msg.advertise("map_transformed").publish(self.map)
 
     def call(self, command: str, arg=None):
         """String-command surface (DIYSLAM.cpp:366-394)."""

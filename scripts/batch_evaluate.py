@@ -58,6 +58,13 @@ def main(argv):
                 kwargs["fixture"] = v
             elif k == "seed":        # texture/world RNG seed
                 kwargs["seed"] = int(v)
+            elif k == "gps":         # per-frame GPS noise sigma in meters
+                kwargs["gps_sigma"] = (float(v)
+                                       if v not in ("0", "off") else None)
+            elif k == "refresh":     # mosaic pose-refresh machinery on/off
+                if v in ("0", "off"):
+                    kwargs["overrides"]["Fusion.RefreshCacheMB"] = "0"
+                    kwargs["overrides"]["Fusion.FinalRefresh"] = "0"
             else:   # any other Svar key (Tracker, Matcher, ...) passes through
                 kwargs["overrides"][k] = v
         print(f"== {name} ==", flush=True)
