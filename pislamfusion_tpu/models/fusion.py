@@ -75,6 +75,7 @@ class FusionSystem:
         self._refresh_cache = []      # feed order
         self._refresh_bytes = 0
         self._feed_gauge = None       # SIM3 [t, q, s] map-world -> canvas
+        self._latest_plane = None     # newest mapper plane (current epoch)
         self._refresh_cap = int(self.cfg.get_double(
             "Fusion.RefreshCacheMB", 256.0) * 1e6)
         self._refresh_map = None      # WorldMap to pull new poses from
@@ -263,15 +264,32 @@ class FusionSystem:
             old = self._refresh_cache.pop(0)
             self._refresh_bytes -= getattr(old[1], "nbytes", 0)
 
+    def _drain_latest_plane(self):
+        """Poll the plane queue for the newest mapper plane: the mapper
+        republishes it after every applied SIM3, so at event-processing
+        time this is the plane of the CURRENT map epoch (the rebase path
+        prefers it over propagating the canvas's possibly-poisoned
+        snapshot through the fitted gauge)."""
+        newer = self._plane_q.try_consume()
+        while newer is not None:
+            self._latest_plane = np.asarray(newer, np.float64)
+            newer = self._plane_q.try_consume()
+
     def _maybe_refresh(self):
         """When the map moved (loop closure / GPS refit), re-render the
         canvas regions whose cached frames' poses changed; update the
         cache to the new poses."""
         wmap = self._refresh_map
-        if wmap is None or self.map2d is None or not self._refresh_cache:
+        if wmap is None:
+            return
+        if self.map2d is None:
+            return                    # keep the event pending until
+                                      # prepare() has built a canvas
+        if not self._refresh_cache:
             self._refresh_map = None
             return
         self._refresh_map = None
+        self._drain_latest_plane()
         from ..utils import host_se3 as hse3
         # pass 1 — keyframe entries only: their current map pose is exact
         # (no relative reconstruction), so they anchor the map->canvas
@@ -456,9 +474,17 @@ class FusionSystem:
         cam = self._camera()
         if cam is None or self.map2d is None:
             return 0
-        plane_new = hse3.sim3_apply_se3(hse3.sim3_inv(S),
-                                        np.asarray(self.map2d.plane,
-                                                   np.float64))
+        if self._latest_plane is not None:
+            # the mapper's live plane IS the current map epoch's ground —
+            # using it directly avoids propagating a canvas whose own
+            # plane snapshot was poisoned by mixed-epoch feeds (early
+            # refits landing between the prepare frames) through the
+            # fitted gauge
+            plane_new = np.asarray(self._latest_plane, np.float64)
+        else:
+            plane_new = hse3.sim3_apply_se3(hse3.sim3_inv(S),
+                                            np.asarray(self.map2d.plane,
+                                                       np.float64))
         new_map = create_map2d(self.cfg.get_string("Map2D.Type", "3"),
                                self.cfg)
         dbg = os.environ.get("PISLAM_FUSION_DEBUG", "") == "1"
@@ -527,18 +553,27 @@ class FusionSystem:
             return
         if not self._prepare_and_feed(frames, plane):
             return
+        # a refit that landed while the prepare frames were collecting is
+        # still pending (events are never discarded before a canvas
+        # exists): re-gauge before composing anything else
+        if self._refresh_map is not None:
+            self._maybe_refresh()
         # feed loop: synchronous Map2D -> no queue throttle needed
         while not self._stop.is_set():
             fr = self._obtain_frame()
             if fr is None:
                 break
+            # process pending refit events BEFORE composing: the frame in
+            # hand carries a post-refit pose, and feeding it under the
+            # pre-refit gauge would bake in exactly the misregistration
+            # the event tells us how to remove
+            if self._refresh_map is not None:
+                self._maybe_refresh()
             pose = self._gauged(fr[1])
             with timer.scope("Fusion::feed"):
                 self.map2d.feed(fr[0], pose)
             self._note_fed(fr, canvas_pose=pose)
             self.frames_fed += 1
-            if self._refresh_map is not None:
-                self._maybe_refresh()
         # a transform that landed after the last frame (end-of-run GPS
         # refit / closure) still re-renders before save()
         if self._refresh_map is not None and self.map2d is not None:
