@@ -43,12 +43,12 @@ def _write_dataset(root, rng, n_rows=2):
                      + " ".join(f"{v:.9f}" for v in lla) + "\n")
     ds_file = os.path.join(root, "survey.npudronemap")
     open(ds_file, "w").close()
-    return ds_file, poses
+    return ds_file, poses, ground
 
 
 def test_cli_end_to_end(tmp_path):
     rng = np.random.default_rng(4)
-    ds_file, poses = _write_dataset(str(tmp_path / "ds"), rng)
+    ds_file, poses, _ground = _write_dataset(str(tmp_path / "ds"), rng)
     out = str(tmp_path / "out")
     from pislamfusion_tpu.app import run_slam
     cfg = Svar()
@@ -100,7 +100,7 @@ def test_scommand_slam_call_stop(tmp_path):
     import threading
     import time as _time
     rng = np.random.default_rng(6)
-    ds_file, poses = _write_dataset(str(tmp_path / "ds"), rng)
+    ds_file, poses, _ground = _write_dataset(str(tmp_path / "ds"), rng)
     out = str(tmp_path / "out")
     from pislamfusion_tpu.app import run_slam
     from pislamfusion_tpu.core.svar import scommand
@@ -127,7 +127,7 @@ def test_cli_survey_engine(tmp_path):
     result.png + trajectory.txt + geo-tiles. Asserts tracked ratio, geo
     ATE, and mosaic PSNR vs the ground texture."""
     rng = np.random.default_rng(11)
-    ds_file, poses = _write_dataset(str(tmp_path / "ds"), rng)
+    ds_file, poses, _ground = _write_dataset(str(tmp_path / "ds"), rng)
     out = str(tmp_path / "out")
     from pislamfusion_tpu import app
     rc = app.main([
@@ -156,3 +156,65 @@ def test_cli_survey_engine(tmp_path):
     # recover canvas geometry the same way run_survey derives it
     covered = (img != 255).any(-1)
     assert covered.sum() > 3000
+
+
+def test_cli_refresh_keeps_gps_mosaic_registered(tmp_path):
+    """VERDICT r4 item 8: during an Act=SLAM run with GPS, the mapper's
+    SIM3 refits republish the map mid-survey; the mosaic consumer must
+    ride them (rebase + persistent feed gauge + re-render) or the canvas
+    mixes gauge epochs. Asserts the refresh machinery fired AND that the
+    refreshed mosaic beats the refresh-disabled run's PSNR against the
+    ground texture by a wide margin (the disabled run composites frames
+    fed before/after the mono->metric snap onto one canvas)."""
+    import jax.numpy as jnp
+    from pislamfusion_tpu.app import run_slam
+    from pislamfusion_tpu.ops import ransac
+
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                     "examples"))
+    from pipeline_demo import mosaic_psnr_vs_truth
+
+    def run(refresh_on, seed=4):
+        rng = np.random.default_rng(seed)
+        ds_file, poses, ground = _write_dataset(
+            str(tmp_path / f"ds{int(refresh_on)}"), rng)
+        out = str(tmp_path / f"out{int(refresh_on)}")
+        cfg = Svar()
+        cfg.set("SLAM.nFeature", "500")
+        cfg.set("SLAM.BAFrameCap", "8")
+        cfg.set("SLAM.BAPointCap", "1024")
+        cfg.set("SLAM.BAObsCap", "4096")
+        cfg.set("SLAM.LocalBAIters", "8")
+        cfg.set("SLAM.LoopClose", "1")
+        cfg.set("Plane.MinPoints", "400")
+        cfg.set("PrepareFrameNum", "8")
+        cfg.set("Map2D.BandNumber", "4")
+        if not refresh_on:
+            cfg.set("Fusion.RefreshCacheMB", "0")
+            cfg.set("Fusion.FinalRefresh", "0")
+        slam, fusion = run_slam(cfg, [ds_file], out_dir=out)
+        assert fusion.error is None, fusion.error
+        frames = [f for f in slam.map.frames()
+                  if f.n_tracked() > 0 or f.is_keyframe]
+        est = np.stack([f.pose_c2w[:3] for f in frames])
+        ids = np.asarray([int(round(f.timestamp)) for f in frames])
+        gt = poses[ids][:, :3]
+        S_gt2est = ransac.sim3_horn(jnp.asarray(gt, jnp.float32),
+                                    jnp.asarray(est, jnp.float32))
+        psnr, cov = mosaic_psnr_vs_truth(fusion.map2d, ground,
+                                         np.asarray(S_gt2est))
+        return slam, fusion, psnr, cov
+
+    slam_on, fusion_on, psnr_on, cov_on = run(True)
+    assert slam_on.mapper.gps_fitted
+    assert fusion_on.frames_refreshed > 0, \
+        "GPS refits published but the mosaic never refreshed"
+    assert cov_on > 0.15, (psnr_on, cov_on)
+    assert psnr_on > 12.0, (psnr_on, cov_on)
+
+    _slam_off, _fusion_off, psnr_off, cov_off = run(False)
+    # without refresh the canvas keeps the pre-snap epoch: post-snap
+    # feeds misregister or get refused -> near-zero usable overlap
+    assert psnr_on > psnr_off + 3.0 or cov_on > 4.0 * max(cov_off, 1e-6), \
+        (psnr_on, cov_on, psnr_off, cov_off)
