@@ -159,10 +159,12 @@ def test_real_sequence_full_chain_revisit_refresh(tmp_path):
     psnr, coverage = mosaic_psnr_vs_truth(fusion.map2d, ground,
                                           np.asarray(S_gt2est))
     assert coverage > 0.25, coverage
-    # plateau context: the v2 ablation grid's real-fixture cells sat at
-    # 18.8-21.0 dB without refresh. The floor here is deliberately below
-    # that (different trajectory/exposure), the ablation v3 grid carries
-    # the plateau-vs-refresh claim; this asserts end-to-end sanity.
-    assert psnr > 15.0, psnr
+    # floor context (doc/ABLATION.md v3): GPS-edge pipelines trade mosaic
+    # sharpness for geo-registration — the real-texture GPS cells measure
+    # 12.5+-0.7 dB (this fixture: 12.7), vs 17.0+-0.8 gauge-free mono and
+    # 0.0 (blank) with refresh disabled. The floor asserts end-to-end
+    # sanity well above the blank/garbage regime; the v3 grid carries the
+    # quality claims.
+    assert psnr > 10.5, psnr
     fusion.save(str(tmp_path / "result.png"))
     assert (tmp_path / "result.png").exists()
